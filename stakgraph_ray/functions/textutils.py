@@ -1,0 +1,88 @@
+"""Scalar/vector text utilities (cf. normalizers in
+/root/reference/ast/src/lang/linker.rs:398-470 and ast/src/utils.rs:71-80).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def normalize_url(url: str) -> str:
+    """Strip scheme, query/hash, `${...}` interpolations, trailing slash —
+    modeled on normalize_frontend_path (linker.rs:398-430)."""
+    u = url
+    for scheme in ("https://", "http://", "//"):
+        if u.startswith(scheme):
+            u = u[len(scheme):]
+            break
+    for sep in ("?", "#"):
+        if sep in u:
+            u = u.split(sep, 1)[0]
+    while "${" in u:
+        i = u.index("${")
+        j = u.find("}", i)
+        if j == -1:
+            u = u[:i]
+            break
+        u = u[:i] + ":param" + u[j + 1:]
+    if u.endswith("/") and len(u) > 1:
+        u = u[:-1]
+    return u
+
+
+def normalize_url_column(url: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized normalize_url (re2 chain)."""
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    s = pc.replace_substring_regex(url, r"^(https?:)?//", "")
+    s = pc.replace_substring_regex(s, r"[?#].*$", "")
+    s = pc.replace_substring_regex(s, r"\$\{[^}]*\}", ":param")
+    s = pc.replace_substring_regex(s, r"\$\{.*$", "")
+    s = pc.replace_substring_regex(s, r"(.)/$", "\\1")
+    return s
+
+
+def host_of_url_column(url: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Host part of an absolute url (vectorized)."""
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    s = pc.replace_substring_regex(url, r"^(https?:)?//", "")
+    return pc.replace_substring_regex(s, r"[/?#].*$", "")
+
+
+def normalize_surface(s: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Normalized surface form for the 'normalized' link strategy:
+    lowercase, strip non-alphanumerics (e.g. 'I.B.M.' -> 'ibm')."""
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    return pc.replace_substring_regex(pc.utf8_lower(s), r"[^a-z0-9]", "")
+
+
+def explode_tokens(text: pa.Array | pa.ChunkedArray):
+    """Whitespace-tokenize a string column and explode, fully vectorized.
+
+    Returns (parent_indices: int64 np.ndarray, token: pa.Array,
+             pos: np.ndarray token ordinal within row,
+             start: np.ndarray char offset, end: np.ndarray char offset).
+    Offsets assume single-space joins (the extraction contract collapses all
+    whitespace to single spaces, so this holds for extracted text).
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+    total = int(counts.sum())
+    starts_of_row = np.concatenate(([0], np.cumsum(counts)[:-1])) if len(counts) else np.empty(0, dtype="int64")
+    pos = np.arange(total, dtype="int64") - np.repeat(starts_of_row, counts)
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+    # char start = cumsum of (len+1) of previous tokens within the row
+    adv = lens + 1
+    g = np.cumsum(adv) - adv  # global exclusive cumsum
+    base = np.repeat(g[starts_of_row], counts) if total else np.empty(0, dtype="int64")
+    start = g - base
+    end = start + lens
+    return parent, flat, pos, start, end

@@ -1,0 +1,135 @@
+"""Page-corpus source: Common-Crawl-style pages per BASELINE.json input_hint.
+
+Schema: ``url: string, warc_ts: timestamp[us], html: binary,
+text: string, lang: string``.
+
+``pages_from_documents`` derives the corpus *deterministically* from the
+driver-provided ``documents`` table (doc_id, text, lang, source), so that:
+
+  - extracted text is byte-identical to ``documents.text`` (golden side), and
+  - every downstream result stays expressible as DuckDB SQL over ``documents``
+    for the correctness oracle.
+
+Deterministic skip-path rows (exercising the reference's size/UTF-8 skip,
+/root/reference/ast/src/builder/core.rs:318-336):
+  - doc_id % 1000 == OVERSIZE_MOD  -> html padded past max_html_size
+  - doc_id % 1000 == BADUTF8_MOD   -> invalid UTF-8 bytes in the body
+Oracle SQL for extracted text is therefore:
+  CASE WHEN doc_id % 1000 IN (13, 29) THEN '' ELSE text END
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG
+
+OVERSIZE_MOD = 13
+BADUTF8_MOD = 29
+SKIP_MODS = (OVERSIZE_MOD, BADUTF8_MOD)
+_EPOCH_US = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+
+# Built once per process: a comment block that pushes any page past the cap.
+_OVERSIZE_PAD = "<!-- " + "x" * (DEFAULT_CONFIG.max_html_size + 16) + " -->"
+
+# html.escape order: & first, then the rest (single pass, no double escape).
+_ESCAPES = (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+            ('"', "&quot;"), ("'", "&#x27;"))
+
+
+def escape_column(s: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    s = pc.cast(s, pa.large_string())
+    for ch, ent in _ESCAPES:
+        s = pc.replace_substring(s, ch, ent)
+    return s
+
+
+def host_column(source: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return pc.binary_join_element_wise(source, pa.scalar(".example.org"), "")
+
+
+def url_column(doc_id: pa.Array, source: pa.Array) -> pa.Array:
+    padded = pc.utf8_lpad(pc.cast(doc_id, pa.string()), 8, "0")
+    return pc.binary_join_element_wise(
+        pa.scalar("https://"), host_column(source), pa.scalar("/doc/"), padded, "")
+
+
+def build_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch (doc_id, text, lang, source) -> pages batch."""
+    doc_id = batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
+    text = batch["text"]
+    source = batch["source"]
+    lang = batch["lang"]
+
+    url = url_column(doc_id, source)
+    host = host_column(source)
+    esc = escape_column(text)
+    id_str = pc.cast(doc_id, pa.string())
+
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><head><title>Doc ", pa.large_string()), pc.cast(id_str, pa.large_string()),
+        pa.scalar("</title><style>p { color: #000; }</style>"
+                  "<script>var t = 1 < 2;</script></head>\n<body><!-- src=", pa.large_string()),
+        pc.cast(source.combine_chunks() if isinstance(source, pa.ChunkedArray) else source, pa.large_string()),
+        pa.scalar(" -->\n<div class=\"main\"><p>", pa.large_string()),
+        esc,
+        pa.scalar("</p></div>\n<a href=\"https://", pa.large_string()),
+        pc.cast(host, pa.large_string()),
+        pa.scalar("/\"></a></body></html>", pa.large_string()),
+        pa.scalar("", pa.large_string()))
+
+    mod_np = doc_id.to_numpy() % 1000  # pyarrow 16 has no modulo kernel
+    oversize = pa.array(mod_np == OVERSIZE_MOD)
+    html = pc.if_else(
+        oversize,
+        pc.binary_join_element_wise(html, pa.scalar(_OVERSIZE_PAD, pa.large_string()),
+                                    pa.scalar("", pa.large_string())),
+        html)
+
+    hb = pc.cast(html, pa.large_binary())
+    bad = mod_np == BADUTF8_MOD
+    if bad.any():
+        # Per-row only for the rare invalid rows.
+        vals = hb.to_pylist()
+        for i in np.flatnonzero(bad):
+            vals[i] = vals[i] + b"\xff\xfe\x00binary"
+        hb = pa.array(vals, pa.large_binary())
+
+    ts = pa.array((_EPOCH_US + doc_id.to_numpy() * 1_000_000).astype("datetime64[us]"))
+
+    return pa.table({
+        "url": pc.cast(url, pa.string()),
+        "warc_ts": ts,
+        "html": hb,
+        "text": pc.cast(text, pa.string()),
+        "lang": pc.cast(lang, pa.string()),
+        "doc_id": doc_id,  # kept for oracle joins; dropped by the pipeline
+    })
+
+
+def read_pages(sf_dir: str, include_doc_id: bool = False, override_num_blocks=None):
+    """documents.parquet -> pages Dataset (lazy; html built inside map_batches)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=override_num_blocks,
+    )
+    ds = ds.map_batches(build_pages_batch, batch_format="pyarrow")
+    if not include_doc_id:
+        ds = ds.drop_columns(["doc_id"])
+    return ds
+
+
+def pages_table(sf_dir: str) -> pa.Table:
+    """Eager single-process variant for tests and the oracle (no Ray)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    return build_pages_batch(docs)

@@ -1,0 +1,163 @@
+"""Entity linking: the confidence cascade against a broadcast alias dictionary.
+
+Re-expresses the reference's 7-strategy call-resolution cascade
+(/root/reference/ast/src/lang/call_finder.rs:41-130 — ordered strategies,
+early exit, per-link confidence + strategy columns kept, cf. Calls
+ast/src/lang/asg.rs:237-246) as a stateful actor-pool ``map_batches`` stage:
+
+  exact 1.0  ->  alias 0.90  ->  normalized 0.80  ->  unverified 0.30
+  (unverified mentions kept as stubs, cf. btreemap_graph.rs:426-430)
+
+The alias dictionary is the small side: resolved ONCE per actor in
+``__init__`` from a ``ray.put`` object ref (broadcast — never re-shipped per
+batch, never shuffled).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..functions import vocab
+from ..functions.textutils import normalize_surface
+
+
+def default_dictionary() -> dict:
+    """(canonical_set, alias_map, stopwords) for the documents-derived corpus."""
+    return {
+        "canonical": frozenset(vocab.CANONICAL_TERMS),
+        "aliases": dict(vocab.ALIASES),
+        "stopwords": frozenset(vocab.STOPWORDS),
+    }
+
+
+def _resolve_dict(dict_ref) -> dict:
+    if dict_ref is None:
+        return default_dictionary()
+    if isinstance(dict_ref, dict):
+        return dict_ref
+    import ray
+
+    return ray.get(dict_ref)
+
+
+class Cascade:
+    """The vectorized cascade core, built once per actor."""
+
+    def __init__(self, d: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.canonical = d["canonical"]
+        self.stopwords = d["stopwords"]
+        self.alias_map = pd.Series(d["aliases"], dtype="object")
+        self.norm_map = pd.Series(
+            {self._norm(c): c for c in sorted(self.canonical)}, dtype="object")
+        conf = dict(cfg.link_confidences)
+        self.c_exact = conf["exact"]
+        self.c_alias = conf["alias"]
+        self.c_norm = conf["normalized"]
+        self.c_unverified = conf["unverified"]
+
+    @staticmethod
+    def _norm(s: str) -> str:
+        return "".join(ch for ch in s.lower() if ch.isalnum())
+
+    def apply(self, surface: pa.Array | pa.ChunkedArray):
+        """-> (canonical: object ndarray, confidence: f32 ndarray,
+              strategy: object ndarray, stop_mask: bool ndarray)."""
+        s = pd.Series(surface.to_pandas().values)
+        n = len(s)
+        stop_mask = s.isin(self.stopwords).values
+        canonical = np.empty(n, dtype=object)
+        confidence = np.zeros(n, dtype="float32")
+        strategy = np.empty(n, dtype=object)
+
+        exact = s.isin(self.canonical).values
+        canonical[exact] = s.values[exact]
+        confidence[exact] = self.c_exact
+        strategy[exact] = "exact"
+
+        resolved = exact.copy()
+        rest = ~resolved
+        if rest.any():
+            hit = s[rest].map(self.alias_map)
+            ok = hit.notna().values
+            idx = np.flatnonzero(rest)[ok]
+            canonical[idx] = hit.values[ok]
+            confidence[idx] = self.c_alias
+            strategy[idx] = "alias"
+            resolved[idx] = True
+
+        rest = ~resolved
+        if rest.any():
+            norm = pd.Series(normalize_surface(pa.array(s.values[rest], pa.string())).to_pylist())
+            hit = norm.map(self.norm_map)
+            ok = hit.notna().values
+            idx = np.flatnonzero(rest)[ok]
+            canonical[idx] = hit.values[ok]
+            confidence[idx] = self.c_norm
+            strategy[idx] = "normalized"
+            resolved[idx] = True
+
+        rest = ~resolved
+        if rest.any():
+            canonical[rest] = s.values[rest]
+            confidence[rest] = self.c_unverified
+            strategy[rest] = "unverified"
+        return canonical, confidence, strategy, stop_mask
+
+
+class TermLinker:
+    """Actor-pool stage: mention rows -> linked mention rows.
+
+    Input batch columns:  url, surface (+ passthrough).
+    Output adds:          canonical, confidence (float32), strategy.
+    Stopword mentions are dropped (predicate gate, cf. filter_attribute
+    family /root/reference/ast/src/lang/queries/mod.rs:204-214).
+    """
+
+    def __init__(self, dict_ref=None, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.cascade = Cascade(_resolve_dict(dict_ref), cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        canonical, confidence, strategy, stop_mask = self.cascade.apply(batch["surface"])
+        out = batch.append_column("canonical", pa.array(canonical, pa.string()))
+        out = out.append_column("confidence", pa.array(confidence, pa.float32()))
+        out = out.append_column("strategy", pa.array(strategy, pa.string()))
+        keep = ~stop_mask
+        if not self.cfg.keep_unverified:
+            keep &= np.asarray(strategy != "unverified", dtype=bool)
+        return out.filter(pa.array(keep))
+
+
+class BigramLinker:
+    """Actor-pool stage: bigram rows (url, a, b, pos) -> canonicalized bigrams.
+
+    Both endpoints run the same cascade; rows where either side is a stopword
+    are dropped, so FOLLOWS edges always reference existing Term nodes."""
+
+    def __init__(self, dict_ref=None, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.cascade = Cascade(_resolve_dict(dict_ref), cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ca, _, _, stop_a = self.cascade.apply(batch["a"])
+        cb, _, _, stop_b = self.cascade.apply(batch["b"])
+        out = pa.table({
+            "url": batch["url"],
+            "a": pa.array(ca, pa.string()),
+            "b": pa.array(cb, pa.string()),
+            "pos": batch["pos"],
+        })
+        return out.filter(pa.array(~(stop_a | stop_b)))
+
+
+def make_linker_stage(cfg: PipelineConfig = DEFAULT_CONFIG, dictionary: dict | None = None):
+    """Returns (dict_ref, cfg) with the dictionary broadcast via ray.put when a
+    Ray session is active (falls back to in-process dict otherwise)."""
+    import ray
+
+    d = dictionary or default_dictionary()
+    ref = ray.put(d) if ray.is_initialized() else d
+    return {"dict_ref": ref, "cfg": cfg}
