@@ -1,0 +1,145 @@
+"""Benchmark harness: headline KG pipeline + operator suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "kg_build_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_headline(sf_dir: str) -> dict:
+    """Full KG build -> parquet sink; returns timings + triple throughput."""
+    import shutil
+
+    from stakgraph_ray.pipelines.kg import build_graph
+    from stakgraph_ray.sources.pages import read_pages
+
+    out_dir = "/tmp/bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    read_pages(sf_dir).count()
+
+    t0 = time.time()
+    g = build_graph(read_pages(sf_dir))
+    g["nodes"].write_parquet(f"{out_dir}/nodes")
+    g["edges"].write_parquet(f"{out_dir}/edges")
+    dt = time.time() - t0
+
+    import duckdb
+
+    con = duckdb.connect()
+    n_edges = con.sql(
+        f"select count(*) from read_parquet('{out_dir}/edges/*.parquet')").fetchone()[0]
+    n_mentions = con.sql(
+        f"select coalesce(sum(weight),0) from read_parquet('{out_dir}/edges/*.parquet') "
+        f"where edge_type in ('MENTIONS','FOLLOWS')").fetchone()[0]
+    return {"sec": dt, "edges": int(n_edges),
+            "triples_per_sec": round(float(n_edges) / dt, 1),
+            "mentions_per_sec": round(float(n_mentions) / dt, 1)}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as e
+
+    out = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.materialize()
+        except ImportError:
+            pass
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    _init_ray(NUM_CPUS)
+    head = run_headline(SF_DIR)
+    qs = run_queries(SF_DIR)
+    result = {
+        "metric": "kg_build_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "edges": head["edges"],
+        "triples_per_sec": head["triples_per_sec"],
+        "mentions_per_sec": head["mentions_per_sec"],
+    }
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+    out = subprocess.run([sys.executable, __file__], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def scaling():
+    lo, hi = 8, 32
+    r_lo = run_child(lo)
+    r_hi = run_child(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "sec_8": t_lo, "sec_32": t_hi,
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("BENCH_HEADLINE_ONLY"):
+        _init_ray(NUM_CPUS)
+        head = run_headline(SF_DIR)
+        print(json.dumps({"metric": "kg_build_sec", "value": round(head["sec"], 3),
+                          "unit": "sec", "queries": {}, "sf": SF_DIR,
+                          "num_cpus": NUM_CPUS,
+                          "triples_per_sec": head["triples_per_sec"]}))
+        import ray
+
+        ray.shutdown()
+    else:
+        main()

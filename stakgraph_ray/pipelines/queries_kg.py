@@ -1,0 +1,257 @@
+"""KG-pipeline queries over the documents-derived pages corpus, each with a
+DuckDB oracle over the raw ``documents`` table.
+
+The pages corpus is a deterministic function of ``documents``
+(see stakgraph_ray.sources.pages), so every pipeline result is expressible
+as SQL over ``documents`` — that's the correctness gate: the Ray pipeline
+and the SQL must agree on row count, schema and values.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG
+from ..functions import vocab
+from ..sources.pages import read_pages
+from ..stages.extract import ExtractTextStage, bigram_rows, mention_rows
+from ..stages.link import BigramLinker, TermLinker, make_linker_stage
+
+# ---------------------------------------------------------------- SQL pieces
+
+URL_SQL = ("'https://' || source || '.example.org/doc/' || "
+           "lpad(cast(doc_id as varchar), 8, '0')")
+SKIP_SQL = "doc_id % 1000 in (13, 29)"
+NOT_SKIP_SQL = "doc_id % 1000 not in (13, 29)"
+
+
+def _sql_list(vals) -> str:
+    return ", ".join(f"'{v}'" for v in sorted(vals))
+
+
+STOP_LIST = _sql_list(vocab.STOPWORDS)
+CANON_LIST = _sql_list(vocab.CANONICAL_TERMS)
+ALIAS_WHENS = " ".join(
+    f"when {{c}} = '{a}' then '{c2}'" for a, c2 in sorted(vocab.ALIASES.items()))
+ALIAS_KEYS = _sql_list(vocab.ALIASES)
+
+
+def canon_sql(col: str) -> str:
+    whens = ALIAS_WHENS.replace("{c}", col)
+    return (f"case when {col} in ({CANON_LIST}) then {col} {whens} "
+            f"else {col} end")
+
+
+def conf_sql(col: str) -> str:
+    return (f"case when {col} in ({CANON_LIST}) then 1.0 "
+            f"when {col} in ({ALIAS_KEYS}) then 0.9 else 0.3 end")
+
+
+STRATEGY_SQL = ("case when confidence >= 0.95 then 'exact' "
+                "when confidence >= 0.85 then 'alias' "
+                "when confidence >= 0.75 then 'normalized' "
+                "else 'unverified' end")
+
+SANITIZE_SQL = "lower(regexp_replace({c}, '[^a-zA-Z0-9]', '', 'g'))"
+
+# ---------------------------------------------------------------- Ray side
+
+
+def _extracted(sf_dir: str):
+    return read_pages(sf_dir).map_batches(
+        ExtractTextStage(), batch_format="pyarrow",
+        batch_size=DEFAULT_CONFIG.batch_size)
+
+
+def q_extract_text(sf_dir: str):
+    """url, text_sha256, skipped — the byte-identical invariant surface."""
+    ds = _extracted(sf_dir)
+    return ds.map_batches(
+        lambda t: t.select(["url", "text_sha256", "skipped"]),
+        batch_format="pyarrow")
+
+
+SQL_EXTRACT_TEXT = f"""
+select {URL_SQL} as url,
+       case when {SKIP_SQL} then sha256('') else sha256(text) end as text_sha256,
+       {SKIP_SQL} as skipped
+from documents
+"""
+
+
+def q_page_nodes(sf_dir: str):
+    """Page-node identity columns: node_key, name, file, hash."""
+    from .kg import page_node_rows
+
+    ds = _extracted(sf_dir).map_batches(page_node_rows, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: t.select(["node_key", "name", "file", "hash"]),
+        batch_format="pyarrow")
+
+
+_SAN_URL = SANITIZE_SQL.replace("{c}", "url")
+SQL_PAGE_NODES = f"""
+with p as (select {URL_SQL} as url,
+                  case when {SKIP_SQL} then sha256('') else sha256(text) end as hash
+           from documents)
+select 'page-' || {_SAN_URL} || '-' || {_SAN_URL} as node_key,
+       url as name, url as file, hash
+from p
+"""
+
+
+def q_mention_edges(sf_dir: str):
+    """Aggregated MENTIONS: url, canonical, weight, confidence, strategy."""
+    from ray.data.aggregate import Max, Sum
+
+    from .kg import mention_edge_partial
+
+    ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
+    kw = make_linker_stage()
+    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
+                            batch_format="pyarrow", batch_size=8192,
+                            concurrency=(1, 4))
+    agg = linked.map_batches(mention_edge_partial, batch_format="pyarrow") \
+        .groupby(["url", "canonical"]) \
+        .aggregate(Max("confidence", alias_name="confidence"),
+                   Sum("weight", alias_name="weight"))
+
+    def final(t: pa.Table) -> pa.Table:
+        conf = pc.round(pc.cast(t["confidence"], pa.float64()), 2,
+                        round_mode="half_towards_infinity")
+        import numpy as np
+
+        from .kg import strategy_from_confidence
+
+        strat = strategy_from_confidence(
+            t["confidence"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "url": t["url"], "canonical": t["canonical"],
+            "weight": t["weight"], "confidence": conf,
+            "strategy": pa.array(strat, pa.string()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_MENTION_EDGES = f"""
+with toks as (
+  select {URL_SQL} as url, unnest(string_split(text, ' ')) as tok
+  from documents where {NOT_SKIP_SQL}
+), linked as (
+  select url, {canon_sql('tok')} as canonical, {conf_sql('tok')} as conf
+  from toks where tok not in ({STOP_LIST})
+), agg as (
+  select url, canonical, count(*) as weight, round(max(conf), 2) as confidence
+  from linked group by url, canonical
+)
+select url, canonical, weight, confidence, {STRATEGY_SQL} as strategy
+from agg
+"""
+
+
+def q_term_nodes(sf_dir: str):
+    """Distinct canonical Term entities: node_key, name."""
+    from ..ops.dedup import distinct
+    from ..schema import node_key_array
+
+    ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
+    kw = make_linker_stage()
+    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
+                            batch_format="pyarrow", batch_size=8192,
+                            concurrency=(1, 4))
+    d = distinct(linked.map_batches(
+        lambda t: t.select(["canonical"]), batch_format="pyarrow"), ["canonical"])
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        canon = t["canonical"].combine_chunks() if isinstance(t["canonical"], pa.ChunkedArray) else t["canonical"]
+        key = node_key_array(pa.array(["Term"] * n), canon, pa.array([""] * n))
+        return pa.table({"node_key": pc.cast(key, pa.string()),
+                         "name": pc.cast(canon, pa.string())})
+
+    return d.map_batches(final, batch_format="pyarrow")
+
+
+SQL_TERM_NODES = f"""
+with toks as (
+  select unnest(string_split(text, ' ')) as tok
+  from documents where {NOT_SKIP_SQL}
+), linked as (
+  select distinct {canon_sql('tok')} as canonical
+  from toks where tok not in ({STOP_LIST})
+)
+select 'term-' || {SANITIZE_SQL.replace('{c}', 'canonical')} || '-' as node_key,
+       canonical as name
+from linked
+"""
+
+
+def q_follows_edges(sf_dir: str):
+    """Canonicalized adjacent-token relations: a, b, weight (global agg)."""
+    from ray.data.aggregate import Sum
+
+    from .kg import bigram_partial
+
+    ds = _extracted(sf_dir).map_batches(bigram_rows, batch_format="pyarrow")
+    kw = make_linker_stage()
+    ds = ds.map_batches(BigramLinker, fn_constructor_kwargs=kw,
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=(1, 4))
+    return ds.map_batches(bigram_partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("weight", alias_name="weight"))
+
+
+SQL_FOLLOWS_EDGES = f"""
+with s as (select doc_id, string_split(text, ' ') as toks
+           from documents where {NOT_SKIP_SQL}),
+t as (select doc_id, generate_subscripts(toks, 1) as i, unnest(toks) as tok from s),
+p as (select x.tok as ta, y.tok as tb
+      from t x join t y on x.doc_id = y.doc_id and y.i = x.i + 1
+      where x.tok not in ({STOP_LIST}) and y.tok not in ({STOP_LIST}))
+select {canon_sql('ta')} as a, {canon_sql('tb')} as b, count(*) as weight
+from p group by 1, 2
+"""
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host page counts + skip counts (per-stage stats rollup,
+    cf. /root/reference/ast/src/builder/core.rs:88-95)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textutils import host_of_url_column
+
+    ds = _extracted(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.cast(host_of_url_column(
+            t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"]), pa.string())
+        sk = pc.cast(t["skipped"], pa.int64())
+        tt = pa.table({"host": host, "skip": sk})
+        g = tt.group_by(["host"]).aggregate([("skip", "sum"), ("skip", "count")])
+        return g.rename_columns(["host", "n_skipped", "n_pages"])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("host").aggregate(Sum("n_pages", alias_name="n_pages"),
+                                       Sum("n_skipped", alias_name="n_skipped"))
+    return out.map_batches(lambda t: t.select(["host", "n_pages", "n_skipped"]),
+                           batch_format="pyarrow")
+
+
+SQL_HOST_STATS = f"""
+select source || '.example.org' as host,
+       count(*) as n_pages,
+       count(*) filter (where {SKIP_SQL}) as n_skipped
+from documents group by 1
+"""
+
+
+KG_QUERIES: dict[str, tuple] = {
+    "kg_extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
+    "kg_page_nodes": (q_page_nodes, SQL_PAGE_NODES),
+    "kg_mention_edges": (q_mention_edges, SQL_MENTION_EDGES),
+    "kg_term_nodes": (q_term_nodes, SQL_TERM_NODES),
+    "kg_follows_edges": (q_follows_edges, SQL_FOLLOWS_EDGES),
+    "kg_host_stats": (q_host_stats, SQL_HOST_STATS),
+}

@@ -1,0 +1,479 @@
+"""Relational / windowed / text-analysis queries over the TPC-H-ish testdata
+tables, exercising each operator family from SURVEY.md §2.4-2.7 with a DuckDB
+oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..ops.relational import (anti_join, broadcast_join, first_per_group,
+                              running_sum, semi_join, sessionize,
+                              tumbling_window, top_k)
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    # half_towards_infinity == DuckDB's round() on DOUBLE (half away from
+    # zero) — pyarrow's default half_to_even would diverge on .5 boundaries.
+    for c, nd in cols.items():
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.round(pc.cast(t[c], pa.float64()), nd,
+                                  round_mode="half_towards_infinity"))
+    return t
+
+
+# ------------------------------------------------------------ aggregations
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with a computed column; the
+    partial-then-final aggregation pattern (stats rollup,
+    cf. /root/reference/ast/src/builder/utils.rs:61-74)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    out = ds.map_batches(revenue, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Sum("l_extendedprice", alias_name="sum_base_price"),
+                   Sum("rev", alias_name="sum_revenue"),
+                   Count(alias_name="n_rows"))
+    return out.map_batches(
+        lambda t: _round_cols(t, {"sum_qty": 2, "sum_base_price": 2,
+                                  "sum_revenue": 2}),
+        batch_format="pyarrow")
+
+
+SQL_PRICING = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_revenue,
+       count(*) as n_rows
+from lineitem group by l_returnflag, l_linestatus
+"""
+
+
+def q_region_rollup(sf_dir: str):
+    """Broadcast dimension joins (customer ⋈ nation ⋈ region) + rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    ds = broadcast_join(ds, dim.select(["n_nationkey", "r_name"]),
+                        keys="c_nationkey", right_keys="n_nationkey")
+    out = ds.groupby("r_name").aggregate(Count(alias_name="n_customers"),
+                                         Sum("c_acctbal", alias_name="sum_acctbal"))
+    return out.map_batches(lambda t: _round_cols(t, {"sum_acctbal": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_REGION_ROLLUP = """
+select r_name, count(*) as n_customers, round(sum(c_acctbal), 2) as sum_acctbal
+from customer join nation on c_nationkey = n_nationkey
+              join region on n_regionkey = r_regionkey
+group by r_name
+"""
+
+
+def q_nation_customers(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    ds = broadcast_join(ds, nation, keys="c_nationkey", right_keys="n_nationkey")
+    out = ds.groupby("n_name").aggregate(Count(alias_name="n_customers"),
+                                         Mean("c_acctbal", alias_name="avg_acctbal"))
+    return out.map_batches(lambda t: _round_cols(t, {"avg_acctbal": 4}),
+                           batch_format="pyarrow")
+
+
+SQL_NATION_CUSTOMERS = """
+select n_name, count(*) as n_customers, round(avg(c_acctbal), 4) as avg_acctbal
+from customer join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+# ------------------------------------------------------------ joins / top-k
+
+def q_top_customers(sf_dir: str):
+    """Join + grouped sum + global top-k (vector search top-k shape,
+    cf. mcp/src/graph/queries.ts:564+)."""
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = broadcast_join(ds, cust, keys="o_custkey", right_keys="c_custkey")
+    agg = ds.groupby(["o_custkey", "c_name"]).aggregate(
+        Sum("o_totalprice", alias_name="total_spent"))
+    out = agg.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
+    return out.map_batches(lambda t: _round_cols(t, {"total_spent": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_TOP_CUSTOMERS = """
+select o_custkey, c_name, round(sum(o_totalprice), 2) as total_spent
+from orders join customer on o_custkey = c_custkey
+group by o_custkey, c_name
+order by sum(o_totalprice) desc, o_custkey
+limit 10
+"""
+
+
+def q_customers_with_failed_orders(sf_dir: str):
+    """Semi join via broadcast key set."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    keys = set(
+        orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"]),
+            batch_format="pyarrow").unique("o_custkey"))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return semi_join(ds, "c_custkey", keys)
+
+
+SQL_SEMI = """
+select c_custkey, c_name from customer
+where c_custkey in (select o_custkey from orders where o_orderstatus = 'F')
+"""
+
+
+def q_customers_without_pending_orders(sf_dir: str):
+    """Anti join via broadcast key set (cf. prune_orphan_functions,
+    btreemap_graph.rs:756+): customers with no 'P'-status order."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    keys = set(
+        orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
+            batch_format="pyarrow").unique("o_custkey"))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return anti_join(ds, "c_custkey", keys)
+
+
+SQL_ANTI = """
+select c_custkey, c_name from customer
+where c_custkey not in (select o_custkey from orders where o_orderstatus = 'P')
+"""
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Both-sides-large hash join (Dataset.join) + rollup: revenue per
+    order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+    return out.map_batches(lambda t: _round_cols(t, {"revenue": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_ORDERS_LINEITEM = """
+select o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_items
+from lineitem join orders on l_orderkey = o_orderkey
+group by o_orderpriority
+"""
+
+
+# ------------------------------------------------- per-group order-aware ops
+
+def q_first_order_per_customer(sf_dir: str):
+    """First-wins per key (MERGE semantics, neo4j/queries/nodes.rs:49-50)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    return first_per_group(ds, "o_custkey",
+                           [("o_orderdate", "ascending"), ("o_orderkey", "ascending")])
+
+
+SQL_FIRST_ORDER = """
+select o_custkey, o_orderkey, o_orderdate from orders
+qualify row_number() over (partition by o_custkey
+                           order by o_orderdate, o_orderkey) = 1
+"""
+
+
+def q_priciest_part_per_brand(sf_dir: str):
+    """argmax per group (longest-prefix top-1 analog, btreemap_graph.rs:542-563)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
+    out = first_per_group(ds, "p_brand",
+                          [("p_retailprice", "descending"), ("p_partkey", "ascending")])
+    return out.map_batches(lambda t: _round_cols(t, {"p_retailprice": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_PRICIEST_PART = """
+select p_brand, p_partkey, round(p_retailprice, 2) as p_retailprice
+from part
+qualify row_number() over (partition by p_brand
+                           order by p_retailprice desc, p_partkey) = 1
+"""
+
+
+def q_distinct_flags(sf_dir: str):
+    from ..ops.dedup import distinct
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return distinct(ds, ["l_returnflag", "l_linestatus"])
+
+
+SQL_DISTINCT_FLAGS = "select distinct l_returnflag, l_linestatus from lineitem"
+
+
+# ------------------------------------------------------------ event streams
+
+def q_running_value(sf_dir: str):
+    """Per-user running sum in event order (ordered-log window op)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = running_sum(ds, "user_id", ["ts", "event_id"], "value", out_col="running")
+    return out.map_batches(
+        lambda t: _round_cols(t.select(["event_id", "user_id", "running"]),
+                              {"running": 2}),
+        batch_format="pyarrow")
+
+
+SQL_RUNNING = """
+select event_id, user_id,
+       round(sum(value) over (partition by user_id order by ts, event_id
+                              rows unbounded preceding), 2) as running
+from events
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30 min), session count per user."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    s = sessionize(ds, "user_id", "ts", gap_seconds=1800)
+    out = s.groupby("user_id").aggregate(Max("session_id", alias_name="max_sid"))
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "n_sessions": pc.add(t["max_sid"], pa.scalar(1, pa.int64()))}),
+        batch_format="pyarrow")
+
+
+SQL_SESSIONS = """
+with d as (
+  select user_id,
+         case when ts - lag(ts) over (partition by user_id order by ts, event_id)
+                   > interval 1800 seconds then 1 else 0 end as brk
+  from events)
+select user_id, cast(sum(brk) as bigint) + 1 as n_sessions
+from d group by user_id
+"""
+
+
+def q_hourly_event_stats(sf_dir: str):
+    """Tumbling 1h event-time windows per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = tumbling_window(ds, "ts", "hour", ["event_type"],
+                          [Count(alias_name="n"), Sum("value", alias_name="sum_value")])
+    return out.map_batches(lambda t: _round_cols(t, {"sum_value": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_HOURLY = """
+select date_trunc('hour', ts) as window, event_type,
+       count(*) as n, round(sum(value), 2) as sum_value
+from events group by 1, 2
+"""
+
+
+# ------------------------------------------------------------ text analysis
+
+def q_token_stats(sf_dir: str):
+    """Token count + char count + avg token length per document
+    (token-counting op, cf. mcp/src/graph/neo4j.ts:349-369)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        toks = pc.split_pattern(text, " ")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        avg_len = pc.round(pc.divide(
+            pc.cast(pc.subtract(pc.add(n_chars, pa.scalar(1, pa.int64())), n_tokens), pa.float64()),
+            pc.cast(n_tokens, pa.float64())), 4,
+            round_mode="half_towards_infinity")
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n_tokens,
+                         "n_chars": n_chars, "avg_token_len": avg_len})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = """
+select doc_id,
+       len(string_split(text, ' ')) as n_tokens,
+       length(text) as n_chars,
+       round((length(text) + 1 - len(string_split(text, ' ')))
+             / cast(len(string_split(text, ' ')) as double), 4) as avg_token_len
+from documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality scoring: stopword ratio per doc (explode + in-batch bincount,
+    no shuffle — each doc's tokens stay in its batch)."""
+    from ..functions.textutils import explode_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.large_string())
+        parent, flat, _pos, _s, _e = explode_tokens(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text)
+        is_stop = pc.is_in(flat, value_set=pa.array(sorted(["the", "a"]))) \
+            .to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        stops = np.bincount(parent, weights=is_stop.astype("float64"), minlength=n)
+        total = np.bincount(parent, minlength=n)
+        ratio = pc.round(pa.array(stops / np.maximum(total, 1), pa.float64()), 4,
+                         round_mode="half_towards_infinity")
+        return pa.table({"doc_id": t["doc_id"], "stop_ratio": ratio})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+select doc_id,
+       round(len(list_filter(string_split(text, ' '), x -> x in ('the', 'a')))
+             / cast(len(string_split(text, ' ')) as double), 4) as stop_ratio
+from documents
+"""
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact content dedup: md5 fingerprint -> first doc_id + group size."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5 = pa.array([hashlib.md5(x.encode()).hexdigest()
+                        for x in t["text"].to_pylist()], pa.string())
+        return pa.table({"doc_id": t["doc_id"], "text_md5": md5})
+
+    return ds.map_batches(fp, batch_format="pyarrow") \
+        .groupby("text_md5") \
+        .aggregate(Min("doc_id", alias_name="first_doc_id"),
+                   Count(alias_name="n_docs"))
+
+
+SQL_EXACT_DEDUP = """
+select md5(text) as text_md5, min(doc_id) as first_doc_id, count(*) as n_docs
+from documents group by 1
+"""
+
+
+# ------------------------------------------------------------ similarity
+
+def q_knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-5 per query vector (numpy matmul per batch
+    against a broadcast query matrix; queries = vec_id < 3)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = pc.less(emb["vec_id"], 3)
+    qt = emb.filter(qmask)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qm = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    from ..ops.relational import broadcast
+    ref = broadcast({"qids": qids, "qm": qm})
+
+    class Scorer:
+        def __init__(self, ref):
+            from ..ops.relational import _resolve
+            d = _resolve(ref)
+            self.qids, self.qm = d["qids"], d["qm"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ self.qm.T  # (batch, nq)
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            nb, nq = cos.shape
+            return pa.table({
+                "query_id": pa.array(np.repeat(self.qids, nb), pa.int64()),
+                "neighbor_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
+                "cos": pa.array(cos.T.ravel(), pa.float64()),
+            })
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    scored = ds.map_batches(Scorer, fn_constructor_kwargs={"ref": ref},
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("cos", "descending"), ("neighbor_id", "ascending")]).slice(0, 5)
+
+    out = scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    return out.map_batches(lambda t: _round_cols(t, {"cos": 4}),
+                           batch_format="pyarrow")
+
+
+SQL_KNN = """
+with q as (select vec_id as qid, embedding as qe from embeddings where vec_id < 3)
+select q.qid as query_id, e.vec_id as neighbor_id,
+       round(list_cosine_similarity(q.qe, e.embedding), 4) as cos
+from q, embeddings e
+qualify row_number() over (partition by q.qid
+                           order by list_cosine_similarity(q.qe, e.embedding) desc,
+                                    e.vec_id) <= 5
+"""
+
+
+REL_QUERIES: dict[str, tuple] = {
+    "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "rel_region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "rel_nation_customers": (q_nation_customers, SQL_NATION_CUSTOMERS),
+    "rel_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "rel_semi_join": (q_customers_with_failed_orders, SQL_SEMI),
+    "rel_anti_join": (q_customers_without_pending_orders, SQL_ANTI),
+    "rel_orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM),
+    "rel_first_order_per_customer": (q_first_order_per_customer, SQL_FIRST_ORDER),
+    "rel_priciest_part_per_brand": (q_priciest_part_per_brand, SQL_PRICIEST_PART),
+    "rel_distinct_flags": (q_distinct_flags, SQL_DISTINCT_FLAGS),
+    "rel_running_value": (q_running_value, SQL_RUNNING),
+    "rel_user_sessions": (q_user_sessions, SQL_SESSIONS),
+    "rel_hourly_event_stats": (q_hourly_event_stats, SQL_HOURLY),
+    "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
+    "txt_exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
+    "sim_knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
+}
