@@ -1,0 +1,125 @@
+"""MinHash / SimHash / shingle fingerprints (deterministic, numpy-vectorized).
+
+The reference deduplicates by exact keys only (BTreeMap insert,
+/root/reference/ast/src/lang/graphs/btreemap_graph.rs:57-62); near-dup
+blocking via MinHash+LSH is the net-new web-scale piece required by the
+north rule (canonicalization blocking + training-data dedup).
+
+All hashing is explicit-arithmetic (no Python ``hash``), so signatures are
+stable across processes and runs.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_SEED_A = 0x9E3779B97F4A7C15
+_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perms, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perms, dtype=np.uint64)
+    return a, b
+
+
+def char_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-char shingle hashes of one string (crc32, uint64)."""
+    if len(text) < k:
+        return np.array([zlib.crc32(text.encode("utf-8"))], dtype=np.uint64)
+    enc = text.encode("utf-8")
+    # byte-level shingles over the utf-8 encoding (k chars ~ k bytes for the
+    # synthetic corpora; deterministic regardless)
+    seen = {zlib.crc32(enc[i:i + k]) for i in range(len(enc) - k + 1)}
+    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+
+
+def token_ngram_set(text: str, n: int = 3) -> set[str]:
+    """Token n-gram set (whitespace tokens joined by a space)."""
+    toks = text.split(" ") if text else []
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """MinHash signature: min over shingles of (a*h + b) mod 2^61-1."""
+    if len(shingle_hashes) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    h = shingle_hashes[:, None]  # (m, 1)
+    vals = (h * a[None, :] + b[None, :]) % _MERSENNE  # (m, p)
+    return vals.min(axis=0).astype(np.uint64)
+
+
+def minhash_batch(texts: list[str], n_perms: int = 64, k: int = 3) -> np.ndarray:
+    """(n_rows, n_perms) uint64 signature matrix for a batch of strings."""
+    a, b = _perm_params(n_perms)
+    out = np.empty((len(texts), n_perms), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = minhash_signature(char_shingle_hashes(t or "", k), a, b)
+    return out
+
+
+def band_keys(signatures: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_rows, n_bands) uint32 band hashes (crc32 of each band's bytes)."""
+    n_rows, n_perms = signatures.shape
+    assert n_perms % n_bands == 0
+    rpb = n_perms // n_bands
+    out = np.empty((n_rows, n_bands), dtype=np.uint32)
+    for i in range(n_rows):
+        row = signatures[i]
+        for bnd in range(n_bands):
+            out[i, bnd] = zlib.crc32(row[bnd * rpb:(bnd + 1) * rpb].tobytes())
+    return out
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _splitmix64(h: int) -> int:
+    h = (h + _SEED_A) & _M64
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & _M64
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & _M64
+    h ^= h >> 31
+    return h
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (crc32 + splitmix64 mixing);
+    pure-int arithmetic (numpy shifts overflow on the top bit)."""
+    acc = [0] * 64
+    for tok in (text or "").split(" "):
+        if not tok:
+            continue
+        h = _splitmix64(zlib.crc32(tok.encode("utf-8")))
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Winnowing-style document fingerprint: min crc32 over byte windows
+    (document fingerprinting op for the training-data pipeline)."""
+    enc = (text or "").encode("utf-8")
+    if len(enc) <= window:
+        return zlib.crc32(enc)
+    return min(zlib.crc32(enc[i:i + window]) for i in range(len(enc) - window + 1))

@@ -1,0 +1,217 @@
+"""Near-duplicate detection operators: MinHash+LSH, SimHash, token-set
+Jaccard, embedding-cosine — the training-data dedup family (net-new vs the
+exact-only reference, cf. SURVEY.md §2.7).
+
+Scale design:
+  - signatures/fingerprints: stateless vectorized map_batches
+  - LSH blocking: explode (band_id, band_hash) rows -> ONE groupby shuffle
+  - candidate verification: signature-estimate Jaccard inside the band
+    group (no second pass over raw text)
+  - connected components: union-find over the *verified pair set* on the
+    driver. Assumption (documented): verified near-dup pairs are orders of
+    magnitude smaller than the corpus (true for web dedup; the pair set is
+    bounded by duplicate mass, not corpus size). ``max_pairs`` guards the
+    assumption; exceeding it raises rather than OOMs. For a pathological
+    duplicate mass, swap in iterative min-label propagation (same keyed
+    shuffle repeated O(log diameter) times).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.minhash import (_perm_params, band_keys, minhash_signature,
+                                 simhash64, token_ngram_set)
+
+
+class MinHashStage:
+    """Actor-pool stage: (id, text) -> (id, band_id, band_hash, sig bytes).
+
+    Permutation params are built once per actor (__init__), not per batch."""
+
+    def __init__(self, id_col: str, text_col: str, n_perms: int = 64,
+                 n_bands: int = 16, ngram: int = 3):
+        self.id_col, self.text_col = id_col, text_col
+        self.n_perms, self.n_bands, self.ngram = n_perms, n_bands, ngram
+        self.a, self.b = _perm_params(n_perms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        sigs = np.empty((n, self.n_perms), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            grams = token_ngram_set(t or "", self.ngram)
+            hashes = np.fromiter((zlib.crc32(g.encode("utf-8")) for g in grams),
+                                 dtype=np.uint64, count=len(grams))
+            sigs[i] = minhash_signature(hashes, self.a, self.b)
+        bands = band_keys(sigs, self.n_bands)  # (n, n_bands)
+        sig_bytes = pa.array([s.tobytes() for s in sigs], pa.binary())
+        nb = self.n_bands
+        return pa.table({
+            "id": pa.array(np.repeat(ids, nb), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.array(bands.ravel().astype("int64")),
+            "sig": pa.array([sig_bytes[i // nb].as_py() for i in range(n * nb)],
+                            pa.binary()),
+        })
+
+
+def _pairs_in_band(g: pa.Table, threshold: float) -> pa.Table:
+    """All id pairs in one (band_id, band_hash) group whose signature-
+    estimated Jaccard >= threshold."""
+    ids = g["id"].to_numpy(zero_copy_only=False)
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    order = np.argsort(ids)
+    ids = ids[order]
+    sigs = np.stack([np.frombuffer(g["sig"][int(i)].as_py(), dtype=np.uint64)
+                     for i in order])
+    n = len(ids)
+    ai, bi = np.triu_indices(n, k=1)
+    est = (sigs[ai] == sigs[bi]).mean(axis=1)
+    keep = est >= threshold
+    return pa.table({"a": pa.array(ids[ai[keep]], pa.int64()),
+                     "b": pa.array(ids[bi[keep]], pa.int64())})
+
+
+def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id becomes the root -> cluster id = min member id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def minhash_lsh_pairs(ds, id_col: str, text_col: str, n_perms: int = 64,
+                      n_bands: int = 16, ngram: int = 3,
+                      threshold: float = 0.7, concurrency=(1, 4)):
+    """-> distinct verified candidate pairs Dataset (a < b)."""
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "n_perms": n_perms, "n_bands": n_bands,
+                               "ngram": ngram},
+        batch_format="pyarrow", concurrency=concurrency)
+    pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _pairs_in_band(g, threshold), batch_format="pyarrow")
+    from .dedup import distinct
+
+    return distinct(pairs, ["a", "b"])
+
+
+def minhash_lsh_clusters(ds, id_col: str, text_col: str, max_pairs: int = 2_000_000,
+                         **kw):
+    """-> (id, cluster_id) Dataset: cluster_id = min id of the connected
+    component; singletons map to themselves."""
+    pairs_ds = minhash_lsh_pairs(ds, id_col, text_col, **kw)
+    pairs = pairs_ds.take_all()  # bounded: verified near-dup pairs only
+    if len(pairs) > max_pairs:
+        raise RuntimeError(
+            f"near-dup pair set {len(pairs)} exceeds max_pairs={max_pairs}; "
+            "use iterative label propagation instead")
+    roots = union_find([(p["a"], p["b"]) for p in pairs])
+
+    from .relational import broadcast
+
+    ref = broadcast(roots)
+
+    class AssignCluster:
+        def __init__(self, ref):
+            from .relational import _resolve
+
+            self.roots = _resolve(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            cl = np.array([self.roots.get(int(i), int(i)) for i in ids],
+                          dtype=np.int64)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "cluster_id": pa.array(cl)})
+
+    return ds.map_batches(AssignCluster, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+class SimHashStage:
+    """(id, text) -> (id, simhash hex, bucket) — bucket = top 16 bits, the
+    blocking key for hamming-radius search."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        hs = [simhash64(t or "") for t in texts]
+        return pa.table({
+            "doc_id": pc.cast(batch[self.id_col], pa.int64()),
+            "simhash": pa.array([f"{h:016x}" for h in hs], pa.string()),
+            "bucket": pa.array([h >> 48 for h in hs], pa.int64()),
+        })
+
+
+def token_jaccard_pairs_in_group(g: pa.Table, id_col: str, text_col: str,
+                                 threshold: float) -> pa.Table:
+    """Exact distinct-token-set Jaccard >= threshold for all pairs in one
+    group (vectorized set ops over a membership matrix)."""
+    ids = g[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    order = np.argsort(ids)
+    ids = ids[order]
+    texts = [g[text_col][int(i)].as_py() for i in order]
+    vocab: dict[str, int] = {}
+    rows = []
+    for t in texts:
+        s = set((t or "").split(" "))
+        s.discard("")
+        rows.append([vocab.setdefault(w, len(vocab)) for w in s])
+    m = np.zeros((len(texts), len(vocab)), dtype=bool)
+    for i, r in enumerate(rows):
+        m[i, r] = True
+    inter = (m.astype(np.int32) @ m.T.astype(np.int32))
+    sizes = m.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = inter / np.maximum(union, 1)
+    ai, bi = np.triu_indices(len(texts), k=1)
+    keep = jac[ai, bi] >= threshold
+    return pa.table({"a": pa.array(ids[ai[keep]], pa.int64()),
+                     "b": pa.array(ids[bi[keep]], pa.int64()),
+                     "jaccard": pa.array(jac[ai, bi][keep], pa.float64())})
+
+
+def embedding_pairs_in_group(g: pa.Table, id_col: str, vec_col: str,
+                             threshold: float) -> pa.Table:
+    """Cosine >= threshold pairs within one bucket (numpy matmul)."""
+    ids = g[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array([g[vec_col][int(i)].as_py() for i in order], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cos = m @ m.T
+    ai, bi = np.triu_indices(len(ids), k=1)
+    keep = cos[ai, bi] >= threshold
+    return pa.table({"a": pa.array(ids[ai[keep]], pa.int64()),
+                     "b": pa.array(ids[bi[keep]], pa.int64()),
+                     "cos": pa.array(cos[ai, bi][keep], pa.float64())})

@@ -1,0 +1,187 @@
+"""Deduplication / fingerprint / language-ID queries (the training-data
+pipeline ops), with by-construction DuckDB oracles where SQL can express the
+result (planted near-dups, see stakgraph_ray.sources.augmented)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ops.neardup import (SimHashStage, embedding_pairs_in_group,
+                           minhash_lsh_clusters, token_jaccard_pairs_in_group)
+from ..sources.augmented import (MUT_COND_SQL, VEC_COND_SQL, ID_OFFSET,
+                                 documents_with_neardups,
+                                 embeddings_with_neardups)
+
+
+def q_minhash_lsh_clusters(sf_dir: str):
+    """MinHash(64) + LSH(16x4) near-dup clustering over the augmented corpus.
+    cluster_id = min doc_id of the connected component."""
+    ds = documents_with_neardups(sf_dir)
+    return minhash_lsh_clusters(ds, "doc_id", "text")
+
+
+# Oracle: exact token-3-gram Jaccard >= threshold pairs + recursive
+# transitive closure (min-member cluster id). Valid because the corpus's
+# true Jaccard distribution is cleanly separated (near-dups >= 0.89,
+# background <= 0.3), so the pipeline's signature-estimated threshold and
+# the exact threshold classify identically.
+SQL_MINHASH = f"""
+with recursive aug as (
+  select doc_id, text from documents
+  union all
+  select doc_id + {ID_OFFSET} as doc_id, text || ' {{MUT_TOKEN}}' as text
+  from documents where {MUT_COND_SQL}
+),
+tok as (
+  select doc_id, generate_subscripts(string_split(text, ' '), 1) as i,
+         unnest(string_split(text, ' ')) as tok from aug
+),
+tri as (
+  select doc_id, tok || ' ' || lead(tok) over w || ' ' || lead(tok, 2) over w as g
+  from tok window w as (partition by doc_id order by i)
+),
+gs as (
+  select doc_id, list_distinct(list(g)) as grams
+  from tri where g is not null group by doc_id
+),
+pairs as (
+  select a.doc_id as a, b.doc_id as b
+  from gs a join gs b on a.doc_id < b.doc_id
+  where len(list_intersect(a.grams, b.grams)) /
+        cast(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+             as double) >= 0.7
+),
+sym as (select a, b from pairs union select b as a, a as b from pairs),
+r(src, dst) as (
+  select a, b from sym
+  union
+  select r.src, s.b from r join sym s on r.dst = s.a where s.b != r.src
+),
+clusters as (
+  select src as doc_id, least(src, min(dst)) as cluster_id from r group by src
+)
+select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id
+from aug d left join clusters c on d.doc_id = c.doc_id
+"""
+SQL_MINHASH = SQL_MINHASH.replace("{MUT_TOKEN}", "mutantxq")
+
+
+def q_token_jaccard_pairs(sf_dir: str):
+    """Exact distinct-token-set Jaccard >= 0.8 pairs, blocked by source
+    (n-gram-Jaccard dedup family; blocking key documented: same source)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    pairs = ds.groupby("source").map_groups(
+        lambda g: token_jaccard_pairs_in_group(g, "doc_id", "text", 0.8),
+        batch_format="pyarrow")
+    return pairs.map_batches(
+        lambda t: t.set_column(t.column_names.index("jaccard"), "jaccard",
+                               pc.round(t["jaccard"], 4,
+                                        round_mode="half_towards_infinity")),
+        batch_format="pyarrow")
+
+
+SQL_TOKEN_JACCARD = """
+with d as (select doc_id, source, list_distinct(string_split(text, ' ')) as toks
+           from documents)
+select a.doc_id as a, b.doc_id as b,
+       round(len(list_intersect(a.toks, b.toks)) /
+             cast(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+                  as double), 4) as jaccard
+from d a join d b on a.source = b.source and a.doc_id < b.doc_id
+where len(list_intersect(a.toks, b.toks)) /
+      cast(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+           as double) >= 0.8
+"""
+
+
+def q_embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (>= 0.95), blocked by label bucket
+    over the augmented embeddings; outputs the pair ids."""
+    ds = embeddings_with_neardups(sf_dir)
+    pairs = ds.groupby("label").map_groups(
+        lambda g: embedding_pairs_in_group(g, "vec_id", "embedding", 0.95),
+        batch_format="pyarrow")
+    return pairs.map_batches(lambda t: t.select(["a", "b"]),
+                             batch_format="pyarrow")
+
+
+SQL_EMBEDDING_PAIRS = f"""
+select vec_id as a, vec_id + {ID_OFFSET} as b
+from embeddings where {VEC_COND_SQL}
+"""
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    """64-bit SimHash per document + 16-bit blocking bucket (rows-only:
+    the fingerprint function is not SQL-expressible)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(SimHashStage,
+                          fn_constructor_kwargs={"id_col": "doc_id",
+                                                 "text_col": "text"},
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprint per doc (rows-only)."""
+    import ray.data as rd
+
+    from ..functions.minhash import rolling_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint(x or "") for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(vals, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID: English stopword evidence -> 'en', else 'und'
+    (n-gram-heuristic langid family; this corpus's closed vocab makes the
+    stopword test the whole signal)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def guess(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(t["text"], pa.large_string()), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(["a", "the"])) \
+            .to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        has = np.bincount(parent, weights=is_stop.astype("float64"),
+                          minlength=n) > 0
+        lang = np.where(has, "en", "und")
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_guess": pa.array(lang, pa.string())})
+
+    return ds.map_batches(guess, batch_format="pyarrow")
+
+
+SQL_LANGID = """
+select doc_id,
+       case when len(list_filter(string_split(text, ' '),
+                                 x -> x in ('the', 'a'))) > 0
+            then 'en' else 'und' end as lang_guess
+from documents
+"""
+
+
+DEDUP_QUERIES: dict[str, tuple] = {
+    "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),
+    "dedup_token_jaccard": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD),
+    "dedup_embedding_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_PAIRS),
+    "dedup_simhash": (q_simhash_fingerprints, None),
+    "txt_fingerprints": (q_doc_fingerprints, None),
+    "txt_langid": (q_langid, SQL_LANGID),
+}

@@ -1,0 +1,88 @@
+"""Unit + hand-built-pair tests for the near-dup operator family
+(FIXTURES.md §4: MinHash/LSH with hand-built near-duplicate pairs)."""
+
+import numpy as np
+import pyarrow as pa
+
+from stakgraph_ray.functions.minhash import (band_keys, estimate_jaccard,
+                                             hamming64, minhash_batch,
+                                             rolling_fingerprint, simhash64,
+                                             token_ngram_set, _perm_params,
+                                             minhash_signature)
+from stakgraph_ray.ops.neardup import (embedding_pairs_in_group,
+                                       token_jaccard_pairs_in_group,
+                                       union_find)
+
+A = "the quick brown fox jumps over the lazy dog near the river bank today"
+A_NEAR = A + " extra"                    # append one token -> J high
+B = "completely different words about spark streaming shuffles and arrow batches"
+
+
+def _sig(text):
+    import zlib
+
+    a, b = _perm_params(64)
+    grams = token_ngram_set(text, 3)
+    hs = np.fromiter((zlib.crc32(g.encode()) for g in grams),
+                     dtype=np.uint64, count=len(grams))
+    return minhash_signature(hs, a, b)
+
+
+def test_minhash_estimates_track_true_jaccard():
+    ga, gn, gb = (token_ngram_set(t, 3) for t in (A, A_NEAR, B))
+    true_near = len(ga & gn) / len(ga | gn)
+    est_near = estimate_jaccard(_sig(A), _sig(A_NEAR))
+    assert true_near > 0.85
+    assert abs(est_near - true_near) < 0.15
+    assert estimate_jaccard(_sig(A), _sig(B)) < 0.2
+
+
+def test_minhash_deterministic_across_calls():
+    s1 = minhash_batch([A, B], 64)
+    s2 = minhash_batch([A, B], 64)
+    assert (s1 == s2).all()
+    bk = band_keys(s1, 16)
+    assert bk.shape == (2, 16)
+    # near-dup pair shares at least one band; far pair shares none
+    sa, sn = minhash_batch([A, A_NEAR], 64)
+    ba, bn = band_keys(np.stack([sa, sn]), 16)
+    assert (ba == bn).any()
+
+
+def test_simhash_properties():
+    h1, h2 = simhash64(A), simhash64(A)
+    assert h1 == h2 and 0 <= h1 < (1 << 64)
+    assert hamming64(simhash64(A), simhash64(A_NEAR)) < 12
+    assert hamming64(simhash64(A), simhash64(B)) > 12
+    assert simhash64("") == 0
+
+
+def test_rolling_fingerprint_deterministic():
+    assert rolling_fingerprint(A) == rolling_fingerprint(A)
+    assert rolling_fingerprint(A) != rolling_fingerprint(B)
+    assert rolling_fingerprint("") == rolling_fingerprint("")
+
+
+def test_union_find_min_root():
+    roots = union_find([(5, 3), (3, 9), (20, 21), (1, 2)])
+    assert roots[5] == roots[3] == roots[9] == 3
+    assert roots[20] == roots[21] == 20
+    assert roots[1] == roots[2] == 1
+
+
+def test_token_jaccard_pairs_in_group():
+    g = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a b c d", "a b c e", "x y z w"]})
+    out = token_jaccard_pairs_in_group(g, "doc_id", "text", 0.5).to_pylist()
+    assert len(out) == 1
+    assert (out[0]["a"], out[0]["b"]) == (1, 2)
+    assert abs(out[0]["jaccard"] - 3 / 5) < 1e-9
+
+
+def test_embedding_pairs_in_group():
+    g = pa.table({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]],
+    })
+    out = embedding_pairs_in_group(g, "vec_id", "embedding", 0.95).to_pylist()
+    assert [(r["a"], r["b"]) for r in out] == [(1, 2)]
