@@ -1,4 +1,4 @@
-"""Deterministic HTML → text extraction (the byte-identical per-url invariant).
+r"""Deterministic HTML → text extraction (the byte-identical per-url invariant).
 
 Extraction contract (fixed; both this vectorized implementation and the
 independent single-process oracle in ``stakgraph_ray.pipelines.oracle``

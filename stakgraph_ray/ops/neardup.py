@@ -22,52 +22,59 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.minhash import (_perm_params, band_keys, minhash_signature,
-                                 simhash64, token_ngram_set)
+from ..functions.minhash import (_perm_params, band_keys, char_shingle_hashes,
+                                 minhash_signature, simhash64, token_ngram_set)
 
 
 class MinHashStage:
     """Actor-pool stage: (id, text) -> (id, band_id, band_hash, sig bytes).
 
-    Permutation params are built once per actor (__init__), not per batch."""
+    Permutation params are built once per actor (__init__), not per batch.
+    ``shingle``: "token" = token n-grams (documents), "char" = char k-grams
+    (entity-name canonicalization). Ids may be int64 or string."""
 
     def __init__(self, id_col: str, text_col: str, n_perms: int = 64,
-                 n_bands: int = 16, ngram: int = 3):
+                 n_bands: int = 16, ngram: int = 3, shingle: str = "token"):
         self.id_col, self.text_col = id_col, text_col
         self.n_perms, self.n_bands, self.ngram = n_perms, n_bands, ngram
+        self.shingle = shingle
         self.a, self.b = _perm_params(n_perms)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import zlib
 
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        id_arr = batch[self.id_col]
+        id_arr = id_arr.combine_chunks() if isinstance(id_arr, pa.ChunkedArray) else id_arr
         n = len(texts)
         sigs = np.empty((n, self.n_perms), dtype=np.uint64)
         for i, t in enumerate(texts):
-            grams = token_ngram_set(t or "", self.ngram)
-            hashes = np.fromiter((zlib.crc32(g.encode("utf-8")) for g in grams),
-                                 dtype=np.uint64, count=len(grams))
+            if self.shingle == "char":
+                hashes = char_shingle_hashes(t or "", self.ngram)
+            else:
+                grams = token_ngram_set(t or "", self.ngram)
+                hashes = np.fromiter((zlib.crc32(g.encode("utf-8")) for g in grams),
+                                     dtype=np.uint64, count=len(grams))
             sigs[i] = minhash_signature(hashes, self.a, self.b)
         bands = band_keys(sigs, self.n_bands)  # (n, n_bands)
-        sig_bytes = pa.array([s.tobytes() for s in sigs], pa.binary())
         nb = self.n_bands
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        idx = np.repeat(np.arange(n), nb)
         return pa.table({
-            "id": pa.array(np.repeat(ids, nb), pa.int64()),
+            "id": pc.take(id_arr, pa.array(idx, pa.int64())),
             "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
             "band_hash": pa.array(bands.ravel().astype("int64")),
-            "sig": pa.array([sig_bytes[i // nb].as_py() for i in range(n * nb)],
-                            pa.binary()),
+            "sig": pa.array([sig_bytes[i] for i in idx], pa.binary()),
         })
 
 
-def _pairs_in_band(g: pa.Table, threshold: float) -> pa.Table:
+def _pairs_in_band(g: pa.Table, threshold: float, id_type=pa.int64()) -> pa.Table:
     """All id pairs in one (band_id, band_hash) group whose signature-
-    estimated Jaccard >= threshold."""
+    estimated Jaccard >= threshold. Ids sorted, so a < b."""
     ids = g["id"].to_numpy(zero_copy_only=False)
     if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array([], id_type),
+                         "b": pa.array([], id_type)})
     order = np.argsort(ids)
     ids = ids[order]
     sigs = np.stack([np.frombuffer(g["sig"][int(i)].as_py(), dtype=np.uint64)
@@ -76,8 +83,8 @@ def _pairs_in_band(g: pa.Table, threshold: float) -> pa.Table:
     ai, bi = np.triu_indices(n, k=1)
     est = (sigs[ai] == sigs[bi]).mean(axis=1)
     keep = est >= threshold
-    return pa.table({"a": pa.array(ids[ai[keep]], pa.int64()),
-                     "b": pa.array(ids[bi[keep]], pa.int64())})
+    return pa.table({"a": pa.array(list(ids[ai[keep]]), id_type),
+                     "b": pa.array(list(ids[bi[keep]]), id_type)})
 
 
 def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -102,16 +109,17 @@ def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, n_perms: int = 64,
                       n_bands: int = 16, ngram: int = 3,
-                      threshold: float = 0.7, concurrency=(1, 4)):
+                      threshold: float = 0.7, concurrency=(1, 4),
+                      shingle: str = "token", id_type=pa.int64()):
     """-> distinct verified candidate pairs Dataset (a < b)."""
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
                                "n_perms": n_perms, "n_bands": n_bands,
-                               "ngram": ngram},
+                               "ngram": ngram, "shingle": shingle},
         batch_format="pyarrow", concurrency=concurrency)
     pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_in_band(g, threshold), batch_format="pyarrow")
+        lambda g: _pairs_in_band(g, threshold, id_type), batch_format="pyarrow")
     from .dedup import distinct
 
     return distinct(pairs, ["a", "b"])

@@ -177,7 +177,24 @@ from documents
 """
 
 
+def q_rich_triples(sf_dir: str):
+    """Full typed-entity pipeline over the annotated synthetic corpus
+    (dictionary+pattern extraction, cascade linking incl. same-page-unique,
+    LSH canonicalization). Rows-only: the corpus is generated, not a
+    registered view; correctness is gated by the pytest P/R >= 0.95 test
+    (tests/test_rich_corpus.py)."""
+    import ray.data as rd
+
+    from ..pipelines.rich import build_rich_triples
+    from ..sources.synth import generate_rich_pages
+
+    pages, _golden = generate_rich_pages(300)
+    triples, _roots = build_rich_triples(rd.from_arrow(pages))
+    return triples
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
+    "kg_rich_triples": (q_rich_triples, None),
     "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),
     "dedup_token_jaccard": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD),
     "dedup_embedding_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_PAIRS),

@@ -1,0 +1,96 @@
+"""Entity canonicalization: MinHash/LSH blocking + union-find merge.
+
+The north-rule net-new stage (the reference dedups by exact keys only,
+/root/reference/ast/src/lang/graphs/btreemap_graph.rs:57-62): coreferent
+entity names ("International Business Machines" / "International  Business
+Machines Corp") merge into one canonical id.
+
+Dataflow (no driver-side pass over the corpus):
+  distinct names -> char-shingle MinHash signatures (actor pool)
+  -> LSH band groupby (ONE shuffle over the *name* table, not the corpus)
+  -> verified pairs (signature-estimate Jaccard)
+  -> union-find over the pair set (driver; bounded by duplicate mass)
+  -> broadcast {merged name -> canonical} dict -> rewrite stage.
+
+Guard rails:
+  - names shorter than ``min_len`` only merge on exact equality (short
+    strings shingle-collide; "scan"/"span" must not merge)
+  - pair-set size guard inherited from minhash_lsh_clusters' assumption
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..ops.neardup import minhash_lsh_pairs, union_find
+
+
+def canonical_roots(names_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    min_len: int = 8, threshold: float = 0.85) -> dict[str, str]:
+    """Distinct-name Dataset (column ``name``) -> {merged name: canonical}.
+
+    Only names that actually merge appear in the dict (small side);
+    everything else maps to itself implicitly."""
+    eligible = names_ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["name"]), min_len)),
+        batch_format="pyarrow")
+    pairs_ds = minhash_lsh_pairs(eligible, "name", "name", shingle="char",
+                                 ngram=3, threshold=threshold,
+                                 id_type=pa.string())
+    pairs = pairs_ds.take_all()
+    roots = union_find([(p["a"], p["b"]) for p in pairs])
+    return {k: v for k, v in roots.items() if k != v}
+
+
+class CanonicalMapper:
+    """Rewrite a string column through the broadcast canonical dict."""
+
+    def __init__(self, roots_ref, column: str):
+        from ..ops.relational import _resolve
+
+        self.roots = _resolve(roots_ref)
+        self.column = column
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.roots:
+            return t
+        vals = t[self.column].to_pylist()
+        mapped = pa.array([self.roots.get(v, v) for v in vals], pa.string())
+        return t.set_column(t.column_names.index(self.column), self.column, mapped)
+
+
+def canonicalize_column(ds, column: str, roots: dict[str, str],
+                        concurrency=(1, 4)):
+    from ..ops.relational import broadcast
+
+    if not roots:
+        return ds
+    return ds.map_batches(CanonicalMapper,
+                          fn_constructor_kwargs={"roots_ref": broadcast(roots),
+                                                 "column": column},
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+def alias_of_edges(roots: dict[str, str]) -> pa.Table:
+    """ALIAS_OF provenance edges (merged Term -> canonical Term),
+    cf. deduplicate_nodes keeping provenance (btreemap_graph.rs:718-755)."""
+    from ..pipelines.kg import _const, _edge_table
+    from ..schema import node_key_array
+
+    names = sorted(roots)
+    n = len(names)
+    if n == 0:
+        from ..schema import EDGES_SCHEMA
+
+        return EDGES_SCHEMA.empty_table()
+    name_a = pa.array(names, pa.string())
+    root_a = pa.array([roots[x] for x in names], pa.string())
+    src = node_key_array(_const(n, "Term"), name_a, _const(n, ""))
+    dst = node_key_array(_const(n, "Term"), root_a, _const(n, ""))
+    return _edge_table(n, src, "ALIAS_OF", dst,
+                       operand=name_a,
+                       confidence=pa.array([0.85] * n, pa.float32()),
+                       strategy=_const(n, "lsh_merge"))
