@@ -193,8 +193,37 @@ def q_rich_triples(sf_dir: str):
     return triples
 
 
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (IVF-style partition pruning;
+    rows-only — approximate by design, recall tested vs the brute-force
+    oracle in tests/test_ann_multimodal.py)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..ops.ann import knn_lsh
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.slice(0, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_lsh(ds, queries, k=5)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal actor-pool pipeline: binary payload decode -> resize ->
+    feature vectors (rows-only: decode is not SQL-expressible; determinism
+    and feature math tested in tests/test_ann_multimodal.py)."""
+    from ..stages.multimodal import media_features
+
+    return media_features(sf_dir)
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "kg_rich_triples": (q_rich_triples, None),
+    "sim_knn_lsh": (q_knn_lsh, None),
+    "mm_media_features": (q_media_features, None),
     "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),
     "dedup_token_jaccard": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD),
     "dedup_embedding_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_PAIRS),

@@ -1,0 +1,155 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+actor-pool map_batches stages (decode / resize / feature-extract /
+frame-sample).
+
+Real image/audio codecs are not in this container: ``decode_payload`` handles
+the deterministic synthetic ``FAKEIMG``/``FAKEVID`` container for real, and
+gates genuine formats behind an import-try that raises NotImplementedError —
+the Ray-side plumbing (schema, batch sizing, actor signature, output layout)
+is real and tested either way.
+
+Synthetic container formats (little-endian):
+  FAKEIMG: b"FAKEIMG0" + uint16 h + uint16 w + h*w grayscale bytes
+  FAKEVID: b"FAKEVID0" + uint16 n_frames + uint16 h + uint16 w
+           + n*h*w grayscale bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+IMG_MAGIC = b"FAKEIMG0"
+VID_MAGIC = b"FAKEVID0"
+
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_id", pa.int64()),
+    pa.field("kind", pa.string()),            # "image" | "video"
+    pa.field("payload", pa.large_binary()),   # opaque container bytes
+    pa.field("width", pa.int32()),            # typed metadata
+    pa.field("height", pa.int32()),
+    pa.field("n_frames", pa.int32()),
+])
+
+
+def encode_image(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    return IMG_MAGIC + struct.pack("<HH", h, w) + arr.astype(np.uint8).tobytes()
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    n, h, w = frames.shape
+    return VID_MAGIC + struct.pack("<HHH", n, h, w) + frames.astype(np.uint8).tobytes()
+
+
+def decode_payload(payload: bytes) -> np.ndarray:
+    """-> (h, w) image or (n, h, w) video array. Synthetic containers decode
+    natively; real formats need codecs that aren't installed here."""
+    if payload.startswith(IMG_MAGIC):
+        h, w = struct.unpack_from("<HH", payload, len(IMG_MAGIC))
+        off = len(IMG_MAGIC) + 4
+        return np.frombuffer(payload, np.uint8, h * w, off).reshape(h, w)
+    if payload.startswith(VID_MAGIC):
+        n, h, w = struct.unpack_from("<HHH", payload, len(VID_MAGIC))
+        off = len(VID_MAGIC) + 6
+        return np.frombuffer(payload, np.uint8, n * h * w, off).reshape(n, h, w)
+    try:
+        import PIL.Image  # noqa: F401  (absent in this container)
+    except ImportError:
+        raise NotImplementedError(
+            "real image codecs unavailable; only FAKEIMG/FAKEVID containers "
+            "decode in this environment") from None
+    raise NotImplementedError("unsupported container")
+
+
+def synth_media_table(sf_dir: str, n: int | None = None) -> pa.Table:
+    """Deterministic media table derived from the documents table: payload
+    bytes are the doc's utf-8 text tiled into an h×w grid (h, w from doc_id),
+    so every derived feature is a pure function of the inputs."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if n is not None:
+        docs = docs.slice(0, n)
+    ids, kinds, payloads, ws, hs, nf = [], [], [], [], [], []
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        h = 16 + (doc_id % 7) * 8
+        w = 16 + (doc_id % 5) * 8
+        raw = np.frombuffer((text or " ").encode("utf-8"), np.uint8)
+        if doc_id % 10 == 0:   # every 10th is a "video" of 4 frames
+            n_frames = 4
+            need = n_frames * h * w
+            px = np.resize(raw, need).reshape(n_frames, h, w)
+            payloads.append(encode_video(px))
+            kinds.append("video")
+            nf.append(n_frames)
+        else:
+            px = np.resize(raw, h * w).reshape(h, w)
+            payloads.append(encode_image(px))
+            kinds.append("image")
+            nf.append(1)
+        ids.append(doc_id)
+        hs.append(h)
+        ws.append(w)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(nf, pa.int32()),
+    })
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode -> 8x8 mean-pool resize -> feature vector
+    (mean, std, 16-bin histogram). Videos are frame-sampled (every 2nd
+    frame) and features averaged over sampled frames.
+
+    Large binary payloads => callers should use a small batch_size; the
+    stage itself is per-row numpy (decode is inherently per-payload)."""
+
+    def __init__(self, pool: int = 8, frame_step: int = 2):
+        self.pool = pool
+        self.frame_step = frame_step
+
+    def _features(self, img: np.ndarray) -> np.ndarray:
+        p = self.pool
+        h, w = img.shape
+        ph, pw = h // p, w // p
+        pooled = img[:ph * p, :pw * p].reshape(ph, p, pw, p).mean(axis=(1, 3))
+        hist, _ = np.histogram(img, bins=16, range=(0, 256))
+        hist = hist / max(img.size, 1)
+        return np.concatenate(([img.mean(), img.std(), pooled.mean()], hist))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ids, kinds = [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            arr = decode_payload(payload)
+            if arr.ndim == 3:  # video: frame-sample then average
+                frames = arr[::self.frame_step]
+                f = np.mean([self._features(fr) for fr in frames], axis=0)
+            else:
+                f = self._features(arr)
+            feats.append(f.astype(np.float32))
+            ids.append(mid)
+            kinds.append(kind)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "features": pa.array([list(map(float, f)) for f in feats],
+                                 pa.list_(pa.float32())),
+        })
+
+
+def media_features(sf_dir: str, concurrency=(1, 4), batch_size: int = 64):
+    """Dataset pipeline: synthetic media table -> decoded feature vectors."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_media_table(sf_dir))
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

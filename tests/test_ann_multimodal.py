@@ -1,0 +1,86 @@
+"""ANN recall vs brute force, and multimodal decode/feature plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stakgraph_ray.ops.ann import bucket_of, knn_lsh, multi_probe, _hyperplanes
+from stakgraph_ray.stages.multimodal import (ImageFeatureStage, decode_payload,
+                                             encode_image, encode_video,
+                                             media_features, synth_media_table)
+
+
+def test_bucket_similar_vectors_collide():
+    planes = _hyperplanes(16, 8)
+    v = np.random.RandomState(0).normal(size=(1, 16))
+    near = v + 1e-4
+    far = -v
+    assert bucket_of(v, planes)[0] == bucket_of(near, planes)[0]
+    assert bucket_of(v, planes)[0] != bucket_of(far, planes)[0]
+    probes = multi_probe(5, 8)
+    assert len(probes) == 9 and 5 in probes and 4 in probes
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session, sf_tiny):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    emb = pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.slice(0, 5)
+    ds = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    approx = knn_lsh(ds, queries, k=5).take_all()
+
+    # brute-force oracle
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    recall_hits = total = 0
+    for qi in range(5):
+        cos = M @ M[qi]
+        order = np.lexsort((ids, -cos))[:5]
+        want = set(ids[order])
+        got = {r["neighbor_id"] for r in approx if r["query_id"] == ids[qi]}
+        recall_hits += len(got & want)
+        total += len(want)
+    recall = recall_hits / total
+    assert recall >= 0.55, f"recall@5 {recall}"
+    # self is always in its own bucket -> always found
+    for qi in range(5):
+        assert ids[qi] in {r["neighbor_id"] for r in approx
+                           if r["query_id"] == ids[qi]}
+
+
+def test_fake_container_roundtrip():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert (decode_payload(encode_image(img)) == img).all()
+    vid = np.arange(2 * 8 * 4, dtype=np.uint8).reshape(2, 8, 4)
+    assert (decode_payload(encode_video(vid)) == vid).all()
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_feature_stage_unit():
+    img = np.full((16, 16), 7, dtype=np.uint8)
+    t = pa.table({"media_id": [1], "kind": ["image"],
+                  "payload": pa.array([encode_image(img)], pa.large_binary())})
+    out = ImageFeatureStage()(t).to_pylist()[0]
+    f = out["features"]
+    assert abs(f[0] - 7.0) < 1e-5      # mean
+    assert abs(f[1] - 0.0) < 1e-5      # std
+    assert abs(sum(f[3:]) - 1.0) < 1e-5  # histogram sums to 1
+
+
+def test_media_pipeline(ray_session, sf_tiny):
+    out = media_features(sf_tiny).take_all()
+    tbl = synth_media_table(sf_tiny)
+    assert len(out) == tbl.num_rows
+    kinds = {r["kind"] for r in out}
+    assert kinds == {"image", "video"}
+    # deterministic across runs
+    out2 = media_features(sf_tiny).take_all()
+    a = sorted((r["media_id"], tuple(r["features"])) for r in out)
+    b = sorted((r["media_id"], tuple(r["features"])) for r in out2)
+    assert a == b
