@@ -38,8 +38,8 @@ def run_headline(sf_dir: str) -> dict:
     """Full KG build -> parquet sink; returns timings + triple throughput."""
     import shutil
 
-    from stakgraph_ray.pipelines.kg import build_graph
     from stakgraph_ray.sources.pages import read_pages
+    from stakgraph_ray.stages.materialize import build_graph_materialized
 
     out_dir = "/tmp/bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -48,9 +48,7 @@ def run_headline(sf_dir: str) -> dict:
     read_pages(sf_dir).count()
 
     t0 = time.time()
-    g = build_graph(read_pages(sf_dir))
-    g["nodes"].write_parquet(f"{out_dir}/nodes")
-    g["edges"].write_parquet(f"{out_dir}/edges")
+    build_graph_materialized(read_pages(sf_dir), out_dir)
     dt = time.time() - t0
 
     import duckdb

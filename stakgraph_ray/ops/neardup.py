@@ -118,7 +118,53 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, n_perms: int = 64,
                                "n_perms": n_perms, "n_bands": n_bands,
                                "ngram": ngram, "shingle": shingle},
         batch_format="pyarrow", concurrency=concurrency)
-    pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
+    # Two consumers below (collision count + candidate filter): pin the
+    # signatures once instead of recomputing MinHash per branch. The object
+    # store spills if needed; at extreme scale swap for a parquet checkpoint
+    # (stages.materialize.checkpoint).
+    sigs = sigs.materialize()
+
+    # Most (band_id, band_hash) groups are singletons; running the per-group
+    # pair UDF on each would cost one Python call per corpus row. First find
+    # the collision bands with a native count aggregate, then run the pair
+    # UDF only on rows in those bands (bounded by duplicate mass).
+    from ray.data.aggregate import Sum
+
+    counts = sigs.map_batches(
+        lambda t: t.group_by(["band_id", "band_hash"]).aggregate([("sig", "count")])
+                   .rename_columns(["band_id", "band_hash", "n_part"]),
+        batch_format="pyarrow") \
+        .groupby(["band_id", "band_hash"]).aggregate(Sum("n_part", alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["band_id", "band_hash"]),
+        batch_format="pyarrow").take_all()
+    hot_keys = {(r["band_id"], r["band_hash"]) for r in hot}
+
+    from .relational import broadcast
+
+    ref = broadcast(hot_keys)
+
+    class HotBandFilter:
+        def __init__(self, ref):
+            from .relational import _resolve
+
+            keys = _resolve(ref)
+            self.hashes_by_band: dict[int, set] = {}
+            for band_id, band_hash in keys:
+                self.hashes_by_band.setdefault(band_id, set()).add(band_hash)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bids = t["band_id"].to_numpy(zero_copy_only=False)
+            bhs = t["band_hash"].to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                (bh in self.hashes_by_band.get(int(bi), ())
+                 for bi, bh in zip(bids, bhs)), dtype=bool, count=len(bids))
+            return t.filter(pa.array(mask))
+
+    candidates = sigs.map_batches(HotBandFilter,
+                                  fn_constructor_kwargs={"ref": ref},
+                                  batch_format="pyarrow", concurrency=concurrency)
+    pairs = candidates.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: _pairs_in_band(g, threshold, id_type), batch_format="pyarrow")
     from .dedup import distinct
 

@@ -1,0 +1,97 @@
+"""Hash-partitioned apply: the high-cardinality groupby workhorse.
+
+Ray Data's native ``groupby(key).aggregate(...)`` does per-group Python work
+inside its sort-based reducer — fine for dozens of groups, pathological for
+100k+ (measured ~170µs/row on 2-string-key aggregates). The scalable shape
+for high-cardinality keyed ops is:
+
+  1. add ``_part = siphash(key columns) % P``  (vectorized, deterministic)
+  2. ``groupby("_part").map_groups(fn)`` — P groups only, and ``fn`` sees
+     each partition as ONE Arrow table: all rows for a given key are in
+     exactly one partition, so any per-key logic (aggregate / distinct /
+     first-wins / top-k) runs as a single vectorized pyarrow kernel there.
+
+P defaults to ~2×CPUs — the same hash-partitioning a multi-node exchange
+would use, so this is the single-node stand-in for the cluster shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import default_num_blocks
+
+_PART = "_part"
+
+
+def partition_column(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarray:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch[k].to_numpy(zero_copy_only=False)
+        h = h * np.uint64(1000003) + pd.util.hash_array(col)  # deterministic siphash
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def partitioned_apply(ds, keys, fn, num_partitions: int | None = None):
+    """Apply ``fn(table) -> table`` once per hash partition of ``keys``.
+
+    ``fn`` receives the partition WITHOUT the internal ``_part`` column and
+    must be a pure vectorized table transform (pyarrow group_by, sort+mask,
+    …). One keyed shuffle; ~P Python calls total."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    P = num_partitions or default_num_blocks()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(_PART, pa.array(partition_column(batch, keys, P)))
+
+    def apply(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns([_PART]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby(_PART).map_groups(apply, batch_format="pyarrow")
+
+
+def grouped_aggregate(ds, keys, spec: list[tuple[str, str]],
+                      out_names: list[str], num_partitions: int | None = None):
+    """High-cardinality grouped aggregate via partitioned_apply.
+
+    ``spec``: pyarrow group_by aggregate spec [(col, "sum"|"max"|...)];
+    output columns are [*keys, *out_names]."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(spec)
+        return g.rename_columns([*keys, *out_names])
+
+    return partitioned_apply(ds, keys, agg, num_partitions)
+
+
+def distinct_hp(ds, keys, num_partitions: int | None = None):
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return partitioned_apply(
+        ds, keys, lambda t: t.group_by(keys).aggregate([]), num_partitions)
+
+
+def dedup_min_hp(ds, key, columns: list[str], num_partitions: int | None = None):
+    """dedup_by_key_min semantics (per-column min of non-key columns) at
+    high key cardinality."""
+    keys = [key] if isinstance(key, str) else list(key)
+    others = [c for c in columns if c not in keys]
+    spec = [(c, "min") for c in others]
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(spec)
+        g = g.rename_columns([*keys, *others])
+        return g.select(columns)
+
+    return partitioned_apply(ds, keys, agg, num_partitions)
+
+
+def first_wins_hp(ds, key: str, order_by: str, num_partitions: int | None = None):
+    """Global first-wins dedup (sort + first-occurrence mask per partition)."""
+    from .dedup import first_per_key_batch
+
+    return partitioned_apply(
+        ds, key, lambda t: first_per_key_batch(t, key, order_by), num_partitions)

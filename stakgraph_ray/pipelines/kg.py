@@ -27,8 +27,9 @@ from ..schema import node_key_array
 from ..stages.extract import (ExtractTextStage, bigram_rows, link_edge_rows,
                               mention_rows)
 from ..stages.link import BigramLinker, TermLinker, make_linker_stage
-from ..ops.dedup import (dedup_by_key_min, dedup_first_wins, distinct,
-                         distinct_per_batch, first_per_key_batch)
+from ..ops.dedup import (dedup_by_key_min, distinct, distinct_per_batch,
+                         first_per_key_batch)
+from ..ops.partition import (dedup_min_hp, first_wins_hp, grouped_aggregate)
 
 _CORPUS_NAME = "webcorpus"
 _CORPUS_KEY = "corpus-webcorpus-webcorpus"  # = node_key("Corpus", name, file)
@@ -236,7 +237,7 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     from ray.data.aggregate import Max, Sum
 
     extracted = pages_ds.map_batches(ExtractTextStage(cfg), batch_format="pyarrow",
-                                     batch_size=cfg.batch_size)
+                                     batch_size=None)
     if cfg.dedup_pages:
         # First-wins on url by warc_ts (Neo4j MERGE semantics,
         # neo4j/queries/nodes.rs:49-50): per-batch combiner, then one keyed
@@ -244,13 +245,13 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         extracted = extracted.map_batches(
             lambda t: first_per_key_batch(t, "url", "warc_ts"),
             batch_format="pyarrow")
-        extracted = dedup_first_wins(extracted, "url", "warc_ts")
+        extracted = first_wins_hp(extracted, "url", "warc_ts")
 
     mentions = extracted.map_batches(mention_rows, batch_format="pyarrow")
     linker_kwargs = make_linker_stage(cfg, dictionary)
     linked = mentions.map_batches(
         TermLinker, fn_constructor_kwargs=linker_kwargs,
-        batch_format="pyarrow", batch_size=8192,
+        batch_format="pyarrow", batch_size=None,
         concurrency=(1, cfg.link_concurrency))
 
     # --- nodes -------------------------------------------------------------
@@ -261,7 +262,7 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         .map_batches(lang_node_rows, batch_format="pyarrow")
     node_cols = [f.name for f in _NODES_ORDER]
     edge_cols = [f.name for f in _EDGES_ORDER]
-    term_nodes = dedup_by_key_min(
+    term_nodes = dedup_min_hp(
         linked.map_batches(entity_node_rows, batch_format="pyarrow"), "node_key",
         columns=node_cols)
     # restore column order after groupby-aggregate moved the key first
@@ -274,26 +275,28 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     # --- edges -------------------------------------------------------------
     struct_edges = extracted.map_batches(page_edge_rows, batch_format="pyarrow")
-    struct_edges = dedup_by_key_min(struct_edges, "ref_id", columns=edge_cols)
+    struct_edges = dedup_min_hp(struct_edges, "ref_id", columns=edge_cols)
     struct_edges = struct_edges.map_batches(_cast_edges, batch_format="pyarrow")
 
     link_edges = extracted.map_batches(link_edge_rows, batch_format="pyarrow")
     link_edges = link_edges.map_batches(links_to_edge_rows, batch_format="pyarrow")
-    link_edges = dedup_by_key_min(link_edges, "ref_id", columns=edge_cols)
+    link_edges = dedup_min_hp(link_edges, "ref_id", columns=edge_cols)
     link_edges = link_edges.map_batches(_cast_edges, batch_format="pyarrow")
 
     mention_partial = linked.map_batches(mention_edge_partial, batch_format="pyarrow")
-    mention_agg = mention_partial.groupby(["url", "canonical"]).aggregate(
-        Max("confidence", alias_name="confidence"), Sum("weight", alias_name="weight"))
+    mention_agg = grouped_aggregate(
+        mention_partial, ["url", "canonical"],
+        [("confidence", "max"), ("weight", "sum")], ["confidence", "weight"])
     mention_edges = mention_agg.map_batches(mention_edge_final, batch_format="pyarrow")
 
     bigrams = extracted.map_batches(bigram_rows, batch_format="pyarrow")
     bigrams = bigrams.map_batches(
         BigramLinker, fn_constructor_kwargs=linker_kwargs,
-        batch_format="pyarrow", batch_size=8192,
+        batch_format="pyarrow", batch_size=None,
         concurrency=(1, cfg.link_concurrency))
-    bigram_agg = bigrams.map_batches(bigram_partial, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Sum("weight", alias_name="weight"))
+    bigram_agg = grouped_aggregate(
+        bigrams.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["a", "b"], [("weight", "sum")], ["weight"])
     bigram_edges = bigram_agg.map_batches(bigram_edge_final, batch_format="pyarrow")
 
     edges = struct_edges.union(link_edges, mention_edges, bigram_edges)

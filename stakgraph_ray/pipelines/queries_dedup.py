@@ -4,6 +4,8 @@ result (planted near-dups, see stakgraph_ray.sources.augmented)."""
 
 from __future__ import annotations
 
+from ..util import default_num_blocks as _nb
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -121,7 +123,8 @@ def q_simhash_fingerprints(sf_dir: str):
     the fingerprint function is not SQL-expressible)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         override_num_blocks=_nb())
     return ds.map_batches(SimHashStage,
                           fn_constructor_kwargs={"id_col": "doc_id",
                                                  "text_col": "text"},
@@ -134,7 +137,8 @@ def q_doc_fingerprints(sf_dir: str):
 
     from ..functions.minhash import rolling_fingerprint
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         override_num_blocks=_nb())
 
     def fp(t: pa.Table) -> pa.Table:
         vals = [rolling_fingerprint(x or "") for x in t["text"].to_pylist()]
@@ -150,7 +154,8 @@ def q_langid(sf_dir: str):
     stopword test the whole signal)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         override_num_blocks=_nb())
 
     def guess(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(pc.cast(t["text"], pa.large_string()), " ")
@@ -207,7 +212,7 @@ def q_knn_lsh(sf_dir: str):
                         columns=["vec_id", "embedding"])
     queries = emb.slice(0, 5)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"], override_num_blocks=_nb())
     return knn_lsh(ds, queries, k=5)
 
 

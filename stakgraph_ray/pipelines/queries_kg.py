@@ -103,19 +103,18 @@ from p
 
 def q_mention_edges(sf_dir: str):
     """Aggregated MENTIONS: url, canonical, weight, confidence, strategy."""
-    from ray.data.aggregate import Max, Sum
-
+    from ..ops.partition import grouped_aggregate
     from .kg import mention_edge_partial
 
     ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
     kw = make_linker_stage()
     linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", batch_size=8192,
+                            batch_format="pyarrow", batch_size=None,
                             concurrency=(1, 4))
-    agg = linked.map_batches(mention_edge_partial, batch_format="pyarrow") \
-        .groupby(["url", "canonical"]) \
-        .aggregate(Max("confidence", alias_name="confidence"),
-                   Sum("weight", alias_name="weight"))
+    agg = grouped_aggregate(
+        linked.map_batches(mention_edge_partial, batch_format="pyarrow"),
+        ["url", "canonical"], [("confidence", "max"), ("weight", "sum")],
+        ["confidence", "weight"])
 
     def final(t: pa.Table) -> pa.Table:
         conf = pc.round(pc.cast(t["confidence"], pa.float64()), 2,
@@ -159,7 +158,7 @@ def q_term_nodes(sf_dir: str):
     ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
     kw = make_linker_stage()
     linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", batch_size=8192,
+                            batch_format="pyarrow", batch_size=None,
                             concurrency=(1, 4))
     d = distinct(linked.map_batches(
         lambda t: t.select(["canonical"]), batch_format="pyarrow"), ["canonical"])
@@ -190,17 +189,17 @@ from linked
 
 def q_follows_edges(sf_dir: str):
     """Canonicalized adjacent-token relations: a, b, weight (global agg)."""
-    from ray.data.aggregate import Sum
-
+    from ..ops.partition import grouped_aggregate
     from .kg import bigram_partial
 
     ds = _extracted(sf_dir).map_batches(bigram_rows, batch_format="pyarrow")
     kw = make_linker_stage()
     ds = ds.map_batches(BigramLinker, fn_constructor_kwargs=kw,
-                        batch_format="pyarrow", batch_size=8192,
+                        batch_format="pyarrow", batch_size=None,
                         concurrency=(1, 4))
-    return ds.map_batches(bigram_partial, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Sum("weight", alias_name="weight"))
+    return grouped_aggregate(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["a", "b"], [("weight", "sum")], ["weight"])
 
 
 SQL_FOLLOWS_EDGES = f"""
@@ -247,7 +246,34 @@ from documents group by 1
 """
 
 
+def q_term_frequencies(sf_dir: str):
+    """Corpus-wide mention count per canonical term — the hub-entity rollup,
+    via the salted two-stage aggregation (ops/skew.py)."""
+    from ..ops.skew import salted_sum_count
+
+    ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
+    kw = make_linker_stage()
+    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
+                            batch_format="pyarrow", batch_size=None,
+                            concurrency=(1, 4))
+    out = salted_sum_count(linked, "canonical")
+    return out.map_batches(lambda t: t.select(["canonical", "n"]),
+                           batch_format="pyarrow")
+
+
+SQL_TERM_FREQUENCIES = f"""
+with toks as (
+  select unnest(string_split(text, ' ')) as tok
+  from documents where {NOT_SKIP_SQL}
+)
+select {canon_sql('tok')} as canonical, count(*) as n
+from toks where tok not in ({STOP_LIST})
+group by 1
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
     "kg_extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "kg_page_nodes": (q_page_nodes, SQL_PAGE_NODES),
     "kg_mention_edges": (q_mention_edges, SQL_MENTION_EDGES),

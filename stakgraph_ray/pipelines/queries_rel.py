@@ -17,6 +17,9 @@ from ..ops.relational import (anti_join, broadcast_join, first_per_group,
 def _read(sf_dir: str, table: str, columns=None, **kw):
     import ray.data as rd
 
+    from ..util import default_num_blocks
+
+    kw.setdefault("override_num_blocks", default_num_blocks())
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 

@@ -14,6 +14,8 @@ Expected clusters/pairs are therefore derivable in SQL by construction.
 
 from __future__ import annotations
 
+from ..util import default_num_blocks as _nb
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -49,7 +51,8 @@ def documents_with_neardups(sf_dir: str):
     """(doc_id, text) Dataset: originals + deterministic near-dup mutants."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         override_num_blocks=_nb())
     mutants = ds.map_batches(mutate_documents_batch, batch_format="pyarrow")
     return ds.union(mutants)
 
@@ -77,6 +80,6 @@ def jitter_embeddings_batch(batch: pa.Table) -> pa.Table:
 def embeddings_with_neardups(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=_nb())
     twins = ds.map_batches(jitter_embeddings_batch, batch_format="pyarrow")
     return ds.union(twins)

@@ -115,10 +115,12 @@ def read_pages(sf_dir: str, include_doc_id: bool = False, override_num_blocks=No
     """documents.parquet -> pages Dataset (lazy; html built inside map_batches)."""
     import ray.data as rd
 
+    from ..util import default_num_blocks
+
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
-        override_num_blocks=override_num_blocks,
+        override_num_blocks=override_num_blocks or default_num_blocks(),
     )
     ds = ds.map_batches(build_pages_batch, batch_format="pyarrow")
     if not include_doc_id:

@@ -28,20 +28,59 @@ from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..ops.neardup import minhash_lsh_pairs, union_find
 
 
+SMALL_NAMES_LIMIT = 200_000
+
+
 def canonical_roots(names_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                     min_len: int = 8, threshold: float = 0.85) -> dict[str, str]:
     """Distinct-name Dataset (column ``name``) -> {merged name: canonical}.
 
     Only names that actually merge appear in the dict (small side);
-    everything else maps to itself implicitly."""
+    everything else maps to itself implicitly.
+
+    Adaptive: a small distinct-name table (the common case — entity
+    vocabulary, not corpus size) is collected and LSH'd driver-side in one
+    numpy pass (zero extra Ray round trips); a large one runs the full
+    Dataset LSH path. Both use identical hash functions -> identical merges."""
     eligible = names_ds.map_batches(
         lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["name"]), min_len)),
         batch_format="pyarrow")
+    n = eligible.count()
+    if n <= SMALL_NAMES_LIMIT:
+        names = [r["name"] for r in eligible.take_all()]
+        return _roots_driver_side(names, threshold)
     pairs_ds = minhash_lsh_pairs(eligible, "name", "name", shingle="char",
                                  ngram=3, threshold=threshold,
                                  id_type=pa.string())
     pairs = pairs_ds.take_all()
     roots = union_find([(p["a"], p["b"]) for p in pairs])
+    return {k: v for k, v in roots.items() if k != v}
+
+
+def _roots_driver_side(names: list[str], threshold: float) -> dict[str, str]:
+    from ..functions.minhash import (_perm_params, band_keys,
+                                     char_shingle_hashes, minhash_signature)
+
+    if len(names) < 2:
+        return {}
+    a, b = _perm_params(64)
+    sigs = np.stack([minhash_signature(char_shingle_hashes(nm, 3), a, b)
+                     for nm in names])
+    bands = band_keys(sigs, 16)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(names)):
+        for bnd in range(16):
+            buckets.setdefault((bnd, int(bands[i, bnd])), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                if (sigs[i] == sigs[j]).mean() >= threshold:
+                    pairs.add((min(names[i], names[j]), max(names[i], names[j])))
+    roots = union_find(sorted(pairs))
     return {k: v for k, v in roots.items() if k != v}
 
 

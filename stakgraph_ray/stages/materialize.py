@@ -97,7 +97,8 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     import ray.data as rd
 
     from ..config import DEFAULT_CONFIG
-    from ..ops.dedup import dedup_by_key_min, dedup_first_wins, distinct, first_per_key_batch
+    from ..ops.dedup import distinct, first_per_key_batch
+    from ..ops.partition import dedup_min_hp, first_wins_hp, grouped_aggregate
     from ..stages.extract import ExtractTextStage, bigram_rows, link_edge_rows, mention_rows
     from ..stages.link import BigramLinker, TermLinker, make_linker_stage
     from ..stages.canonicalize import (alias_of_edges, canonical_roots,
@@ -111,12 +112,12 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     # ---- stage 1: extract (html dropped at the checkpoint boundary) -------
     extracted = pages_ds.map_batches(ExtractTextStage(cfg),
                                      batch_format="pyarrow",
-                                     batch_size=cfg.batch_size)
+                                     batch_size=None)
     if cfg.dedup_pages:
         extracted = extracted.map_batches(
             lambda t: first_per_key_batch(t, "url", "warc_ts"),
             batch_format="pyarrow")
-        extracted = dedup_first_wins(extracted, "url", "warc_ts")
+        extracted = first_wins_hp(extracted, "url", "warc_ts")
     ex = checkpoint(extracted, os.path.join(workdir, "extracted"), "extract",
                     metrics)
 
@@ -124,7 +125,7 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     linker_kwargs = make_linker_stage(cfg, dictionary)
     linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
         .map_batches(TermLinker, fn_constructor_kwargs=linker_kwargs,
-                     batch_format="pyarrow", batch_size=8192,
+                     batch_format="pyarrow", batch_size=None,
                      concurrency=(1, cfg.link_concurrency))
     li = checkpoint(linked, os.path.join(workdir, "linked"), "link", metrics)
 
@@ -139,8 +140,6 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     li = canonicalize_column(li, "canonical", roots)
 
     # ---- stage 4: node + edge tables (each branch reads checkpoints) ------
-    from ray.data.aggregate import Max, Sum
-
     node_cols = [f.name for f in kg._NODES_ORDER]
     edge_cols = [f.name for f in kg._EDGES_ORDER]
 
@@ -149,33 +148,34 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
                           ["host"]).map_batches(kg.host_node_rows, batch_format="pyarrow")
     lang_nodes = distinct(ex.map_batches(kg.lang_rows, batch_format="pyarrow"),
                           ["lang"]).map_batches(kg.lang_node_rows, batch_format="pyarrow")
-    term_nodes = dedup_by_key_min(
+    term_nodes = dedup_min_hp(
         li.map_batches(kg.entity_node_rows, batch_format="pyarrow"),
         "node_key", columns=node_cols).map_batches(kg._cast_nodes,
                                                    batch_format="pyarrow")
     corpus_node = rd.from_arrow(kg._node_table(1, "Corpus", "webcorpus", "webcorpus"))
     nodes = corpus_node.union(host_nodes, lang_nodes, page_nodes, term_nodes)
 
-    struct_edges = dedup_by_key_min(
+    struct_edges = dedup_min_hp(
         ex.map_batches(kg.page_edge_rows, batch_format="pyarrow"),
         "ref_id", columns=edge_cols).map_batches(kg._cast_edges, batch_format="pyarrow")
-    link_edges = dedup_by_key_min(
+    link_edges = dedup_min_hp(
         ex.map_batches(kg.link_edge_rows, batch_format="pyarrow")
           .map_batches(kg.links_to_edge_rows, batch_format="pyarrow"),
         "ref_id", columns=edge_cols).map_batches(kg._cast_edges, batch_format="pyarrow")
-    mention_edges = li.map_batches(kg.mention_edge_partial, batch_format="pyarrow") \
-        .groupby(["url", "canonical"]) \
-        .aggregate(Max("confidence", alias_name="confidence"),
-                   Sum("weight", alias_name="weight")) \
+    mention_edges = grouped_aggregate(
+        li.map_batches(kg.mention_edge_partial, batch_format="pyarrow"),
+        ["url", "canonical"], [("confidence", "max"), ("weight", "sum")],
+        ["confidence", "weight"]) \
         .map_batches(kg.mention_edge_final, batch_format="pyarrow")
     bigrams = ex.map_batches(bigram_rows, batch_format="pyarrow") \
         .map_batches(BigramLinker, fn_constructor_kwargs=linker_kwargs,
-                     batch_format="pyarrow", batch_size=8192,
+                     batch_format="pyarrow", batch_size=None,
                      concurrency=(1, cfg.link_concurrency))
     bigrams = canonicalize_column(bigrams, "a", roots)
     bigrams = canonicalize_column(bigrams, "b", roots)
-    bigram_edges = bigrams.map_batches(kg.bigram_partial, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Sum("weight", alias_name="weight")) \
+    bigram_edges = grouped_aggregate(
+        bigrams.map_batches(kg.bigram_partial, batch_format="pyarrow"),
+        ["a", "b"], [("weight", "sum")], ["weight"]) \
         .map_batches(kg.bigram_edge_final, batch_format="pyarrow")
     alias_edges = rd.from_arrow(alias_of_edges(roots))
     edges = struct_edges.union(link_edges, mention_edges, bigram_edges, alias_edges)
