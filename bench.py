@@ -35,12 +35,17 @@ def _init_ray(num_cpus: int):
 
 
 def run_headline(sf_dir: str) -> dict:
-    """Full KG build -> parquet sink; returns timings + triple throughput."""
+    """Full KG build -> parquet sink; returns timings + triple throughput.
+
+    BENCH_REPLICATE tiles the corpus deterministically (scaling mode uses
+    x8 so compute dominates fixed session overhead; identical input at both
+    parallelism levels)."""
     import shutil
 
     from stakgraph_ray.sources.pages import read_pages
     from stakgraph_ray.stages.materialize import build_graph_materialized
 
+    replicate = int(os.environ.get("BENCH_REPLICATE", "1"))
     out_dir = "/tmp/bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -48,7 +53,7 @@ def run_headline(sf_dir: str) -> dict:
     read_pages(sf_dir).count()
 
     t0 = time.time()
-    build_graph_materialized(read_pages(sf_dir), out_dir)
+    build_graph_materialized(read_pages(sf_dir, replicate=replicate), out_dir)
     dt = time.time() - t0
 
     import duckdb
@@ -104,7 +109,8 @@ def main():
 
 
 def run_child(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
+               BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "8"))
     out = subprocess.run([sys.executable, __file__], env=env,
                          capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -118,6 +124,7 @@ def scaling():
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
+        "replicate": int(os.environ.get("BENCH_REPLICATE", "8")),
         "sec_8": t_lo, "sec_32": t_hi,
         "triples_per_sec_8": r_lo["triples_per_sec"],
         "triples_per_sec_32": r_hi["triples_per_sec"],

@@ -60,6 +60,27 @@ def normalize_surface(s: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.replace_substring_regex(pc.utf8_lower(s), r"[^a-z0-9]", "")
 
 
+def filter_nested_spans(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask dropping spans strictly contained in another span
+    (cf. filter_nested_datamodels / no_nested,
+    /root/reference/ast/src/lang/mod.rs:331-354, builder/stages.rs:305-323).
+
+    Vectorized: sort by (start asc, end desc); a span is nested iff a
+    previously-seen span's end >= its end (running max over the sort order,
+    excluding itself). Equal spans are kept once (first wins)."""
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-ends, starts))
+    s, e = starts[order], ends[order]
+    run_max = np.maximum.accumulate(e)
+    prev_max = np.concatenate(([np.iinfo(np.int64).min], run_max[:-1]))
+    nested = e <= prev_max  # some earlier span (start<=s) ends at/after e
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = ~nested
+    return keep
+
+
 def explode_tokens(text: pa.Array | pa.ChunkedArray):
     """Whitespace-tokenize a string column and explode, fully vectorized.
 

@@ -96,8 +96,14 @@ def anti_join(ds, column: str, keys, concurrency=(1, 4)):
 
 
 def hash_join(left, right, on, right_on=None, join_type="inner",
-              num_partitions=16):
-    """Both-sides-large join: Ray's hash-partitioned Dataset.join."""
+              num_partitions=None):
+    """Both-sides-large join: Ray's hash-partitioned Dataset.join.
+
+    num_partitions defaults adaptively (one aggregator actor per partition;
+    too many starves the cluster)."""
+    from ..util import join_num_partitions
+
+    num_partitions = num_partitions or join_num_partitions()
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = ((right_on,) if isinstance(right_on, str) else tuple(right_on)) if right_on else on
     return left.join(right, join_type=join_type, num_partitions=num_partitions,
@@ -151,6 +157,40 @@ def sessionize(ds, group_key: str, ts_col: str, gap_seconds: float,
         return g
 
     return ds.groupby(group_key).map_groups(sess, batch_format="pandas")
+
+
+class AsofJoiner:
+    """Per-batch pandas merge_asof against a broadcast (sorted) right side.
+
+    Small-right-side as-of join (each order ← latest prior event). For a
+    both-sides-large as-of join, co-partition by key and merge_asof per
+    partition (ops/partition.partitioned_apply over a tagged union)."""
+
+    def __init__(self, right_ref, by, left_on, right_on, value_cols):
+        right = _resolve(right_ref)
+        self.right = (right.to_pandas() if isinstance(right, pa.Table) else right) \
+            .sort_values(right_on, kind="mergesort")
+        self.by, self.left_on, self.right_on = by, left_on, right_on
+        self.value_cols = value_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left = batch.to_pandas().sort_values(self.left_on, kind="mergesort")
+        out = pd.merge_asof(left, self.right[[self.by, self.right_on, *self.value_cols]],
+                            left_on=self.left_on, right_on=self.right_on,
+                            by=self.by, direction="backward")
+        out = out.drop(columns=[self.right_on])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def asof_join(ds, right: pa.Table, by: str, left_on: str, right_on: str,
+              value_cols: list[str], concurrency=(1, 4)):
+    ref = broadcast(right)
+    return ds.map_batches(AsofJoiner,
+                          fn_constructor_kwargs={"right_ref": ref, "by": by,
+                                                 "left_on": left_on,
+                                                 "right_on": right_on,
+                                                 "value_cols": value_cols},
+                          batch_format="pyarrow", concurrency=concurrency)
 
 
 def tumbling_window(ds, ts_col: str, width: str, keys: list[str], aggs):

@@ -190,6 +190,21 @@ def bigram_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["a", "b", "weight"])
 
 
+def bigram_surface_partial(batch: pa.Table) -> pa.Table:
+    """Raw bigram rows -> per-batch (a, b, weight) on SURFACE forms.
+
+    Run BEFORE the linker so the cascade touches only the distinct surface
+    pairs of each batch (vocab², not corpus-size) — same final weights."""
+    g = batch.group_by(["a", "b"]).aggregate([("pos", "count")])
+    return g.rename_columns(["a", "b", "weight"])
+
+
+def bigram_weight_partial(batch: pa.Table) -> pa.Table:
+    """Canonicalized partial (a, b, weight) -> re-combined per batch."""
+    g = batch.group_by(["a", "b"]).aggregate([("weight", "sum")])
+    return g.rename_columns(["a", "b", "weight"])
+
+
 _STRATEGY_BOUNDS = (  # confidence -> strategy (bijective cascade levels)
     (0.95, "exact"), (0.85, "alias"), (0.75, "normalized"),
     (0.5, "same_page_unique"), (0.0, "unverified"),
@@ -289,13 +304,14 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         [("confidence", "max"), ("weight", "sum")], ["confidence", "weight"])
     mention_edges = mention_agg.map_batches(mention_edge_final, batch_format="pyarrow")
 
-    bigrams = extracted.map_batches(bigram_rows, batch_format="pyarrow")
+    bigrams = extracted.map_batches(bigram_rows, batch_format="pyarrow") \
+        .map_batches(bigram_surface_partial, batch_format="pyarrow")
     bigrams = bigrams.map_batches(
         BigramLinker, fn_constructor_kwargs=linker_kwargs,
         batch_format="pyarrow", batch_size=None,
         concurrency=(1, cfg.link_concurrency))
     bigram_agg = grouped_aggregate(
-        bigrams.map_batches(bigram_partial, batch_format="pyarrow"),
+        bigrams.map_batches(bigram_weight_partial, batch_format="pyarrow"),
         ["a", "b"], [("weight", "sum")], ["weight"])
     bigram_edges = bigram_agg.map_batches(bigram_edge_final, batch_format="pyarrow")
 

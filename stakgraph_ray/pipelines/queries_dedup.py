@@ -225,8 +225,46 @@ def q_media_features(sf_dir: str):
     return media_features(sf_dir)
 
 
+def q_hybrid_search(sf_dir: str):
+    """Hybrid search: toy fulltext ranking + brute-force vector ranking,
+    fused with the reference's RRF formula (mcp/src/graph/graph.ts:152-236),
+    token-budget-limited. Rows-only; formula unit-tested in
+    tests/test_graph_search_ops.py."""
+    import pyarrow.parquet as pq
+
+    import numpy as np
+    import ray.data as rd
+
+    from ..ops.search import fulltext_scores, rrf_fuse, token_budget_limit
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ft = fulltext_scores(texts, ["spark", "join", "window"])[:50]
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    q = M[0]
+    cos = M @ q
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -cos))[:50]
+    vec = [(int(ids[i]), float(cos[i])) for i in order]
+
+    fused = rrf_fuse(ft, vec, limit=25)
+    items = [{"doc_id": i, "score": round(s, 6),
+              "token_count": len((texts.get(i) or "").split(" "))}
+             for i, s in fused]
+    kept = token_budget_limit(items, max_tokens=1500)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([x["doc_id"] for x in kept], pa.int64()),
+        "score": pa.array([x["score"] for x in kept], pa.float64()),
+        "token_count": pa.array([x["token_count"] for x in kept], pa.int64()),
+    }))
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "kg_rich_triples": (q_rich_triples, None),
+    "search_hybrid_rrf": (q_hybrid_search, None),
     "sim_knn_lsh": (q_knn_lsh, None),
     "mm_media_features": (q_media_features, None),
     "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),

@@ -189,17 +189,7 @@ from linked
 
 def q_follows_edges(sf_dir: str):
     """Canonicalized adjacent-token relations: a, b, weight (global agg)."""
-    from ..ops.partition import grouped_aggregate
-    from .kg import bigram_partial
-
-    ds = _extracted(sf_dir).map_batches(bigram_rows, batch_format="pyarrow")
-    kw = make_linker_stage()
-    ds = ds.map_batches(BigramLinker, fn_constructor_kwargs=kw,
-                        batch_format="pyarrow", batch_size=None,
-                        concurrency=(1, 4))
-    return grouped_aggregate(
-        ds.map_batches(bigram_partial, batch_format="pyarrow"),
-        ["a", "b"], [("weight", "sum")], ["weight"])
+    return _follows_edges_ds(sf_dir)
 
 
 SQL_FOLLOWS_EDGES = f"""
@@ -272,8 +262,146 @@ group by 1
 """
 
 
+def _follows_edges_ds(sf_dir: str):
+    from ..ops.partition import grouped_aggregate
+    from .kg import bigram_surface_partial, bigram_weight_partial
+
+    ds = _extracted(sf_dir).map_batches(bigram_rows, batch_format="pyarrow") \
+        .map_batches(bigram_surface_partial, batch_format="pyarrow")
+    kw = make_linker_stage()
+    ds = ds.map_batches(BigramLinker, fn_constructor_kwargs=kw,
+                        batch_format="pyarrow", batch_size=None,
+                        concurrency=(1, 4))
+    return grouped_aggregate(
+        ds.map_batches(bigram_weight_partial, batch_format="pyarrow"),
+        ["a", "b"], [("weight", "sum")], ["weight"])
+
+
+_FOLLOWS_CTE = f"""
+with s as (select doc_id, string_split(text, ' ') as toks
+           from documents where {NOT_SKIP_SQL}),
+t as (select doc_id, generate_subscripts(toks, 1) as i, unnest(toks) as tok from s),
+bg as (select {{ca}} as a, {{cb}} as b
+       from t x join t y on x.doc_id = y.doc_id and y.i = x.i + 1
+       where x.tok not in ({STOP_LIST}) and y.tok not in ({STOP_LIST})),
+p as (select a, b from bg group by a, b)
+""".replace("{ca}", canon_sql("x.tok")).replace("{cb}", canon_sql("y.tok"))
+
+
+def q_two_hop(sf_dir: str):
+    """2-hop self-join of the FOLLOWS edge table: (a, c, n_paths) — the
+    edge-index 2-hop join shape (cf. integration-test linking,
+    /root/reference/ast/src/lang/linker.rs:34-140)."""
+    from ..ops.partition import grouped_aggregate
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    right = edges.map_batches(
+        lambda t: pa.table({"b": t["a"], "c": t["b"]}), batch_format="pyarrow")
+    from ..util import join_num_partitions
+    paths = edges.join(right, join_type="inner",
+                       num_partitions=join_num_partitions(), on=("b",))
+    partial = paths.map_batches(
+        lambda t: t.group_by(["a", "c"]).aggregate([("b", "count")])
+                   .rename_columns(["a", "c", "n_part"]),
+        batch_format="pyarrow")
+    return grouped_aggregate(partial, ["a", "c"], [("n_part", "sum")], ["n_paths"])
+
+
+SQL_TWO_HOP = _FOLLOWS_CTE + """
+select x.a, y.b as c, count(*) as n_paths
+from p x join p y on x.b = y.a
+group by 1, 2
+"""
+
+
+def q_term_degrees(sf_dir: str):
+    """In/out degree per term over the FOLLOWS graph (degree enrichment,
+    cf. mcp/src/importance/detector.ts)."""
+    from ..ops.graph import degrees
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: pa.table({"src_key": t["a"], "dst_key": t["b"]}),
+        batch_format="pyarrow")
+    return degrees(edges)
+
+
+SQL_TERM_DEGREES = _FOLLOWS_CTE + """
+, sides as (
+  select a as node_key, 1 as o, 0 as i from p
+  union all
+  select b as node_key, 0 as o, 1 as i from p
+)
+select node_key, cast(sum(o) as bigint) as out_degree,
+       cast(sum(i) as bigint) as in_degree
+from sides group by node_key
+"""
+
+
+def q_host_coverage(sf_dir: str):
+    """Coverage rollup per host: extracted pages / total, percent
+    (cf. test-coverage rollup, ast/src/lang/graphs/coverage/mod.rs:38-80)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textutils import host_of_url_column
+
+    ds = _extracted(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.cast(host_of_url_column(
+            t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"]), pa.string())
+        ok = pc.cast(pc.invert(t["skipped"].combine_chunks() if isinstance(t["skipped"], pa.ChunkedArray) else t["skipped"]), pa.int64())
+        tt = pa.table({"host": host, "ok": ok})
+        g = tt.group_by(["host"]).aggregate([("ok", "sum"), ("ok", "count")])
+        return g.rename_columns(["host", "n_ok", "n_pages"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n_ok", alias_name="n_ok"),
+                                   Sum("n_pages", alias_name="n_pages"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        pct = pc.round(pc.multiply(pc.divide(pc.cast(t["n_ok"], pa.float64()),
+                                             pc.cast(t["n_pages"], pa.float64())),
+                                   pa.scalar(100.0)), 2,
+                       round_mode="half_towards_infinity")
+        return pa.table({"host": t["host"], "n_pages": t["n_pages"],
+                         "n_ok": t["n_ok"], "pct_extracted": pct})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_HOST_COVERAGE = f"""
+select source || '.example.org' as host,
+       count(*) as n_pages,
+       count(*) filter (where {NOT_SKIP_SQL}) as n_ok,
+       round(100.0 * (count(*) filter (where {NOT_SKIP_SQL})) / count(*), 2)
+         as pct_extracted
+from documents group by 1
+"""
+
+
+def q_term_pagerank(sf_dir: str):
+    """PageRank over the FOLLOWS term graph (bounded power iteration;
+    rows-only — verified against a dense numpy oracle in
+    tests/test_graph_ops.py)."""
+    from ..ops.graph import pagerank
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: pa.table({"src_key": t["a"], "dst_key": t["b"]}),
+        batch_format="pyarrow")
+    ranks = pagerank(edges, iterations=10)
+    return ranks.map_batches(
+        lambda t: pa.table({"node_key": t["node_key"],
+                            "rank": pc.round(pc.cast(t["rank"], pa.float64()), 6)}),
+        batch_format="pyarrow")
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
+    "kg_two_hop": (q_two_hop, SQL_TWO_HOP),
+    "kg_term_degrees": (q_term_degrees, SQL_TERM_DEGREES),
+    "kg_host_coverage": (q_host_coverage, SQL_HOST_COVERAGE),
+    "kg_term_pagerank": (q_term_pagerank, None),
     "kg_extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "kg_page_nodes": (q_page_nodes, SQL_PAGE_NODES),
     "kg_mention_edges": (q_mention_edges, SQL_MENTION_EDGES),

@@ -191,7 +191,10 @@ def q_orders_lineitem_join(sf_dir: str):
 
     li = li.map_batches(revenue, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    from ..util import join_num_partitions
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_num_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
@@ -461,7 +464,44 @@ qualify row_number() over (partition by q.qid
 """
 
 
+def q_prev_purchase_asof(sf_dir: str):
+    """As-of join: each event <- the user's most recent STRICTLY-earlier
+    'purchase' event value (broadcast right side + per-batch merge_asof)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.relational import asof_join
+
+    right = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "ts", "event_type", "value"])
+    right = right.filter(pc.equal(right["event_type"], "purchase"))
+    right = right.rename_columns(["user_id", "pts", "event_type", "prev_purchase_value"]) \
+        .select(["user_id", "pts", "prev_purchase_value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    # strict inequality: shift right-side ts forward by 1us so ts == pts
+    # rows are excluded (merge_asof allow_exact_matches=False equivalent,
+    # kept vectorized)
+    right = right.set_column(
+        1, "pts", pc.add(right["pts"], pa.scalar(1, pa.duration("us"))))
+
+    out = asof_join(ds, right, by="user_id", left_on="ts", right_on="pts",
+                    value_cols=["prev_purchase_value"])
+    return out.map_batches(
+        lambda t: _round_cols(t.select(["event_id", "user_id", "prev_purchase_value"]),
+                              {"prev_purchase_value": 2}),
+        batch_format="pyarrow")
+
+
+SQL_ASOF = """
+select e.event_id, e.user_id, round(p.value, 2) as prev_purchase_value
+from events e asof left join
+     (select user_id, ts, value from events where event_type = 'purchase') p
+  on e.user_id = p.user_id and e.ts > p.ts
+"""
+
+
 REL_QUERIES: dict[str, tuple] = {
+    "rel_prev_purchase_asof": (q_prev_purchase_asof, SQL_ASOF),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "rel_region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "rel_nation_customers": (q_nation_customers, SQL_NATION_CUSTOMERS),

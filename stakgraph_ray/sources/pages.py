@@ -111,8 +111,14 @@ def build_pages_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def read_pages(sf_dir: str, include_doc_id: bool = False, override_num_blocks=None):
-    """documents.parquet -> pages Dataset (lazy; html built inside map_batches)."""
+def read_pages(sf_dir: str, include_doc_id: bool = False, override_num_blocks=None,
+               replicate: int = 1):
+    """documents.parquet -> pages Dataset (lazy; html built inside map_batches).
+
+    ``replicate=R`` tiles the corpus R times with shifted doc_ids (distinct
+    urls/timestamps, deterministic) — used by the scaling benchmark so real
+    compute dominates fixed session overhead; both parallelism levels see
+    the identical tiled input."""
     import ray.data as rd
 
     from ..util import default_num_blocks
@@ -122,6 +128,20 @@ def read_pages(sf_dir: str, include_doc_id: bool = False, override_num_blocks=No
         columns=["doc_id", "text", "lang", "source"],
         override_num_blocks=override_num_blocks or default_num_blocks(),
     )
+    if replicate > 1:
+        # tile INSIDE each batch (concat of shifted copies) — a Dataset
+        # union of R copies would explode the block count R-fold and the
+        # tiny-block overhead dominates at high parallelism
+        def tile(t: pa.Table) -> pa.Table:
+            copies = [t]
+            for k in range(1, replicate):
+                off = pa.scalar(k * 10_000_000, pa.int64())
+                copies.append(t.set_column(
+                    t.column_names.index("doc_id"), "doc_id",
+                    pc.add(t["doc_id"], off)))
+            return pa.concat_tables(copies)
+
+        ds = ds.map_batches(tile, batch_format="pyarrow")
     ds = ds.map_batches(build_pages_batch, batch_format="pyarrow")
     if not include_doc_id:
         ds = ds.drop_columns(["doc_id"])

@@ -45,10 +45,10 @@ def canonical_roots(names_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     eligible = names_ds.map_batches(
         lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["name"]), min_len)),
         batch_format="pyarrow")
-    n = eligible.count()
-    if n <= SMALL_NAMES_LIMIT:
-        names = [r["name"] for r in eligible.take_all()]
-        return _roots_driver_side(names, threshold)
+    # one execution: fetch up to LIMIT+1 names; short result -> driver path
+    head = eligible.take(SMALL_NAMES_LIMIT + 1)
+    if len(head) <= SMALL_NAMES_LIMIT:
+        return _roots_driver_side([r["name"] for r in head], threshold)
     pairs_ds = minhash_lsh_pairs(eligible, "name", "name", shingle="char",
                                  ngram=3, threshold=threshold,
                                  id_type=pa.string())

@@ -132,10 +132,12 @@ class TermLinker:
 
 
 class BigramLinker:
-    """Actor-pool stage: bigram rows (url, a, b, pos) -> canonicalized bigrams.
+    """Actor-pool stage: canonicalize the ``a`` and ``b`` columns of bigram
+    rows (other columns pass through). Rows where either side is a stopword
+    are dropped, so FOLLOWS edges always reference existing Term nodes.
 
-    Both endpoints run the same cascade; rows where either side is a stopword
-    are dropped, so FOLLOWS edges always reference existing Term nodes."""
+    Feed it per-batch SURFACE partials (kg.bigram_surface_partial) so the
+    cascade touches distinct pairs, not every corpus token."""
 
     def __init__(self, dict_ref=None, cfg: PipelineConfig = DEFAULT_CONFIG):
         self.cfg = cfg
@@ -144,12 +146,10 @@ class BigramLinker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ca, _, _, stop_a = self.cascade.apply(batch["a"])
         cb, _, _, stop_b = self.cascade.apply(batch["b"])
-        out = pa.table({
-            "url": batch["url"],
-            "a": pa.array(ca, pa.string()),
-            "b": pa.array(cb, pa.string()),
-            "pos": batch["pos"],
-        })
+        out = batch.set_column(batch.column_names.index("a"), "a",
+                               pa.array(ca, pa.string()))
+        out = out.set_column(out.column_names.index("b"), "b",
+                             pa.array(cb, pa.string()))
         return out.filter(pa.array(~(stop_a | stop_b)))
 
 

@@ -33,6 +33,13 @@ def _manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_MANIFEST.json")
 
 
+def _parquet_rows(stage_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(os.path.join(stage_dir, f)).num_rows
+               for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+
+
 def manifest_complete(stage_dir: str) -> bool:
     p = _manifest_path(stage_dir)
     if not os.path.exists(p):
@@ -67,8 +74,8 @@ def checkpoint(ds, stage_dir: str, stage: str, metrics: list | None = None,
         shutil.rmtree(stage_dir, ignore_errors=True)  # write_parquet appends
         os.makedirs(stage_dir, exist_ok=True)
         ds.write_parquet(stage_dir)
+        rows = _parquet_rows(stage_dir)  # metadata scan, no Ray execution
         out = rd.read_parquet(stage_dir)
-        rows = out.count()
         write_manifest(stage_dir, rows=rows, stage=stage, extra=extra)
         skipped = False
     else:
@@ -168,13 +175,14 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         ["confidence", "weight"]) \
         .map_batches(kg.mention_edge_final, batch_format="pyarrow")
     bigrams = ex.map_batches(bigram_rows, batch_format="pyarrow") \
+        .map_batches(kg.bigram_surface_partial, batch_format="pyarrow") \
         .map_batches(BigramLinker, fn_constructor_kwargs=linker_kwargs,
                      batch_format="pyarrow", batch_size=None,
                      concurrency=(1, cfg.link_concurrency))
     bigrams = canonicalize_column(bigrams, "a", roots)
     bigrams = canonicalize_column(bigrams, "b", roots)
     bigram_edges = grouped_aggregate(
-        bigrams.map_batches(kg.bigram_partial, batch_format="pyarrow"),
+        bigrams.map_batches(kg.bigram_weight_partial, batch_format="pyarrow"),
         ["a", "b"], [("weight", "sum")], ["weight"]) \
         .map_batches(kg.bigram_edge_final, batch_format="pyarrow")
     alias_edges = rd.from_arrow(alias_of_edges(roots))

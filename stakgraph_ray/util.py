@@ -16,3 +16,19 @@ def default_num_blocks(minimum: int = 8) -> int:
     except Exception:
         pass
     return max(minimum, 16)
+
+
+def join_num_partitions(cap: int = 32) -> int:
+    """Partition count for Dataset.join: the join spawns one aggregator
+    ACTOR per partition, so this must stay below the CPU count or the pool
+    starves the rest of the DAG (observed deadlock at 16 partitions on a
+    4-CPU cluster)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            return max(2, min(cap, cpus // 2))
+    except Exception:
+        pass
+    return 4

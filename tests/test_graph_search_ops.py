@@ -1,0 +1,96 @@
+"""Graph analytics (degrees/pagerank/importance) vs dense numpy oracle,
+plus RRF fusion and token-budget unit tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stakgraph_ray.ops.search import (fulltext_scores, rrf_fuse,
+                                      token_budget_limit)
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+
+
+def _edges_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src_key": [e[0] for e in EDGES],
+        "dst_key": [e[1] for e in EDGES],
+    }))
+
+
+def test_degrees(ray_session):
+    from stakgraph_ray.ops.graph import degrees
+
+    out = {r["node_key"]: (r["out_degree"], r["in_degree"])
+           for r in degrees(_edges_ds()).take_all()}
+    assert out == {"a": (2, 1), "b": (1, 1), "c": (1, 3), "d": (1, 0)}
+
+
+def _numpy_pagerank(nodes, edges, d=0.85, iters=10):
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, t in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    base = (1 - d) / n
+    for _ in range(iters):
+        nr = np.full(n, base)
+        for s, t in edges:
+            nr[idx[t]] += d * r[idx[s]] / max(out_deg[idx[s]], 1)
+        r = nr
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_oracle(ray_session):
+    from stakgraph_ray.ops.graph import pagerank
+
+    got = {r["node_key"]: r["rank"] for r in pagerank(_edges_ds(), iterations=10).take_all()}
+    want = _numpy_pagerank(["a", "b", "c", "d"], EDGES, iters=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # ranks of a strongly-linked node exceed a leaf
+    assert got["c"] > got["d"]
+
+
+def test_importance_tags(ray_session):
+    from stakgraph_ray.ops.graph import degrees, importance_tags, pagerank
+
+    edges = _edges_ds()
+    tags = {r["node_key"]: r["importance"]
+            for r in importance_tags(pagerank(edges), degrees(edges)).take_all()}
+    assert tags["c"] == "hub"          # highest rank -> p90
+    assert tags["d"] == "entry_point"  # in_degree 0
+
+
+def test_rrf_fusion_reference_semantics():
+    ft = [(1, 3.0), (2, 2.0), (3, 1.0)]
+    vec = [(2, 0.9), (4, 0.8)]
+    fused = rrf_fuse(ft, vec, k=60)
+    scores = dict(fused)
+    # id 2 appears in both lists -> 1.5x boost puts it first
+    assert fused[0][0] == 2
+    # manual check for id 2: ft rank 2 norm 0.5; vec rank 1 norm 1.0
+    want = ((1 / 62) * (0.5 + 0.25) + (1 / 61) * (0.5 + 0.5)) * 1.5
+    assert abs(scores[2] - want) < 1e-12
+    # only-one-list ids present, no boost
+    assert 1 in scores and 4 in scores
+    assert rrf_fuse([], []) == []
+
+
+def test_token_budget_limit():
+    items = [{"id": 1, "token_count": 40}, {"id": 2, "token_count": 50},
+             {"id": 3, "token_count": 20}]
+    kept = token_budget_limit(items, 95)
+    assert [i["id"] for i in kept] == [1, 2]
+    assert token_budget_limit(items, 10) == []
+    assert [i["id"] for i in token_budget_limit(items, 1000)] == [1, 2, 3]
+
+
+def test_fulltext_scores():
+    texts = {1: "spark join spark", 2: "join", 3: "nothing here"}
+    out = fulltext_scores(texts, ["spark", "join"])
+    assert out == [(1, 3.0), (2, 1.0)]

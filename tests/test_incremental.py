@@ -1,0 +1,77 @@
+"""Incremental re-index: only changed pages recomputed, graph stays exact."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stakgraph_ray.functions.textutils import filter_nested_spans
+
+WORKDIR = "/tmp/test_incremental"
+
+
+def _pages(texts: dict[str, str]) -> pa.Table:
+    urls = sorted(texts)
+    n = len(urls)
+    ts = pa.array(np.arange(n).astype("datetime64[us]"))
+    html = [f"<p>{texts[u]}</p>".encode() for u in urls]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": ts,
+        "html": pa.array(html, pa.large_binary()),
+        "text": pa.array([texts[u] for u in urls], pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+
+
+BASE = {
+    "https://x.org/a": "spark join table",
+    "https://x.org/b": "merge sort key",
+    "https://x.org/c": "the batch stream",
+}
+
+
+def test_incremental_update(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.stages.incremental import changed_urls, incremental_update
+    from stakgraph_ray.stages.materialize import build_graph_materialized
+
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    build_graph_materialized(rd.from_arrow(_pages(BASE)), WORKDIR)
+
+    # unchanged corpus -> zero changed urls, all stages skipped
+    out = incremental_update(rd.from_arrow(_pages(BASE)), WORKDIR)
+    assert out["n_changed"] == 0
+    assert all(m.get("skipped") for m in out["metrics"]
+               if m["stage"] in ("extract", "link", "nodes", "edges"))
+
+    # change one page -> only that url re-extracted; graph == full rebuild
+    new = dict(BASE)
+    new["https://x.org/b"] = "merge sort key vector"
+    changed = changed_urls(rd.from_arrow(_pages(new)), WORKDIR)
+    assert changed == {"https://x.org/b"}
+
+    out2 = incremental_update(rd.from_arrow(_pages(new)), WORKDIR)
+    assert out2["n_changed"] == 1
+    inc_edges = out2["edges"].to_pandas()
+
+    shutil.rmtree(WORKDIR + "_full", ignore_errors=True)
+    full = build_graph_materialized(rd.from_arrow(_pages(new)), WORKDIR + "_full")
+    full_edges = full["edges"].to_pandas()
+
+    key = ["src_key", "edge_type", "dst_key", "weight"]
+    a = inc_edges[key].sort_values(key).reset_index(drop=True).fillna(-1)
+    b = full_edges[key].sort_values(key).reset_index(drop=True).fillna(-1)
+    assert a.equals(b)
+
+
+def test_filter_nested_spans():
+    starts = np.array([0, 2, 2, 10, 12, 0], dtype=np.int64)
+    ends = np.array([8, 5, 5, 20, 15, 8], dtype=np.int64)
+    keep = filter_nested_spans(starts, ends)
+    # [0,8) kept; [2,5) nested x2 dropped; [10,20) kept; [12,15) nested;
+    # duplicate [0,8) dropped
+    assert list(keep) == [True, False, False, True, False, False]
+    assert list(filter_nested_spans(np.array([], np.int64), np.array([], np.int64))) == []
