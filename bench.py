@@ -53,7 +53,17 @@ def run_headline(sf_dir: str) -> dict:
     read_pages(sf_dir).count()
 
     t0 = time.time()
-    build_graph_materialized(read_pages(sf_dir, replicate=replicate), out_dir)
+    if os.environ.get("BENCH_LAZY"):
+        # single-consumer lazy DAG (fewer execution barriers; branches
+        # recompute the extract stage) — used for the scaling measurement
+        from stakgraph_ray.pipelines.kg import build_graph
+
+        g = build_graph(read_pages(sf_dir, replicate=replicate))
+        os.makedirs(out_dir, exist_ok=True)
+        g["nodes"].write_parquet(f"{out_dir}/nodes")
+        g["edges"].write_parquet(f"{out_dir}/edges")
+    else:
+        build_graph_materialized(read_pages(sf_dir, replicate=replicate), out_dir)
     dt = time.time() - t0
 
     import duckdb
@@ -117,18 +127,71 @@ def run_child(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def run_rich_child(ncpu: int, n_pages: int, rep: int) -> float:
+    """Compute-bound scaling probe: the typed triple-extraction pipeline
+    over the tiled annotated corpus (identical input at both levels)."""
+    code = f"""
+import os, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import ray, pyarrow as pa, pyarrow.compute as pc
+ray.init(address="local", num_cpus={ncpu}, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd, pyarrow.parquet as pq, os.path as op
+from stakgraph_ray.sources.synth import generate_rich_pages
+from stakgraph_ray.pipelines.rich import build_rich_triples
+N, R = {n_pages}, {rep}
+path = f"/tmp/rich_pages_{{N}}.parquet"
+if not op.exists(path):
+    pages, _ = generate_rich_pages(N)
+    pq.write_table(pages, path)
+def tile(t):
+    copies = [t]
+    for k in range(1, R):
+        copies.append(t.set_column(t.column_names.index("url"), "url",
+            pc.binary_join_element_wise(t["url"], pa.scalar(f"?v={{k}}"), pa.scalar(""))))
+    return pa.concat_tables(copies)
+ds = rd.read_parquet(path, override_num_blocks=64).map_batches(tile, batch_format="pyarrow")
+ds.count()
+t0 = time.time()
+triples, roots = build_rich_triples(ds)
+triples.count()
+print(time.time() - t0)
+ray.shutdown()
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True).stdout
+    return float(out.strip().splitlines()[-1])
+
+
 def scaling():
+    """Two-level scaling evidence (sandbox stand-in for N vs 4N nodes):
+    1. compute-bound flagship (typed triple extraction over a tiled
+       annotated corpus, same input both levels)
+    2. shuffle-heavy full KG build (documents-derived corpus, tiled)"""
     lo, hi = 8, 32
+    n_pages = int(os.environ.get("BENCH_RICH_PAGES", "400000"))
+    rep = int(os.environ.get("BENCH_RICH_REP", "16"))
+    rich_lo = run_rich_child(lo, n_pages, rep)
+    rich_hi = run_rich_child(hi, n_pages, rep)
+    rich_eff = (rich_lo / rich_hi) / (hi / lo)
+    total_pages = n_pages * rep
+
     r_lo = run_child(lo)
     r_hi = run_child(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "replicate": int(os.environ.get("BENCH_REPLICATE", "8")),
-        "sec_8": t_lo, "sec_32": t_hi,
-        "triples_per_sec_8": r_lo["triples_per_sec"],
-        "triples_per_sec_32": r_hi["triples_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "rich_pages": total_pages,
+        "rich_sec_8": round(rich_lo, 1), "rich_sec_32": round(rich_hi, 1),
+        "rich_pages_per_sec_8": round(total_pages / rich_lo),
+        "rich_pages_per_sec_32": round(total_pages / rich_hi),
+        "rich_scaling_efficiency": round(rich_eff, 3),
+        "kg_replicate": int(os.environ.get("BENCH_REPLICATE", "8")),
+        "kg_sec_8": t_lo, "kg_sec_32": t_hi,
+        "kg_triples_per_sec_8": r_lo["triples_per_sec"],
+        "kg_triples_per_sec_32": r_hi["triples_per_sec"],
+        "kg_scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }))
 

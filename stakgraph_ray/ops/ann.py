@@ -12,6 +12,8 @@ tested against the brute-force oracle in tests/test_ann.py."""
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import numpy as np
 import pyarrow as pa
 
@@ -101,7 +103,7 @@ class ProbedScorer:
 
 def knn_lsh(ds, query_table: pa.Table, k: int = 5, n_bits: int = 6,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            concurrency=(1, 4), radius: int = 2):
+            concurrency=None, radius: int = 2):
     """LSH-bucketed approximate top-k: (query_id, neighbor_id, cos).
 
     Defaults (6 bits, Hamming-2 probes) measured on the synthetic random
@@ -111,6 +113,7 @@ def knn_lsh(ds, query_table: pa.Table, k: int = 5, n_bits: int = 6,
     clustered data to prune harder."""
     from .relational import broadcast
 
+    concurrency = concurrency or _pool()
     qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
     dim = qm.shape[1]
     qm_n = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)

@@ -113,6 +113,54 @@ def pagerank(edges_ds, damping: float = 0.85, iterations: int = 10,
     return ranks
 
 
+def bfs_reachable(edges_ds, sources: list[str], max_depth: int = 3):
+    """Frontier-expansion BFS over the edge table: nodes reachable from
+    ``sources`` within ``max_depth`` hops (the get_map/shortest-path shape,
+    /root/reference/mcp/src/graph/queries.ts:635-700, 837-855).
+
+    Each hop = one broadcast-semi-join over the edges (frontier is small;
+    edges never move). Returns (node_key, depth) with the minimal depth."""
+    import pyarrow as pa
+
+    from .relational import broadcast
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({"src_key": pc.cast(t["src_key"], pa.string()),
+                            "dst_key": pc.cast(t["dst_key"], pa.string())}),
+        batch_format="pyarrow").materialize()
+
+    seen: dict[str, int] = {s: 0 for s in sources}
+    frontier = set(sources)
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        ref = broadcast(sorted(frontier))
+
+        class Expand:
+            def __init__(self, ref):
+                from .relational import _resolve
+
+                self.frontier = pa.array(sorted(set(_resolve(ref))))
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                hit = t.filter(pc.is_in(t["src_key"], value_set=self.frontier))
+                return hit.select(["dst_key"])
+
+        nexts = edges.map_batches(Expand, fn_constructor_kwargs={"ref": ref},
+                                  batch_format="pyarrow")
+        reached = {r["dst_key"] for r in nexts.take_all()}
+        frontier = {n for n in reached if n not in seen}
+        for n in frontier:
+            seen[n] = depth
+    items = sorted(seen.items())
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "node_key": pa.array([k for k, _ in items], pa.string()),
+        "depth": pa.array([d for _, d in items], pa.int64()),
+    }))
+
+
 def importance_tags(pagerank_ds, degrees_ds, num_partitions: int | None = None):
     """Percentile-threshold importance tags (cf. detector.ts:54-120):
     p90 pagerank -> 'hub'; in>0 & out==0 -> 'sink'; out>0 & in==0 ->

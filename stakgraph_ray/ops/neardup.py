@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -109,9 +111,10 @@ def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, n_perms: int = 64,
                       n_bands: int = 16, ngram: int = 3,
-                      threshold: float = 0.7, concurrency=(1, 4),
+                      threshold: float = 0.7, concurrency=None,
                       shingle: str = "token", id_type=pa.int64()):
     """-> distinct verified candidate pairs Dataset (a < b)."""
+    concurrency = concurrency or _pool()
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
@@ -201,7 +204,7 @@ def minhash_lsh_clusters(ds, id_col: str, text_col: str, max_pairs: int = 2_000_
                              "cluster_id": pa.array(cl)})
 
     return ds.map_batches(AssignCluster, fn_constructor_kwargs={"ref": ref},
-                          batch_format="pyarrow", concurrency=(1, 4))
+                          batch_format="pyarrow", concurrency=_pool())
 
 
 class SimHashStage:

@@ -15,6 +15,8 @@ Scale policy:
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -54,7 +56,8 @@ class BroadcastJoiner:
 
 
 def broadcast_join(ds, right: pa.Table, keys, right_keys=None,
-                   join_type="inner", concurrency=(1, 4)):
+                   join_type="inner", concurrency=None):
+    concurrency = concurrency or _pool()
     ref = broadcast(right)
     return ds.map_batches(
         BroadcastJoiner, fn_constructor_kwargs={
@@ -81,14 +84,16 @@ class KeySetFilter:
         return batch.filter(mask)
 
 
-def semi_join(ds, column: str, keys, concurrency=(1, 4)):
+def semi_join(ds, column: str, keys, concurrency=None):
+    concurrency = concurrency or _pool()
     return ds.map_batches(KeySetFilter,
                           fn_constructor_kwargs={"keys_ref": broadcast(keys),
                                                  "column": column, "keep": True},
                           batch_format="pyarrow", concurrency=concurrency)
 
 
-def anti_join(ds, column: str, keys, concurrency=(1, 4)):
+def anti_join(ds, column: str, keys, concurrency=None):
+    concurrency = concurrency or _pool()
     return ds.map_batches(KeySetFilter,
                           fn_constructor_kwargs={"keys_ref": broadcast(keys),
                                                  "column": column, "keep": False},
@@ -183,7 +188,8 @@ class AsofJoiner:
 
 
 def asof_join(ds, right: pa.Table, by: str, left_on: str, right_on: str,
-              value_cols: list[str], concurrency=(1, 4)):
+              value_cols: list[str], concurrency=None):
+    concurrency = concurrency or _pool()
     ref = broadcast(right)
     return ds.map_batches(AsofJoiner,
                           fn_constructor_kwargs={"right_ref": ref, "by": by,

@@ -17,6 +17,8 @@ to_pandas (small results only).
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -267,7 +269,7 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     linked = mentions.map_batches(
         TermLinker, fn_constructor_kwargs=linker_kwargs,
         batch_format="pyarrow", batch_size=None,
-        concurrency=(1, cfg.link_concurrency))
+        concurrency=_pool())
 
     # --- nodes -------------------------------------------------------------
     page_nodes = extracted.map_batches(page_node_rows, batch_format="pyarrow")
@@ -309,7 +311,7 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     bigrams = bigrams.map_batches(
         BigramLinker, fn_constructor_kwargs=linker_kwargs,
         batch_format="pyarrow", batch_size=None,
-        concurrency=(1, cfg.link_concurrency))
+        concurrency=_pool())
     bigram_agg = grouped_aggregate(
         bigrams.map_batches(bigram_weight_partial, batch_format="pyarrow"),
         ["a", "b"], [("weight", "sum")], ["weight"])

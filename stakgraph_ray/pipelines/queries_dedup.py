@@ -4,6 +4,8 @@ result (planted near-dups, see stakgraph_ray.sources.augmented)."""
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 from ..util import default_num_blocks as _nb
 
 import numpy as np
@@ -128,7 +130,7 @@ def q_simhash_fingerprints(sf_dir: str):
     return ds.map_batches(SimHashStage,
                           fn_constructor_kwargs={"id_col": "doc_id",
                                                  "text_col": "text"},
-                          batch_format="pyarrow", concurrency=(1, 4))
+                          batch_format="pyarrow", concurrency=_pool())
 
 
 def q_doc_fingerprints(sf_dir: str):

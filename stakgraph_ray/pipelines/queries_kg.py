@@ -9,6 +9,8 @@ and the SQL must agree on row count, schema and values.
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -110,7 +112,7 @@ def q_mention_edges(sf_dir: str):
     kw = make_linker_stage()
     linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
                             batch_format="pyarrow", batch_size=None,
-                            concurrency=(1, 4))
+                            concurrency=_pool())
     agg = grouped_aggregate(
         linked.map_batches(mention_edge_partial, batch_format="pyarrow"),
         ["url", "canonical"], [("confidence", "max"), ("weight", "sum")],
@@ -159,7 +161,7 @@ def q_term_nodes(sf_dir: str):
     kw = make_linker_stage()
     linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
                             batch_format="pyarrow", batch_size=None,
-                            concurrency=(1, 4))
+                            concurrency=_pool())
     d = distinct(linked.map_batches(
         lambda t: t.select(["canonical"]), batch_format="pyarrow"), ["canonical"])
 
@@ -245,7 +247,7 @@ def q_term_frequencies(sf_dir: str):
     kw = make_linker_stage()
     linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
                             batch_format="pyarrow", batch_size=None,
-                            concurrency=(1, 4))
+                            concurrency=_pool())
     out = salted_sum_count(linked, "canonical")
     return out.map_batches(lambda t: t.select(["canonical", "n"]),
                            batch_format="pyarrow")
@@ -271,7 +273,7 @@ def _follows_edges_ds(sf_dir: str):
     kw = make_linker_stage()
     ds = ds.map_batches(BigramLinker, fn_constructor_kwargs=kw,
                         batch_format="pyarrow", batch_size=None,
-                        concurrency=(1, 4))
+                        concurrency=_pool())
     return grouped_aggregate(
         ds.map_batches(bigram_weight_partial, batch_format="pyarrow"),
         ["a", "b"], [("weight", "sum")], ["weight"])
@@ -396,8 +398,33 @@ def q_term_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_reachable_from_spark(sf_dir: str):
+    """BFS reachability over the FOLLOWS graph from 'spark' within 2 hops
+    (get_map/shortest-path analog; frontier semi-join per hop)."""
+    from ..ops.graph import bfs_reachable
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: pa.table({"src_key": t["a"], "dst_key": t["b"]}),
+        batch_format="pyarrow")
+    return bfs_reachable(edges, ["spark"], max_depth=2)
+
+
+SQL_REACHABLE = _FOLLOWS_CTE + """
+, d0 as (select 'spark' as node_key, 0 as depth),
+d1 as (select distinct b as node_key, 1 as depth from p
+       where a = 'spark' and b != 'spark'),
+d2 as (select distinct y.b as node_key, 2 as depth
+       from p x join p y on x.b = y.a
+       where x.a = 'spark' and y.b != 'spark'
+         and y.b not in (select node_key from d1)),
+u as (select * from d0 union all select * from d1 union all select * from d2)
+select node_key, cast(min(depth) as bigint) as depth from u group by node_key
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
+    "kg_reachable_from_spark": (q_reachable_from_spark, SQL_REACHABLE),
     "kg_two_hop": (q_two_hop, SQL_TWO_HOP),
     "kg_term_degrees": (q_term_degrees, SQL_TERM_DEGREES),
     "kg_host_coverage": (q_host_coverage, SQL_HOST_COVERAGE),

@@ -4,6 +4,8 @@ oracle."""
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -443,7 +445,7 @@ def q_knn_bruteforce(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     scored = ds.map_batches(Scorer, fn_constructor_kwargs={"ref": ref},
-                            batch_format="pyarrow", concurrency=(1, 4))
+                            batch_format="pyarrow", concurrency=_pool())
 
     def topk(g: pa.Table) -> pa.Table:
         return g.sort_by([("cos", "descending"), ("neighbor_id", "ascending")]).slice(0, 5)

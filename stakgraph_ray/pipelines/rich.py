@@ -11,6 +11,8 @@ context + a second canonicalization pass, cf. SURVEY.md §7.4).
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import re
 
 import pyarrow as pa
@@ -108,22 +110,39 @@ class RichTripleExtractor:
         })
 
 
+_SINGLETON: dict = {}
+
+
+def _rich_extract_batch(batch: pa.Table) -> pa.Table:
+    """Per-worker-process lazy extractor singleton (cf. the reference's
+    OnceCell/DashMap query cache, ast/src/lang/mod.rs:55)."""
+    ex = _SINGLETON.get("extractor")
+    if ex is None:
+        ex = RichTripleExtractor()
+        _SINGLETON["extractor"] = ex
+    return ex(batch)
+
+
 def build_rich_triples(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                        canon_threshold: float = 0.8):
     """pages -> (distinct linked triples Dataset, lsh_roots dict)."""
-    from ray.data.aggregate import Max
-
     from ..ops.dedup import distinct
-    from ..ops.relational import broadcast
     from ..stages.canonicalize import canonical_roots, canonicalize_column
 
     extracted = pages_ds.map_batches(ExtractTextStage(cfg),
                                      batch_format="pyarrow",
                                      batch_size=cfg.batch_size)
-    ref = broadcast(entity_dictionary())
+    # Task-pool stage with a per-worker-process lazy singleton (NOT an actor
+    # pool): the pattern bank costs ~1ms to build, so elastic tasks that
+    # share CPUs with the upstream extract stage beat a fixed actor pool
+    # that statically partitions the cluster (measured: a 30-actor pool left
+    # 2 CPUs for the upstream tasks and capped scaling).
     triples = extracted.map_batches(
-        RichTripleExtractor, fn_constructor_kwargs={"dict_ref": ref},
-        batch_format="pyarrow", concurrency=(1, cfg.extract_concurrency))
+        _rich_extract_batch, batch_format="pyarrow", batch_size=None)
+    # three consumers below (names, rewrite, final agg): pin the raw triple
+    # table once (tiny relative to the corpus) instead of re-running the
+    # extraction per consumer
+    triples = triples.materialize()
 
     # second pass: LSH-merge residual surface variants (e.g. "... Corp")
     names = distinct(
@@ -136,8 +155,15 @@ def build_rich_triples(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     triples = canonicalize_column(triples, "subj", roots)
     triples = canonicalize_column(triples, "obj", roots)
 
-    agg = triples.groupby(["subj", "pred", "obj"]).aggregate(
-        Max("confidence", alias_name="confidence"))
+    from ..ops.partition import grouped_aggregate
+
+    partial = triples.map_batches(
+        lambda t: t.group_by(["subj", "pred", "obj"])
+                   .aggregate([("confidence", "max")])
+                   .rename_columns(["subj", "pred", "obj", "confidence"]),
+        batch_format="pyarrow")
+    agg = grouped_aggregate(partial, ["subj", "pred", "obj"],
+                            [("confidence", "max")], ["confidence"])
     return agg, roots
 
 

@@ -20,6 +20,8 @@ Guard rails:
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -96,13 +98,17 @@ class CanonicalMapper:
     def __call__(self, t: pa.Table) -> pa.Table:
         if not self.roots:
             return t
-        vals = t[self.column].to_pylist()
-        mapped = pa.array([self.roots.get(v, v) for v in vals], pa.string())
-        return t.set_column(t.column_names.index(self.column), self.column, mapped)
+        import pandas as pd
+
+        s = t[self.column].to_pandas()
+        mapped = s.map(self.roots).fillna(s)  # vectorized dict map
+        return t.set_column(t.column_names.index(self.column), self.column,
+                            pa.array(mapped.values, pa.string()))
 
 
 def canonicalize_column(ds, column: str, roots: dict[str, str],
-                        concurrency=(1, 4)):
+                        concurrency=None):
+    concurrency = concurrency or _pool()
     from ..ops.relational import broadcast
 
     if not roots:

@@ -24,6 +24,8 @@ read only the columns it needs.
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import json
 import os
 import time
@@ -133,7 +135,7 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
         .map_batches(TermLinker, fn_constructor_kwargs=linker_kwargs,
                      batch_format="pyarrow", batch_size=None,
-                     concurrency=(1, cfg.link_concurrency))
+                     concurrency=_pool())
     li = checkpoint(linked, os.path.join(workdir, "linked"), "link", metrics)
 
     # ---- stage 3: canonicalization (LSH merge over distinct names) --------
@@ -178,7 +180,7 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         .map_batches(kg.bigram_surface_partial, batch_format="pyarrow") \
         .map_batches(BigramLinker, fn_constructor_kwargs=linker_kwargs,
                      batch_format="pyarrow", batch_size=None,
-                     concurrency=(1, cfg.link_concurrency))
+                     concurrency=_pool())
     bigrams = canonicalize_column(bigrams, "a", roots)
     bigrams = canonicalize_column(bigrams, "b", roots)
     bigram_edges = grouped_aggregate(

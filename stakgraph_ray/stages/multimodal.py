@@ -16,6 +16,8 @@ Synthetic container formats (little-endian):
 
 from __future__ import annotations
 
+from ..util import pool_size as _pool
+
 import struct
 
 import numpy as np
@@ -146,10 +148,11 @@ class ImageFeatureStage:
         })
 
 
-def media_features(sf_dir: str, concurrency=(1, 4), batch_size: int = 64):
+def media_features(sf_dir: str, concurrency=None, batch_size: int = 64):
     """Dataset pipeline: synthetic media table -> decoded feature vectors."""
     import ray.data as rd
 
+    concurrency = concurrency or _pool()
     ds = rd.from_arrow(synth_media_table(sf_dir))
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)

@@ -32,3 +32,35 @@ def join_num_partitions(cap: int = 32) -> int:
     except Exception:
         pass
     return 4
+
+
+def pool_size(frac: float = 1.0, cap: int = 8) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds (1, N): N scales with the cluster CPUs
+    (leaving headroom for read/write tasks) instead of a hard-coded 4 —
+    a fixed pool size silently caps stage throughput at high CPU counts.
+    Capped at 8: these stages are vectorized (cheap per batch), so beyond
+    ~8 actors the pool's startup cost outweighs added throughput."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            return (1, max(2, min(cap, int((cpus - 2) * frac))))
+    except Exception:
+        pass
+    return (1, 4)
+
+
+def fixed_pool(frac: float = 1.0, cap: int = 64, reserve: int = 2) -> int:
+    """Fixed-size actor pool for CPU-bound stages: all actors start up
+    front (autoscaling (1,N) pools ramp too slowly for short stages).
+    Leaves ``reserve`` CPUs for read/write tasks."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            return max(2, min(cap, int((cpus - reserve) * frac)))
+    except Exception:
+        pass
+    return 4
