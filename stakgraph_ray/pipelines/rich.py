@@ -110,17 +110,14 @@ class RichTripleExtractor:
         })
 
 
-_SINGLETON: dict = {}
-
-
 def _rich_extract_batch(batch: pa.Table) -> pa.Table:
-    """Per-worker-process lazy extractor singleton (cf. the reference's
-    OnceCell/DashMap query cache, ast/src/lang/mod.rs:55)."""
-    ex = _SINGLETON.get("extractor")
-    if ex is None:
-        ex = RichTripleExtractor()
-        _SINGLETON["extractor"] = ex
-    return ex(batch)
+    """Per-language routed extraction (per-worker-process stack cache,
+    cf. the reference's OnceCell/DashMap query cache, ast/src/lang/mod.rs:55,
+    and language routing repo.rs:368-515): only pages whose lang has a
+    registered stack yield typed triples."""
+    from ..stages.registry import route_extract
+
+    return route_extract(batch)
 
 
 def build_rich_triples(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,

@@ -98,6 +98,26 @@ def generate_rich_pages(n_pages: int = 300, seed: int = 42):
         sents: list[str] = []
         page_persons: list[str] = []
 
+        if i % 25 == 24:
+            # routing gate: an English-pattern sentence on a NON-English
+            # page must NOT be extracted (no 'de' stack registered by
+            # default, cf. language routing ast/src/repo.rs:368-515);
+            # nothing from this page enters the golden set
+            o = rng.choice(orgs)
+            sents = [rng.choice(FILLERS),
+                     f"{rng.choice(persons)} works at {rng.choice(ORGS[o])}."]
+            text = " ".join(sents)
+            body = html_mod.escape(text)
+            html = (f"<html><head><title>Page {i}</title></head>\n"
+                    f"<body><div><p>{body}</p></div>\n"
+                    f"<a href=\"https://{host}/\"></a></body></html>")
+            urls.append(url)
+            tss.append(i)
+            htmls.append(html.encode("utf-8"))
+            texts.append(text)
+            langs.append("de")
+            continue
+
         for _ in range(rng.randint(3, 7)):
             kind = rng.randrange(10)
             if kind <= 1:      # FOUNDED
