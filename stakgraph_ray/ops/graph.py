@@ -74,6 +74,14 @@ def pagerank(edges_ds, damping: float = 0.85, iterations: int = 10,
         lambda t: pa.table({"node_key": t["node_key"],
                             "out_degree": t["out_degree"]}),
         batch_format="pyarrow").materialize()
+    # nodes with no in-edges always sit at the teleport-only rank —
+    # precomputed once from degrees instead of a per-iteration driver pass
+    _teleport_only = nodes.map_batches(
+        lambda t: t.filter(pc.equal(t["in_degree"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"node_key": t["node_key"],
+                            "rank": pa.array(np.full(t.num_rows, base))}),
+        batch_format="pyarrow").materialize()
 
     for _ in range(iterations):
         r = ranks.join(out_deg, join_type="inner", num_partitions=num_partitions,
@@ -100,16 +108,7 @@ def pagerank(edges_ds, damping: float = 0.85, iterations: int = 10,
                                pc.multiply(pa.scalar(damping),
                                            pc.cast(t["contrib"], pa.float64())))}),
             batch_format="pyarrow")
-        # nodes with no in-edges fall back to the teleport-only rank
-        received = set(r2["node_key"] for r2 in new_ranks.select_columns(["node_key"]).take_all())
-        missing = nodes.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(t["node_key"],
-                                                  value_set=pa.array(sorted(received))))),
-            batch_format="pyarrow").map_batches(
-            lambda t: pa.table({"node_key": t["node_key"],
-                                "rank": pa.array(np.full(t.num_rows, base))}),
-            batch_format="pyarrow")
-        ranks = new_ranks.union(missing).materialize()
+        ranks = new_ranks.union(_teleport_only).materialize()
     return ranks
 
 
