@@ -145,8 +145,11 @@ def bfs_reachable(edges_ds, sources: list[str], max_depth: int = 3):
                 hit = t.filter(pc.is_in(t["src_key"], value_set=self.frontier))
                 return hit.select(["dst_key"])
 
+        from ..util import pool_size
+
         nexts = edges.map_batches(Expand, fn_constructor_kwargs={"ref": ref},
-                                  batch_format="pyarrow")
+                                  batch_format="pyarrow",
+                                  concurrency=pool_size())
         reached = {r["dst_key"] for r in nexts.take_all()}
         frontier = {n for n in reached if n not in seen}
         for n in frontier:
