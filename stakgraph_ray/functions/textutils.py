@@ -99,7 +99,9 @@ def explode_tokens(text: pa.Array | pa.ChunkedArray):
     total = int(counts.sum())
     starts_of_row = np.concatenate(([0], np.cumsum(counts)[:-1])) if len(counts) else np.empty(0, dtype="int64")
     pos = np.arange(total, dtype="int64") - np.repeat(starts_of_row, counts)
-    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+    # utf8_length = CHARACTER counts (the documented contract); binary_length
+    # would yield byte offsets that disagree on multibyte text
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype("int64")
     # char start = cumsum of (len+1) of previous tokens within the row
     adv = lens + 1
     g = np.cumsum(adv) - adv  # global exclusive cumsum

@@ -108,7 +108,7 @@ def page_node_rows(batch: pa.Table) -> pa.Table:
         n, "Page", batch["url"], batch["url"],
         body=pc.cast(text, pa.large_string()),
         start=pa.array(np.zeros(n, dtype="int64")),
-        end=pc.cast(pc.binary_length(text), pa.int64()),
+        end=pc.cast(pc.utf8_length(text), pa.int64()),  # char offsets (contract)
         hash_=batch["text_sha256"],
         meta_json=meta,
     )

@@ -95,11 +95,16 @@ def node_key(node_type: str, name: str, file: str, start: int | None = None,
     return "-".join(parts)[:MAX_KEY_LEN]
 
 
-_SANITIZE_RE = r"[^a-z0-9]"
+# Unicode-aware: keep letters and numbers in ANY script (re2 \p classes),
+# matching the scalar sanitize()'s str.isalnum(). An ASCII-only class here
+# would collapse every CJK/Cyrillic/Arabic name to "" and merge all such
+# entities into one node_key — silent graph corruption on real web text.
+_SANITIZE_RE = r"[^\p{L}\p{N}]"
 
 
 def sanitize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized sanitize over an Arrow string array."""
+    """Vectorized sanitize over an Arrow string array (Unicode-aware,
+    agrees with the scalar ``sanitize``)."""
     return pc.replace_substring_regex(pc.utf8_lower(arr), _SANITIZE_RE, "")
 
 

@@ -144,13 +144,20 @@ class BigramLinker:
         self.cascade = Cascade(_resolve_dict(dict_ref), cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ca, _, _, stop_a = self.cascade.apply(batch["a"])
-        cb, _, _, stop_b = self.cascade.apply(batch["b"])
+        ca, _, strat_a, stop_a = self.cascade.apply(batch["a"])
+        cb, _, strat_b, stop_b = self.cascade.apply(batch["b"])
         out = batch.set_column(batch.column_names.index("a"), "a",
                                pa.array(ca, pa.string()))
         out = out.set_column(out.column_names.index("b"), "b",
                              pa.array(cb, pa.string()))
-        return out.filter(pa.array(~(stop_a | stop_b)))
+        drop = stop_a | stop_b
+        if not self.cfg.keep_unverified:
+            # mirror TermLinker's gate: with keep_unverified=False no Term
+            # node exists for unverified surfaces, so a FOLLOWS edge keeping
+            # them would dangle (entity_node_rows sees TermLinker output only)
+            drop |= np.asarray(strat_a == "unverified", dtype=bool)
+            drop |= np.asarray(strat_b == "unverified", dtype=bool)
+        return out.filter(pa.array(~drop))
 
 
 def make_linker_stage(cfg: PipelineConfig = DEFAULT_CONFIG, dictionary: dict | None = None):
