@@ -1,0 +1,187 @@
+"""Deterministic annotated multilingual corpus (de / fr) for the
+per-language extractor stacks.
+
+Mirrors the reference's per-language test fixtures
+(/root/reference/ast/src/testing/{go,python,react,...} — one annotated
+corpus per language, each exercised only by its own stack) on web pages:
+sentence templates embed entities from per-language closed dictionaries, so
+golden triples (and entity types / relation years) are derivable by
+construction. Seeded — byte-identical across runs.
+
+Cross-language exclusion is part of the fixture: every page carries one
+sentence in the OTHER language's pattern shape, which must NOT be extracted
+by that page's stack (cf. ONLY_LANG routing, ast/src/repo.rs:368-515).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import random
+
+import numpy as np
+import pyarrow as pa
+
+PERSONS_DE = {
+    "Johann Müller": ["Johann Müller", "J. Müller"],
+    "Greta Weiß": ["Greta Weiß"],
+    "Karl Bauer": ["Karl Bauer"],
+}
+ORGS_DE = {
+    "Beispiel Datenwerk": ["Beispiel Datenwerk", "BDW"],
+    "Nordlicht Software": ["Nordlicht Software", "Nordlicht"],
+    "Süddata Analytik": ["Süddata Analytik", "Süddata"],
+}
+PLACES_DE = {"München": ["München"], "Zürich": ["Zürich"], "Köln": ["Köln"]}
+
+PERSONS_FR = {
+    "Marie Dubois": ["Marie Dubois"],
+    "Jean Moreau": ["Jean Moreau"],
+    "Élise Laurent": ["Élise Laurent"],
+}
+ORGS_FR = {
+    "Lumière Logiciels": ["Lumière Logiciels", "Lumière"],
+    "Exemple Données": ["Exemple Données"],
+    "Réseau Azur": ["Réseau Azur", "Azur"],
+}
+PLACES_FR = {"Paris": ["Paris"], "Lyon": ["Lyon"], "Marseille": ["Marseille"]}
+
+FILLERS = {
+    "de": ["der schnelle braune fuchs springt über den faulen hund.",
+           "jeder datenstrom fließt durch die leitung."],
+    "fr": ["le renard brun rapide saute par-dessus le chien paresseux.",
+           "chaque flux de données passe par le canal."],
+}
+# the OTHER language's pattern shape — must not be extracted by this stack
+CROSS = {
+    "de": "Marie Dubois travaille chez Exemple Données.",
+    "fr": "Johann Müller arbeitet bei Nordlicht Software.",
+}
+
+TEMPLATES = {
+    "de": {
+        "FOUNDED": "{s} gründete {o} im Jahr {y}.",
+        "ACQUIRED": "{s} übernahm {o} im Jahr {y}.",
+        "WORKS_AT": "{s} arbeitet bei {o}.",
+        "LOCATED_IN": "{s} liegt in {o}.",
+    },
+    "fr": {
+        "FOUNDED": "{s} a fondé {o} en {y}.",
+        "ACQUIRED": "{s} a acquis {o} en {y}.",
+        "WORKS_AT": "{s} travaille chez {o}.",
+        "LOCATED_IN": "{s} se trouve à {o}.",
+    },
+}
+
+
+def _dict_of(persons, orgs, places) -> dict:
+    d: dict[str, tuple[str, str]] = {}
+    for canon, aliases in persons.items():
+        for a in aliases:
+            d[a] = (canon, "Person")
+    for canon, aliases in orgs.items():
+        for a in aliases:
+            d[a] = (canon, "Org")
+    for canon, aliases in places.items():
+        for a in aliases:
+            d[a] = (canon, "Place")
+    return d
+
+
+def entity_dictionary_de() -> dict:
+    return _dict_of(PERSONS_DE, ORGS_DE, PLACES_DE)
+
+
+def entity_dictionary_fr() -> dict:
+    return _dict_of(PERSONS_FR, ORGS_FR, PLACES_FR)
+
+
+_VOCAB = {"de": (PERSONS_DE, ORGS_DE, PLACES_DE),
+          "fr": (PERSONS_FR, ORGS_FR, PLACES_FR)}
+
+
+def generate_multilingual_pages(n_pages: int = 200, seed: int = 7):
+    """-> (pages table with the input_hint schema, golden dict).
+
+    golden["triples"]: {(subj, pred, obj)}; golden["years"]: {(s,p,o): min
+    year or None}; golden["types"]: {canonical: type} — all per-language
+    expectations combined (languages never share entities)."""
+    rng = random.Random(seed)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    gold: set[tuple[str, str, str]] = set()
+    years: dict[tuple[str, str, str], int | None] = {}
+    types: dict[str, str] = {}
+
+    def note(s, p, o, y, s_typ, o_typ):
+        gold.add((s, p, o))
+        if y is None:
+            years.setdefault((s, p, o), None)
+        else:
+            prev = years.get((s, p, o))
+            years[(s, p, o)] = y if prev is None else min(prev, y)
+        types.setdefault(s, s_typ)
+        types.setdefault(o, o_typ)
+
+    for i in range(n_pages):
+        lang = "de" if i % 2 == 0 else "fr"
+        persons, orgs, places = _VOCAB[lang]
+        pl_sorted = sorted(persons), sorted(orgs), sorted(places)
+        tpl = TEMPLATES[lang]
+        host = f"{lang}.example.net"
+        url = f"https://{host}/seite/{i:06d}"
+        sents = [rng.choice(FILLERS[lang])]
+        for _ in range(rng.randint(2, 5)):
+            kind = rng.randrange(8)
+            if kind <= 1:      # FOUNDED
+                p = rng.choice(pl_sorted[0])
+                o = rng.choice(pl_sorted[1])
+                y = 1950 + rng.randrange(70)
+                sents.append(tpl["FOUNDED"].format(
+                    s=rng.choice(persons[p]), o=rng.choice(orgs[o]), y=y))
+                note(p, "FOUNDED", o, y, "Person", "Org")
+            elif kind <= 3:    # ACQUIRED
+                o1, o2 = rng.sample(pl_sorted[1], 2)
+                y = 1990 + rng.randrange(30)
+                sents.append(tpl["ACQUIRED"].format(
+                    s=rng.choice(orgs[o1]), o=rng.choice(orgs[o2]), y=y))
+                note(o1, "ACQUIRED", o2, y, "Org", "Org")
+            elif kind <= 5:    # WORKS_AT
+                p = rng.choice(pl_sorted[0])
+                o = rng.choice(pl_sorted[1])
+                sents.append(tpl["WORKS_AT"].format(
+                    s=rng.choice(persons[p]), o=rng.choice(orgs[o])))
+                note(p, "WORKS_AT", o, None, "Person", "Org")
+            elif kind == 6:    # LOCATED_IN
+                o = rng.choice(pl_sorted[1])
+                pl = rng.choice(pl_sorted[2])
+                sents.append(tpl["LOCATED_IN"].format(
+                    s=rng.choice(orgs[o]), o=rng.choice(places[pl])))
+                note(o, "LOCATED_IN", pl, None, "Org", "Place")
+            else:              # unverified stub (unknown entity)
+                o = rng.choice(pl_sorted[1])
+                stub = f"Zorbix{i % 4}"
+                sents.append(tpl["WORKS_AT"].format(
+                    s=stub, o=rng.choice(orgs[o])))
+                note(stub, "WORKS_AT", o, None, "Person", "Org")
+        sents.append(CROSS[lang])  # cross-language exclusion probe
+
+        text = " ".join(sents)
+        body = html_mod.escape(text)
+        html = (f"<html><head><title>Seite {i}</title></head>\n"
+                f"<body><div><p>{body}</p></div>\n"
+                f"<a href=\"https://{host}/\"></a></body></html>")
+        urls.append(url)
+        tss.append(i)
+        htmls.append(html.encode("utf-8"))
+        texts.append(text)
+        langs.append(lang)
+
+    epoch = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    pages = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array((epoch + np.array(tss, dtype="int64") * 1_000_000)
+                            .astype("datetime64[us]")),
+        "html": pa.array(htmls, pa.large_binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    return pages, {"triples": gold, "years": years, "types": types}

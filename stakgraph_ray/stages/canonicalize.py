@@ -106,17 +106,37 @@ class CanonicalMapper:
                             pa.array(mapped.values, pa.string()))
 
 
-def canonicalize_column(ds, column: str, roots: dict[str, str],
-                        concurrency=None):
-    concurrency = concurrency or _pool()
-    from ..ops.relational import broadcast
-
+def canonicalize_columns(ds, columns: list[str], roots: dict[str, str]):
+    """Rewrite several columns through the broadcast canonical dict in ONE
+    task-pool stage (a per-column actor pool would pay pool startup per
+    column and statically partition the cluster; the roots dict is tiny so a
+    closure + per-batch object-store get is cheaper)."""
     if not roots:
         return ds
-    return ds.map_batches(CanonicalMapper,
-                          fn_constructor_kwargs={"roots_ref": broadcast(roots),
-                                                 "column": column},
-                          batch_format="pyarrow", concurrency=concurrency)
+    from ..ops.relational import broadcast
+
+    ref = broadcast(roots)
+    cols = tuple(columns)
+
+    def rewrite(t: pa.Table, _ref=ref, _cols=cols) -> pa.Table:
+        from ..ops.relational import _resolve
+
+        rd_ = _resolve(_ref)
+        import pandas as pd
+
+        for col in _cols:
+            s = t[col].to_pandas()
+            mapped = s.map(rd_).fillna(s)  # vectorized dict map
+            t = t.set_column(t.column_names.index(col), col,
+                             pa.array(mapped.values, pa.string()))
+        return t
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def canonicalize_column(ds, column: str, roots: dict[str, str],
+                        concurrency=None):
+    return canonicalize_columns(ds, [column], roots)
 
 
 def alias_of_edges(roots: dict[str, str]) -> pa.Table:

@@ -188,7 +188,44 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         ["a", "b"], [("weight", "sum")], ["weight"]) \
         .map_batches(kg.bigram_edge_final, batch_format="pyarrow")
     alias_edges = rd.from_arrow(alias_of_edges(roots))
-    edges = struct_edges.union(link_edges, mention_edges, bigram_edges, alias_edges)
+
+    # ---- stage 4b: typed entity graph (per-language routed extraction) ----
+    # Person/Org/Place nodes + FOUNDED/ACQUIRED/... edges merged into the one
+    # graph product (cf. ast/src/builder/core.rs:48-235); the relation year
+    # attribute rides in edge.operand. Corpora without relation patterns
+    # contribute zero rows at the cost of one regex pass over extracted text.
+    from ..pipelines.rich import (_partial_agg, _TRIPLE_AGG_SPEC,
+                                  entity_types_table, typed_graph_tables)
+    from ..stages.registry import make_router
+    from ..stages.canonicalize import canonicalize_columns
+
+    t0 = time.time()
+    typed = ex.map_batches(make_router(), batch_format="pyarrow",
+                           batch_size=None) \
+        .map_batches(_partial_agg, batch_format="pyarrow")
+    typed = typed.materialize()  # consumers: names pass + rewrite
+    typed_names = distinct(typed.map_batches(
+        lambda t: pa.table({"name": pa.concat_tables(
+            [pa.table({"name": t["subj"]}), pa.table({"name": t["obj"]})])["name"]
+            .combine_chunks()}),
+        batch_format="pyarrow"), ["name"])
+    # typed entity names canonicalize in their OWN namespace (separate LSH
+    # pass from the token-vocabulary roots above)
+    troots = canonical_roots(typed_names, cfg)
+    typed = canonicalize_columns(typed, ["subj", "obj"], troots)
+    spec, out_names = _TRIPLE_AGG_SPEC
+    typed = grouped_aggregate(typed, ["subj", "pred", "obj"], spec, out_names)
+    typed = typed.materialize()  # two consumers: types pass + node/edge rows
+    n_typed = typed.count()
+    metrics.append({"stage": "typed_extract", "rows": n_typed,
+                    "sec": round(time.time() - t0, 3), "skipped": False})
+    edges = struct_edges.union(link_edges, mention_edges, bigram_edges,
+                               alias_edges)
+    if n_typed:  # corpora without relation patterns contribute nothing
+        etypes = entity_types_table(typed)
+        typed_nodes, typed_edges = typed_graph_tables(typed, etypes)
+        nodes = nodes.union(typed_nodes)
+        edges = edges.union(typed_edges)
 
     nodes_out = checkpoint(nodes, os.path.join(workdir, "nodes"), "nodes", metrics)
     edges_out = checkpoint(edges, os.path.join(workdir, "edges"), "edges", metrics)

@@ -10,68 +10,95 @@ yield no typed triples (they still flow through the token-level pipeline).
 Register a stack per language:
 
     from stakgraph_ray.stages.registry import register_stack
-    register_stack("de", MyGermanExtractorFactory)
+    register_stack("xx", MyExtractorFactory)
 
 Factories are zero-arg callables returning an extractor with the batch
 ``__call__(pa.Table) -> pa.Table`` contract; instances are cached per
 worker process (built once, like the reference's query cache).
+
+IMPORTANT — Ray worker processes re-import this module and only see the
+DEFAULT stacks: a driver-side ``register_stack`` call does not travel.
+Pipelines must snapshot the table with ``make_router()`` (driver side) and
+pass the returned batch fn to ``map_batches`` — the snapshot ships with the
+function, and instances are still cached per worker process.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
+from .stacks import TRIPLES_SCHEMA
 
 _FACTORIES: dict[str, object] = {}
-_INSTANCES: dict[str, object] = {}
+# instance cache keyed by (lang, factory): a snapshot shipped to a worker
+# hits the same cache entries as the worker's own defaults
+_INSTANCES: dict[tuple, object] = {}
 
-EMPTY_TRIPLES = pa.schema([
-    pa.field("url", pa.string()),
-    pa.field("subj", pa.string()),
-    pa.field("pred", pa.string()),
-    pa.field("obj", pa.string()),
-    pa.field("confidence", pa.float32()),
-    pa.field("strategy", pa.string()),
-]).empty_table()
+EMPTY_TRIPLES = TRIPLES_SCHEMA.empty_table()
 
 
 def register_stack(lang: str, factory) -> None:
     _FACTORIES[lang] = factory
-    _INSTANCES.pop(lang, None)
 
 
 def registered_langs() -> list[str]:
     return sorted(_FACTORIES)
 
 
-def _instance(lang: str):
-    inst = _INSTANCES.get(lang)
+def factories_snapshot() -> dict[str, object]:
+    return dict(_FACTORIES)
+
+
+def _instance(lang: str, factory):
+    key = (lang, factory)
+    inst = _INSTANCES.get(key)
     if inst is None:
-        inst = _FACTORIES[lang]()
-        _INSTANCES[lang] = inst
+        inst = factory()
+        _INSTANCES[key] = inst
     return inst
 
 
-def route_extract(batch: pa.Table) -> pa.Table:
-    """Split a pages batch by ``lang`` and run each registered stack on its
-    rows; unregistered languages contribute no triples."""
+def route_extract(batch: pa.Table, factories: dict | None = None) -> pa.Table:
+    """Split a pages batch by ``lang`` and run each stack on its rows;
+    unregistered languages contribute no triples."""
+    import pyarrow.compute as pc
+
+    facs = factories if factories is not None else _FACTORIES
     outs = []
     langs = set(pc.unique(batch["lang"]).to_pylist())
     for lang in sorted(langs):
-        if lang not in _FACTORIES:
+        factory = facs.get(lang)
+        if factory is None:
             continue
         rows = batch.filter(pc.equal(batch["lang"], lang))
-        outs.append(_instance(lang)(rows))
+        outs.append(_instance(lang, factory)(rows))
     if not outs:
         return EMPTY_TRIPLES
-    return pa.concat_tables(outs)
+    # promote: user stacks may emit a column subset (missing cols -> null)
+    outs = [EMPTY_TRIPLES] + outs
+    return pa.concat_tables(outs, promote_options="permissive")
+
+
+def make_router(factories: dict | None = None):
+    """Driver-side: snapshot the registered stacks and return a picklable
+    batch fn routing with THAT table on Ray workers (module globals do not
+    travel to worker processes — without this, a user-registered stack is
+    silently ignored in any real Ray run)."""
+    snap = dict(factories if factories is not None else _FACTORIES)
+
+    def route(batch: pa.Table) -> pa.Table:
+        return route_extract(batch, snap)
+
+    return route
 
 
 def _register_defaults() -> None:
-    from ..pipelines.rich import RichTripleExtractor
+    from .stacks import (EnglishTripleExtractor, FrenchTripleExtractor,
+                         GermanTripleExtractor)
 
-    if "en" not in _FACTORIES:
-        register_stack("en", RichTripleExtractor)
+    _FACTORIES.setdefault("en", EnglishTripleExtractor)
+    _FACTORIES.setdefault("de", GermanTripleExtractor)
+    _FACTORIES.setdefault("fr", FrenchTripleExtractor)
 
 
 _register_defaults()
