@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import default_num_blocks
 
@@ -95,3 +96,62 @@ def first_wins_hp(ds, key: str, order_by: str, num_partitions: int | None = None
 
     return partitioned_apply(
         ds, key, lambda t: first_per_key_batch(t, key, order_by), num_partitions)
+
+
+_SIDE = "_side"
+
+
+def cogroup_join_hp(left_ds, right_ds, key: str, left_schema: pa.Schema,
+                    right_schema: pa.Schema, join_type: str = "inner",
+                    num_partitions: int | None = None):
+    """Hash-partitioned equi-join via tagged union + ONE keyed shuffle +
+    per-partition pyarrow join.
+
+    Why not ``Dataset.join``: (a) it spawns one aggregator ACTOR per
+    partition (pool startup + deadlock risk at high partition counts), and
+    (b) Ray emits SCHEMA-LESS empty blocks from map stages with empty
+    outputs, which crash the hash-join aggregator ("No match for FieldRef").
+    This path shares ``partitioned_apply``'s shuffle and is robust to both.
+
+    ``left_schema`` / ``right_schema``: full column schemas including
+    ``key`` (non-key column names must be disjoint). ``join_type``:
+    pyarrow's ("inner", "left outer", ...).
+    """
+    lcols = [f.name for f in left_schema if f.name != key]
+    rcols = [f.name for f in right_schema if f.name != key]
+    assert not (set(lcols) & set(rcols)), "non-key columns must be disjoint"
+    key_type = left_schema.field(key).type
+    union_schema = pa.schema(
+        [pa.field(key, key_type)]
+        + [left_schema.field(c) for c in lcols]
+        + [right_schema.field(c) for c in rcols]
+        + [pa.field(_SIDE, pa.int8())])
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays = []
+            for fld in union_schema:
+                if fld.name == _SIDE:
+                    arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif fld.name in t.column_names:
+                    col = t[fld.name]
+                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    arrays.append(col.cast(fld.type) if col.type != fld.type else col)
+                else:
+                    arrays.append(pa.nulls(n, fld.type))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+        return f
+
+    both = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def apply(t: pa.Table) -> pa.Table:
+        side = t[_SIDE]
+        l = t.filter(pc.equal(side, 0)).select([key, *lcols])
+        r = t.filter(pc.equal(side, 1)).select([key, *rcols])
+        out = l.join(r, keys=[key], join_type=join_type)
+        # pyarrow join may reorder; restore deterministic column order
+        return out.select([key, *lcols, *rcols]).combine_chunks()
+
+    return partitioned_apply(both, key, apply, num_partitions)

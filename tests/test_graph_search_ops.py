@@ -29,6 +29,8 @@ def test_degrees(ray_session):
 
 
 def _numpy_pagerank(nodes, edges, d=0.85, iters=10):
+    """Dense oracle with dangling-mass redistribution:
+    r'(i) = (1-d)/n + d*(sum contrib + D/n)."""
     idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)
     out_deg = np.zeros(n)
@@ -37,23 +39,53 @@ def _numpy_pagerank(nodes, edges, d=0.85, iters=10):
     r = np.full(n, 1.0 / n)
     base = (1 - d) / n
     for _ in range(iters):
-        nr = np.full(n, base)
+        dmass = r[out_deg == 0].sum()
+        nr = np.full(n, base + d * dmass / n)
         for s, t in edges:
             nr[idx[t]] += d * r[idx[s]] / max(out_deg[idx[s]], 1)
         r = nr
     return {nodes[i]: r[i] for i in range(n)}
 
 
-def test_pagerank_matches_numpy_oracle(ray_session):
+DANGLING_EDGES = [("a", "b"), ("b", "c"), ("a", "c")]  # c has no out-edges
+
+
+def _ds_of(edges):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src_key": [e[0] for e in edges],
+        "dst_key": [e[1] for e in edges],
+    }))
+
+
+@pytest.mark.parametrize("local_limit", [100_000, 0])
+def test_pagerank_matches_numpy_oracle(ray_session, local_limit):
     from stakgraph_ray.ops.graph import pagerank
 
-    got = {r["node_key"]: r["rank"] for r in pagerank(_edges_ds(), iterations=10).take_all()}
+    got = {r["node_key"]: r["rank"]
+           for r in pagerank(_edges_ds(), iterations=10,
+                             local_limit=local_limit).take_all()}
     want = _numpy_pagerank(["a", "b", "c", "d"], EDGES, iters=10)
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
     # ranks of a strongly-linked node exceed a leaf
     assert got["c"] > got["d"]
+
+
+@pytest.mark.parametrize("local_limit", [100_000, 0])
+def test_pagerank_dangling_mass_redistributed(ray_session, local_limit):
+    from stakgraph_ray.ops.graph import pagerank
+
+    got = {r["node_key"]: r["rank"]
+           for r in pagerank(_ds_of(DANGLING_EDGES), iterations=8,
+                             local_limit=local_limit).take_all()}
+    want = _numpy_pagerank(["a", "b", "c"], DANGLING_EDGES, iters=8)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # total rank mass is conserved (dangling mass recycled, not dropped)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
 def test_importance_tags(ray_session):
@@ -64,6 +96,30 @@ def test_importance_tags(ray_session):
             for r in importance_tags(pagerank(edges), degrees(edges)).take_all()}
     assert tags["c"] == "hub"          # highest rank -> p90
     assert tags["d"] == "entry_point"  # in_degree 0
+
+
+@pytest.mark.parametrize("broadcast_limit", [500_000, 0])
+def test_bfs_reachable_both_paths(ray_session, broadcast_limit):
+    from stakgraph_ray.ops.graph import bfs_reachable
+
+    out = {r["node_key"]: r["depth"]
+           for r in bfs_reachable(_edges_ds(), ["a"], max_depth=2,
+                                  broadcast_limit=broadcast_limit).take_all()}
+    # a -> {b, c} at 1; b->c c->a already seen; minimal depths
+    assert out == {"a": 0, "b": 1, "c": 1}
+
+
+def test_distributed_quantile_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.quantile import distributed_quantile
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(size=5000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    for q in (0.5, 0.9, 0.99):
+        got = distributed_quantile(ds, "x", q, bins=512)
+        assert abs(got - float(np.quantile(vals, q))) < 1e-12, q
 
 
 def test_rrf_fusion_reference_semantics():
