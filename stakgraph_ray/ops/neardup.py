@@ -3,17 +3,24 @@ Jaccard, embedding-cosine — the training-data dedup family (net-new vs the
 exact-only reference, cf. SURVEY.md §2.7).
 
 Scale design:
-  - signatures/fingerprints: stateless vectorized map_batches
-  - LSH blocking: explode (band_id, band_hash) rows -> ONE groupby shuffle
-  - candidate verification: signature-estimate Jaccard inside the band
-    group (no second pass over raw text)
-  - connected components: union-find over the *verified pair set* on the
-    driver. Assumption (documented): verified near-dup pairs are orders of
-    magnitude smaller than the corpus (true for web dedup; the pair set is
-    bounded by duplicate mass, not corpus size). ``max_pairs`` guards the
-    assumption; exceeding it raises rather than OOMs. For a pathological
-    duplicate mass, swap in iterative min-label propagation (same keyed
-    shuffle repeated O(log diameter) times).
+  - signatures/fingerprints: stateless vectorized map_batches (task pool,
+    per-worker-process permutation cache — no actor-pool startup)
+  - LSH blocking + candidate verification: ONE keyed shuffle
+    (hash-partitioned on (band_id, band_hash)); inside each partition the
+    colliding bands are found vectorized and only THEIR rows run the pair
+    kernel — singleton bands (the overwhelming majority) cost zero Python.
+  - band rows carry an 8-BIT-per-perm compressed signature (64 bytes, not
+    512): the signature-estimate Jaccard on low bytes inflates estimates by
+    at most (1-J)/256 ≈ 0.004 — far below the threshold separation — and
+    cuts the shuffled signature bytes 8x.
+  - skewed bands: a (band_id, band_hash) group larger than ``band_cap``
+    (cfg.salt_group_limit) switches from all-pairs O(n²) to STAR pairing
+    against the min-id member — O(n), preserves component connectivity
+    (huge bands are near-identical content in practice).
+  - connected components: union-find over the verified pair set on the
+    driver while it fits (``max_pairs`` guard); above the guard the
+    DISTRIBUTED min-label-propagation fallback runs instead (same keyed
+    shuffle repeated O(component diameter) times).
 """
 
 from __future__ import annotations
@@ -60,7 +67,10 @@ class MinHashStage:
             sigs[i] = minhash_signature(hashes, self.a, self.b)
         bands = band_keys(sigs, self.n_bands)  # (n, n_bands)
         nb = self.n_bands
-        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        # 8-bit compressed signature for in-band verification (8x less
+        # shuffle volume; estimate inflation <= (1-J)/256, see module doc)
+        sig8 = sigs.astype(np.uint8)
+        sig_bytes = [sig8[i].tobytes() for i in range(n)]
         idx = np.repeat(np.arange(n), nb)
         return pa.table({
             "id": pc.take(id_arr, pa.array(idx, pa.int64())),
@@ -70,23 +80,69 @@ class MinHashStage:
         })
 
 
-def _pairs_in_band(g: pa.Table, threshold: float, id_type=pa.int64()) -> pa.Table:
-    """All id pairs in one (band_id, band_hash) group whose signature-
-    estimated Jaccard >= threshold. Ids sorted, so a < b."""
-    ids = g["id"].to_numpy(zero_copy_only=False)
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], id_type),
-                         "b": pa.array([], id_type)})
-    order = np.argsort(ids)
-    ids = ids[order]
-    sigs = np.stack([np.frombuffer(g["sig"][int(i)].as_py(), dtype=np.uint64)
-                     for i in order])
-    n = len(ids)
-    ai, bi = np.triu_indices(n, k=1)
-    est = (sigs[ai] == sigs[bi]).mean(axis=1)
-    keep = est >= threshold
-    return pa.table({"a": pa.array(list(ids[ai[keep]]), id_type),
-                     "b": pa.array(list(ids[bi[keep]]), id_type)})
+_MINHASH_CACHE: dict[tuple, MinHashStage] = {}
+
+
+def make_minhash_fn(**kw):
+    """Task-pool variant of MinHashStage: a plain batch fn with a
+    per-worker-process stage cache (the permutation table is ~1KB — an
+    actor pool would pay startup and statically partition the cluster)."""
+    key = tuple(sorted(kw.items()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _MINHASH_CACHE.get(key)
+        if stage is None:
+            stage = MinHashStage(**dict(key))
+            _MINHASH_CACHE[key] = stage
+        return stage(batch)
+
+    return fn
+
+
+def _pairs_in_partition(t: pa.Table, threshold: float, id_type,
+                        band_cap: int) -> pa.Table:
+    """All verified id pairs across every COLLIDING (band_id, band_hash)
+    group inside one hash partition. Vectorized group detection (sort +
+    boundary diff); the Python loop runs only over colliding groups —
+    bounded by collision mass, not partition size. Groups above
+    ``band_cap`` use star pairing against the min id (O(n) skew guard)."""
+    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})
+    if t.num_rows < 2:
+        return empty
+    t = t.sort_by([("band_id", "ascending"), ("band_hash", "ascending")])
+    bid = t["band_id"].to_numpy(zero_copy_only=False)
+    bh = t["band_hash"].to_numpy(zero_copy_only=False)
+    ids = t["id"].to_numpy(zero_copy_only=False)
+    sig_col = t["sig"].to_numpy(zero_copy_only=False)
+    starts = np.concatenate(
+        ([0], np.flatnonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])) + 1,
+         [len(bid)]))
+    out_a: list = []
+    out_b: list = []
+    for s, e in zip(starts[:-1], starts[1:]):
+        n = e - s
+        if n < 2:
+            continue
+        gids = ids[s:e]
+        sigs = np.frombuffer(b"".join(sig_col[s:e]), dtype=np.uint8) \
+            .reshape(n, -1)
+        order = np.argsort(gids, kind="stable")
+        gids, sigs = gids[order], sigs[order]
+        if n > band_cap:
+            est = (sigs[0] == sigs[1:]).mean(axis=1)
+            keep = est >= threshold
+            out_a.extend([gids[0]] * int(keep.sum()))
+            out_b.extend(gids[1:][keep])
+        else:
+            ai, bi = np.triu_indices(n, k=1)
+            est = (sigs[ai] == sigs[bi]).mean(axis=1)
+            keep = est >= threshold
+            out_a.extend(gids[ai[keep]])
+            out_b.extend(gids[bi[keep]])
+    if not out_a:
+        return empty
+    return pa.table({"a": pa.array(out_a, id_type),
+                     "b": pa.array(out_b, id_type)})
 
 
 def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -112,78 +168,108 @@ def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, n_perms: int = 64,
                       n_bands: int = 16, ngram: int = 3,
                       threshold: float = 0.7, concurrency=None,
-                      shingle: str = "token", id_type=pa.int64()):
-    """-> distinct verified candidate pairs Dataset (a < b)."""
-    concurrency = concurrency or _pool()
+                      shingle: str = "token", id_type=pa.int64(),
+                      band_cap: int | None = None,
+                      num_partitions: int | None = None):
+    """-> distinct verified candidate pairs Dataset (a < b).
+
+    One streaming pass: signatures (task pool, cached perm params) ->
+    hash-partitioned collide-and-pair on (band_id, band_hash) -> distinct.
+    No execution barrier, no driver round trip. ``band_cap`` defaults to
+    PipelineConfig.salt_group_limit (star-pairing skew guard)."""
+    from ..config import DEFAULT_CONFIG
+    from .partition import distinct_hp, partitioned_apply
+
+    band_cap = band_cap or DEFAULT_CONFIG.salt_group_limit
     sigs = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
-                               "n_perms": n_perms, "n_bands": n_bands,
-                               "ngram": ngram, "shingle": shingle},
-        batch_format="pyarrow", concurrency=concurrency)
-    # Two consumers below (collision count + candidate filter): pin the
-    # signatures once instead of recomputing MinHash per branch. The object
-    # store spills if needed; at extreme scale swap for a parquet checkpoint
-    # (stages.materialize.checkpoint).
-    sigs = sigs.materialize()
+        make_minhash_fn(id_col=id_col, text_col=text_col, n_perms=n_perms,
+                        n_bands=n_bands, ngram=ngram, shingle=shingle),
+        batch_format="pyarrow")
+    pairs = partitioned_apply(
+        sigs, ["band_id", "band_hash"],
+        lambda t: _pairs_in_partition(t, threshold, id_type, band_cap),
+        num_partitions)
+    return distinct_hp(pairs, ["a", "b"], num_partitions)
 
-    # Most (band_id, band_hash) groups are singletons; running the per-group
-    # pair UDF on each would cost one Python call per corpus row. First find
-    # the collision bands with a native count aggregate, then run the pair
-    # UDF only on rows in those bands (bounded by duplicate mass).
-    from ray.data.aggregate import Sum
 
-    counts = sigs.map_batches(
-        lambda t: t.group_by(["band_id", "band_hash"]).aggregate([("sig", "count")])
-                   .rename_columns(["band_id", "band_hash", "n_part"]),
-        batch_format="pyarrow") \
-        .groupby(["band_id", "band_hash"]).aggregate(Sum("n_part", alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)).select(["band_id", "band_hash"]),
-        batch_format="pyarrow").take_all()
-    hot_keys = {(r["band_id"], r["band_hash"]) for r in hot}
+def label_propagation_clusters(ds, id_col: str, pairs_ds,
+                               num_partitions: int | None = None,
+                               max_iters: int = 64):
+    """Distributed connected components via iterative min-label propagation
+    (the fallback when the verified pair set exceeds the driver guard).
 
-    from .relational import broadcast
+    labels(v) <- min(labels(v), min over neighbors u of labels(u)), iterated
+    to fixpoint — converges in O(component diameter) keyed shuffles; every
+    step is a co-group join + grouped min, nothing driver-sized."""
+    from .partition import cogroup_join_hp, grouped_aggregate
 
-    ref = broadcast(hot_keys)
+    ids = ds.map_batches(
+        lambda t: pa.table({"id": pc.cast(t[id_col], pa.int64())}),
+        batch_format="pyarrow")
+    labels = ids.map_batches(
+        lambda t: pa.table({"id": t["id"], "label": t["id"]}),
+        batch_format="pyarrow").materialize()
+    # symmetric edge list (src -> dst both directions)
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
 
-    class HotBandFilter:
-        def __init__(self, ref):
-            from .relational import _resolve
+    sym = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
-            keys = _resolve(ref)
-            self.hashes_by_band: dict[int, set] = {}
-            for band_id, band_hash in keys:
-                self.hashes_by_band.setdefault(band_id, set()).add(band_hash)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bids = t["band_id"].to_numpy(zero_copy_only=False)
-            bhs = t["band_hash"].to_numpy(zero_copy_only=False)
-            mask = np.fromiter(
-                (bh in self.hashes_by_band.get(int(bi), ())
-                 for bi, bh in zip(bids, bhs)), dtype=bool, count=len(bids))
-            return t.filter(pa.array(mask))
-
-    candidates = sigs.map_batches(HotBandFilter,
-                                  fn_constructor_kwargs={"ref": ref},
-                                  batch_format="pyarrow", concurrency=concurrency)
-    pairs = candidates.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_in_band(g, threshold, id_type), batch_format="pyarrow")
-    from .dedup import distinct
-
-    return distinct(pairs, ["a", "b"])
+    for _ in range(max_iters):
+        # candidate label for dst = neighbor's current label
+        cand = cogroup_join_hp(
+            sym.map_batches(lambda t: pa.table({"id": t["src"], "dst": t["dst"]}),
+                            batch_format="pyarrow"),
+            labels, "id",
+            pa.schema([("id", pa.int64()), ("dst", pa.int64())]),
+            pa.schema([("id", pa.int64()), ("label", pa.int64())]),
+            num_partitions=num_partitions)
+        cand_min = grouped_aggregate(
+            cand.map_batches(lambda t: pa.table({"id": t["dst"],
+                                                 "cand": t["label"]}),
+                             batch_format="pyarrow"),
+            "id", [("cand", "min")], ["cand"], num_partitions)
+        merged = cogroup_join_hp(
+            labels, cand_min, "id",
+            pa.schema([("id", pa.int64()), ("label", pa.int64())]),
+            pa.schema([("id", pa.int64()), ("cand", pa.int64())]),
+            join_type="left outer", num_partitions=num_partitions)
+        labels = merged.map_batches(
+            lambda t: pa.table({
+                "id": t["id"],
+                "label": pc.min_element_wise(
+                    t["label"], pc.fill_null(t["cand"], pa.scalar((1 << 62), pa.int64()))),
+                "chg": pc.cast(
+                    pc.less(pc.fill_null(t["cand"], pa.scalar((1 << 62), pa.int64())),
+                            t["label"]), pa.int64()),
+            }), batch_format="pyarrow").materialize()
+        changed = labels.sum("chg") or 0
+        labels = labels.map_batches(
+            lambda t: t.select(["id", "label"]), batch_format="pyarrow")
+        if changed == 0:
+            break
+        labels = labels.materialize()
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["id"], "cluster_id": t["label"]}),
+        batch_format="pyarrow")
 
 
 def minhash_lsh_clusters(ds, id_col: str, text_col: str, max_pairs: int = 2_000_000,
                          **kw):
     """-> (id, cluster_id) Dataset: cluster_id = min id of the connected
-    component; singletons map to themselves."""
-    pairs_ds = minhash_lsh_pairs(ds, id_col, text_col, **kw)
-    pairs = pairs_ds.take_all()  # bounded: verified near-dup pairs only
-    if len(pairs) > max_pairs:
-        raise RuntimeError(
-            f"near-dup pair set {len(pairs)} exceeds max_pairs={max_pairs}; "
-            "use iterative label propagation instead")
+    component; singletons map to themselves.
+
+    Components come from driver union-find while the verified pair set fits
+    ``max_pairs`` (pairs are bounded by duplicate mass, not corpus size);
+    beyond the guard the distributed label-propagation fallback runs."""
+    pairs_ds = minhash_lsh_pairs(ds, id_col, text_col, **kw).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs > max_pairs:
+        return label_propagation_clusters(ds, id_col, pairs_ds)
+    pairs = pairs_ds.take_all()
     roots = union_find([(p["a"], p["b"]) for p in pairs])
 
     from .relational import broadcast

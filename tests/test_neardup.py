@@ -70,6 +70,65 @@ def test_union_find_min_root():
     assert roots[1] == roots[2] == 1
 
 
+def test_label_propagation_matches_union_find(ray_session):
+    """The distributed CC fallback must agree with driver union-find."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.neardup import label_propagation_clusters
+
+    pairs = [(5, 3), (3, 9), (9, 11), (20, 21), (1, 2)]
+    all_ids = sorted({x for p in pairs for x in p} | {42})  # 42 = singleton
+    ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array(all_ids, pa.int64())}))
+    pairs_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in label_propagation_clusters(ids_ds, "doc_id", pairs_ds).take_all()}
+    roots = union_find(pairs)
+    want = {i: roots.get(i, i) for i in all_ids}
+    assert got == want
+
+
+def test_minhash_clusters_fallback_path(ray_session):
+    """max_pairs=0 forces the label-propagation fallback; clusters must be
+    identical to the union-find fast path."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.neardup import minhash_lsh_clusters
+
+    texts = [A, A_NEAR, B, B + " tail", "spark join window " * 6]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    fast = {r["doc_id"]: r["cluster_id"]
+            for r in minhash_lsh_clusters(ds, "doc_id", "text").take_all()}
+    slow = {r["doc_id"]: r["cluster_id"]
+            for r in minhash_lsh_clusters(ds, "doc_id", "text",
+                                          max_pairs=0).take_all()}
+    assert fast == slow
+    assert fast[1] == fast[0]  # the planted near-dup pair clusters together
+
+
+def test_band_cap_star_pairing_preserves_connectivity(ray_session):
+    """An oversized band degrades to star pairing but the component stays
+    connected (one cluster)."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.neardup import minhash_lsh_clusters
+
+    texts = [A + f" v{i % 2}" for i in range(12)]  # 12 near-identical docs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in minhash_lsh_clusters(ds, "doc_id", "text",
+                                         band_cap=3).take_all()}
+    assert set(got.values()) == {0}
+
+
 def test_token_jaccard_pairs_in_group():
     g = pa.table({"doc_id": [1, 2, 3],
                   "text": ["a b c d", "a b c e", "x y z w"]})
