@@ -8,9 +8,14 @@ re-parse only them; ast/src/gat.rs:4-57) against the checkpoint layout of
 ``stages.materialize``:
 
   1. detect changed urls: new pages whose text_sha256 differs from the
-     stored Page-node hash (or urls absent from the old graph)
+     stored extract checkpoint (or urls absent from it) — a DISTRIBUTED
+     left-outer co-group join; nothing corpus-sized touches the driver
+     (urls broadcast only under an explicit size guard)
   2. anti-join the old ``extracted`` checkpoint against changed urls
-     (delete), union the re-extracted changed pages (insert)
+     (delete), union the re-extracted changed pages (insert) — the new
+     pages are extracted ONCE and first-wins-deduplicated exactly like the
+     full build (Neo4j MERGE semantics), so duplicate urls in the delta
+     feed cannot produce duplicate Page nodes
   3. rebuild downstream stages from the merged extract checkpoint
      (mentions/links/nodes/edges are derived tables — recomputed, like the
      reference re-runs its stages over the merged file set)
@@ -18,46 +23,120 @@ re-parse only them; ast/src/gat.rs:4-57) against the checkpoint layout of
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
+BROADCAST_LIMIT = 500_000
 
-def changed_urls(new_pages_ds, workdir: str) -> set[str]:
-    """urls whose extracted text differs from the stored graph (or are new).
 
-    Compares sha256 of the new pages' extracted text against the previous
-    ``extracted`` checkpoint (hash-column comparison, precedent:
-    /root/reference/ast/src/builder/utils.rs:256)."""
-    import duckdb
-
-    from ..config import DEFAULT_CONFIG
+def _fresh_extracted(new_pages_ds, cfg):
+    """Extract + first-wins dedup of the delta feed (same invariants as the
+    full build path)."""
+    from ..ops.dedup import first_per_key_batch
+    from ..ops.partition import first_wins_hp
     from ..stages.extract import ExtractTextStage
 
-    old_dir = os.path.join(workdir, "extracted")
-    new_hashes = new_pages_ds.map_batches(
-        ExtractTextStage(DEFAULT_CONFIG), batch_format="pyarrow") \
-        .map_batches(lambda t: t.select(["url", "text_sha256"]),
-                     batch_format="pyarrow")
-    new_tbl = pa.concat_tables(
-        [b for b in new_hashes.iter_batches(batch_format="pyarrow")])
+    fresh = new_pages_ds.map_batches(ExtractTextStage(cfg),
+                                     batch_format="pyarrow", batch_size=None)
+    if cfg.dedup_pages:
+        fresh = fresh.map_batches(
+            lambda t: first_per_key_batch(t, "url", "warc_ts"),
+            batch_format="pyarrow")
+        fresh = first_wins_hp(fresh, "url", "warc_ts")
+    return fresh
 
-    con = duckdb.connect()
-    con.register("new_hashes", new_tbl)
-    rows = con.sql(
-        f"""
-        select n.url from new_hashes n
-        left join read_parquet('{old_dir}/*.parquet') o on n.url = o.url
-        where o.url is null or o.text_sha256 != n.text_sha256
-        """).fetchall()
-    return {r[0] for r in rows}
+
+def changed_urls_ds(fresh_extracted_ds, workdir: str):
+    """-> Dataset of urls whose extracted text differs from the stored
+    checkpoint (or are new). Distributed hash-column comparison
+    (precedent: /root/reference/ast/src/builder/utils.rs:256)."""
+    import ray.data as rd
+
+    from ..ops.partition import cogroup_join_hp
+    from ..util import default_num_blocks
+
+    old_dir = os.path.join(workdir, "extracted")
+    new_hashes = fresh_extracted_ds.map_batches(
+        lambda t: pa.table({"url": pc.cast(t["url"], pa.string()),
+                            "text_sha256": pc.cast(t["text_sha256"], pa.string())}),
+        batch_format="pyarrow")
+    old_hashes = rd.read_parquet(old_dir, columns=["url", "text_sha256"],
+                                 override_num_blocks=default_num_blocks()) \
+        .map_batches(lambda t: pa.table({"url": pc.cast(t["url"], pa.string()),
+                                         "old_sha": pc.cast(t["text_sha256"], pa.string())}),
+                     batch_format="pyarrow")
+    joined = cogroup_join_hp(
+        new_hashes, old_hashes, "url",
+        pa.schema([("url", pa.string()), ("text_sha256", pa.string())]),
+        pa.schema([("url", pa.string()), ("old_sha", pa.string())]),
+        join_type="left outer")
+    return joined.map_batches(
+        lambda t: t.filter(pc.or_kleene(
+            pc.is_null(t["old_sha"]),
+            pc.not_equal(t["old_sha"], t["text_sha256"])))
+                   .select(["url"]),
+        batch_format="pyarrow")
+
+
+_SIDE = "_chg_side"
+
+
+def _membership_filter_hp(payload_ds, keys_ds, keep: bool,
+                          num_partitions: int | None = None):
+    """Keep (or drop) payload rows whose ``url`` appears in ``keys_ds`` —
+    one keyed shuffle, payload columns untouched. The key rows ride along
+    as null-padded payload rows tagged ``_SIDE=1``."""
+    from ..ops.partition import partitioned_apply
+
+    schema = payload_ds.schema().base_schema  # parquet read / materialized: free
+    fields = list(schema)
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        return t.append_column(_SIDE, pa.array([0] * t.num_rows, pa.int8()))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = []
+        for fld in fields:
+            if fld.name == "url":
+                col = t["url"]
+                arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            else:
+                arrays.append(pa.nulls(n, fld.type))
+        arrays.append(pa.array([1] * n, pa.int8()))
+        return pa.Table.from_arrays(
+            arrays, schema=pa.schema(fields + [pa.field(_SIDE, pa.int8())]))
+
+    def co_filter(t: pa.Table) -> pa.Table:
+        side = t[_SIDE]
+        keys = t.filter(pc.equal(side, 1))["url"]
+        rows = t.filter(pc.equal(side, 0))
+        mask = pc.is_in(rows["url"], value_set=keys.combine_chunks())
+        if not keep:
+            mask = pc.invert(mask)
+        return rows.filter(mask).drop_columns([_SIDE])
+
+    both = payload_ds.map_batches(tag_payload, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+    return partitioned_apply(both, "url", co_filter, num_partitions)
+
+
+def changed_urls(new_pages_ds, workdir: str, cfg=None) -> set[str]:
+    """Driver-side convenience wrapper (bounded use only — the pipeline
+    path keeps the changed set a Dataset, see ``incremental_update``)."""
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    fresh = _fresh_extracted(new_pages_ds, cfg)
+    return {r["url"] for r in changed_urls_ds(fresh, workdir).take_all()}
 
 
 def incremental_update(new_pages_ds, workdir: str, cfg=None,
-                       dictionary: dict | None = None) -> dict:
+                       dictionary: dict | None = None,
+                       broadcast_limit: int = BROADCAST_LIMIT) -> dict:
     """Merge changed pages into an existing materialized graph.
 
     Returns build_graph_materialized's result dict plus ``n_changed``.
@@ -65,26 +144,51 @@ def incremental_update(new_pages_ds, workdir: str, cfg=None,
     import ray.data as rd
 
     from ..config import DEFAULT_CONFIG
-    from ..stages.extract import ExtractTextStage
+    from ..ops.partition import cogroup_join_hp
     from ..stages.materialize import (_parquet_rows, build_graph_materialized,
-                                      manifest_complete, write_manifest)
+                                      write_manifest)
+    from ..util import default_num_blocks
 
     cfg = cfg or DEFAULT_CONFIG
-    changed = changed_urls(new_pages_ds, workdir)
-    if not changed:
+    # extract the delta feed ONCE; reused by the hash diff and the merge
+    fresh_all = _fresh_extracted(new_pages_ds, cfg).materialize()
+    changed = changed_urls_ds(fresh_all, workdir).materialize()
+    n_changed = changed.count()
+    if n_changed == 0:
         out = build_graph_materialized(new_pages_ds, workdir, cfg, dictionary)
         out["n_changed"] = 0
         return out
 
     old_dir = os.path.join(workdir, "extracted")
-    changed_arr = pa.array(sorted(changed))
+    old = rd.read_parquet(old_dir, override_num_blocks=default_num_blocks())
 
-    kept = rd.read_parquet(old_dir).map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["url"], value_set=changed_arr))),
-        batch_format="pyarrow")
-    fresh = new_pages_ds.map_batches(ExtractTextStage(cfg), batch_format="pyarrow") \
-        .map_batches(lambda t: t.filter(pc.is_in(t["url"], value_set=changed_arr)),
-                     batch_format="pyarrow")
+    if n_changed <= broadcast_limit:
+        # guarded broadcast path: the changed-url set fits comfortably
+        from ..ops.relational import broadcast
+
+        ref = broadcast(sorted(r["url"] for r in changed.take_all()))
+
+        def keep_unchanged(t: pa.Table, _ref=ref) -> pa.Table:
+            from ..ops.relational import _resolve
+
+            vs = pa.array(_resolve(_ref))
+            return t.filter(pc.invert(pc.is_in(t["url"], value_set=vs)))
+
+        def keep_changed(t: pa.Table, _ref=ref) -> pa.Table:
+            from ..ops.relational import _resolve
+
+            vs = pa.array(_resolve(_ref))
+            return t.filter(pc.is_in(t["url"], value_set=vs))
+
+        kept = old.map_batches(keep_unchanged, batch_format="pyarrow")
+        fresh = fresh_all.map_batches(keep_changed, batch_format="pyarrow")
+    else:
+        # distributed path: payload-preserving semi/anti membership filter —
+        # hash-co-partition the payload rows with the changed-url keys and
+        # decide membership inside the partition (is_in, no pyarrow join, so
+        # list-typed payload columns like `hrefs` are safe)
+        kept = _membership_filter_hp(old, changed, keep=False)
+        fresh = _membership_filter_hp(fresh_all, changed, keep=True)
     merged = kept.union(fresh)
 
     tmp_dir = old_dir + ".tmp"
@@ -93,7 +197,7 @@ def incremental_update(new_pages_ds, workdir: str, cfg=None,
     shutil.rmtree(old_dir, ignore_errors=True)
     os.replace(tmp_dir, old_dir)
     write_manifest(old_dir, rows=_parquet_rows(old_dir), stage="extract",
-                   extra={"incremental": True, "n_changed": len(changed)})
+                   extra={"incremental": True, "n_changed": n_changed})
 
     # downstream stages are derived: invalidate their manifests
     for stage in ("linked", "nodes", "edges"):
@@ -102,5 +206,5 @@ def incremental_update(new_pages_ds, workdir: str, cfg=None,
             os.remove(mp)
 
     out = build_graph_materialized(new_pages_ds, workdir, cfg, dictionary)
-    out["n_changed"] = len(changed)
+    out["n_changed"] = n_changed
     return out

@@ -67,6 +67,54 @@ def test_incremental_update(ray_session):
     assert a.equals(b)
 
 
+def test_incremental_distributed_membership_path(ray_session):
+    """broadcast_limit=0 forces the hash-co-partitioned semi/anti path;
+    result must equal a full rebuild."""
+    import ray.data as rd
+
+    from stakgraph_ray.stages.incremental import incremental_update
+    from stakgraph_ray.stages.materialize import build_graph_materialized
+
+    wd = WORKDIR + "_dist"
+    shutil.rmtree(wd, ignore_errors=True)
+    build_graph_materialized(rd.from_arrow(_pages(BASE)), wd)
+    new = dict(BASE)
+    new["https://x.org/a"] = "spark join table stream"
+    out = incremental_update(rd.from_arrow(_pages(new)), wd, broadcast_limit=0)
+    assert out["n_changed"] == 1
+
+    shutil.rmtree(wd + "_full", ignore_errors=True)
+    full = build_graph_materialized(rd.from_arrow(_pages(new)), wd + "_full")
+    key = ["src_key", "edge_type", "dst_key", "weight"]
+    a = out["edges"].to_pandas()[key].sort_values(key).reset_index(drop=True).fillna(-1)
+    b = full["edges"].to_pandas()[key].sort_values(key).reset_index(drop=True).fillna(-1)
+    assert a.equals(b)
+
+
+def test_incremental_dedups_duplicate_delta_urls(ray_session):
+    """Duplicate urls in the delta feed must first-wins-collapse (MERGE
+    semantics) — no duplicate rows in the extract checkpoint."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from stakgraph_ray.stages.incremental import incremental_update
+    from stakgraph_ray.stages.materialize import build_graph_materialized
+
+    wd = WORKDIR + "_dup"
+    shutil.rmtree(wd, ignore_errors=True)
+    build_graph_materialized(rd.from_arrow(_pages(BASE)), wd)
+
+    new = dict(BASE)
+    new["https://x.org/b"] = "merge sort key vector"
+    dup = pa.concat_tables([_pages(new), _pages(new)])  # every url twice
+    out = incremental_update(rd.from_arrow(dup), wd)
+    assert out["n_changed"] == 1
+    ex = pq.read_table(f"{wd}/extracted")
+    urls = ex["url"].to_pylist()
+    assert len(urls) == len(set(urls)) == 3
+
+
 def test_filter_nested_spans():
     starts = np.array([0, 2, 2, 10, 12, 0], dtype=np.int64)
     ends = np.array([8, 5, 5, 20, 15, 8], dtype=np.int64)
