@@ -119,49 +119,93 @@ def top_k(ds, key: str, k: int, descending: bool = True):
     return ds.sort(key, descending=descending).limit(k)
 
 
-def first_per_group(ds, group_keys, order_by, descending=False):
+def _key_change_mask(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Boolean mask: row starts a new key run (t pre-sorted by keys)."""
+    n = t.num_rows
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    mask = np.zeros(n, dtype=bool)
+    mask[0] = True
+    for k in keys:
+        col = t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray) else t[k]
+        neq = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)), True)
+        mask[1:] |= neq.to_numpy(zero_copy_only=False)
+    return mask
+
+
+def first_per_group(ds, group_keys, order_by, descending=False,
+                    num_partitions=None):
     """Top-1 per group with full-row integrity and deterministic tiebreak
     (argmax family, cf. endpoint-group longest-prefix top-1,
-    btreemap_graph.rs:542-563). ``order_by``: list of (col, "ascending"|"descending")."""
+    btreemap_graph.rs:542-563). ``order_by``: list of (col, "ascending"|"descending").
+
+    High-cardinality shape: ONE hash shuffle on the keys, then a vectorized
+    sort + run-boundary mask per partition — no per-group Python calls
+    (Ray's groupby.map_groups costs one call per group)."""
+    from .partition import partitioned_apply
+
     if isinstance(order_by, str):
         order_by = [(order_by, "descending" if descending else "ascending")]
     keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    sort_spec = [(k, "ascending") for k in keys] + list(order_by)
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.sort_by(order_by).slice(0, 1)
+    def first(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        return t.filter(pa.array(_key_change_mask(t, keys)))
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        first, batch_format="pyarrow")
+    return partitioned_apply(ds, keys, first, num_partitions)
 
 
 def running_sum(ds, group_key: str, order_keys, value_col: str,
-                out_col: str = "running"):
-    """Per-key running sum in event order (one keyed shuffle; vectorized
-    cumsum per group)."""
+                out_col: str = "running", num_partitions=None):
+    """Per-key running sum in event order: one keyed shuffle, vectorized
+    segmented cumsum per partition (global cumsum minus per-run base —
+    no per-group Python, no pandas round trip)."""
+    from .partition import partitioned_apply
+
     order_keys = [order_keys] if isinstance(order_keys, str) else list(order_keys)
+    sort_spec = [(group_key, "ascending")] + [(k, "ascending") for k in order_keys]
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_keys, kind="mergesort")
-        g[out_col] = g[value_col].cumsum()
-        return g
+    def cum(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        starts = np.flatnonzero(_key_change_mask(t, [group_key]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = np.cumsum(v)
+        base = np.where(starts > 0, cs[starts - 1], 0.0)
+        counts = np.diff(np.concatenate((starts, [n])))
+        out = cs - np.repeat(base, counts)
+        return t.append_column(out_col, pa.array(out, pa.float64()))
 
-    return ds.groupby(group_key).map_groups(cum, batch_format="pandas")
+    return partitioned_apply(ds, group_key, cum, num_partitions)
 
 
 def sessionize(ds, group_key: str, ts_col: str, gap_seconds: float,
-               out_col: str = "session_id"):
-    """Gap-based session ids per key (0-based), one keyed shuffle.
-    Streaming-shaped op: input treated as an ordered, partitioned log."""
+               out_col: str = "session_id", num_partitions=None):
+    """Gap-based session ids per key (0-based), one keyed shuffle +
+    vectorized segmented break-cumsum per partition. Streaming-shaped op:
+    input treated as an ordered, partitioned log."""
+    from .partition import partitioned_apply
+
     gap_us = int(gap_seconds * 1_000_000)
+    sort_spec = [(group_key, "ascending"), (ts_col, "ascending")]
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].astype("int64")
-        new = (ts.diff() > gap_us).fillna(False)
-        g[out_col] = new.cumsum().astype("int64")
-        return g
+    def sess(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        new_key = _key_change_mask(t, [group_key])
+        ts = t[ts_col].to_numpy(zero_copy_only=False).view("int64")
+        brk = np.zeros(n, dtype=np.int64)
+        brk[1:] = (~new_key[1:]) & ((ts[1:] - ts[:-1]) > gap_us)
+        cb = np.cumsum(brk)
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.concatenate((starts, [n])))
+        sid = cb - np.repeat(cb[starts], counts)
+        return t.append_column(out_col, pa.array(sid, pa.int64()))
 
-    return ds.groupby(group_key).map_groups(sess, batch_format="pandas")
+    return partitioned_apply(ds, group_key, sess, num_partitions)
 
 
 class AsofJoiner:

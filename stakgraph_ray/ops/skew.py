@@ -26,24 +26,28 @@ def add_salt(batch: pa.Table, num_salts: int) -> pa.Table:
 
 def salted_sum_count(ds, key, value_col: str | None = None, num_salts: int = 8):
     """Grouped count (+ optional sum of ``value_col``) with salted two-stage
-    reduction. Returns columns: *key, n [, sum_<value_col>]."""
-    from ray.data.aggregate import Sum
+    reduction. Returns columns: *key, n [, sum_<value_col>].
+
+    The final merge is a hash-partitioned pyarrow aggregate
+    (ops.partition.grouped_aggregate) — safe at corpus-cardinality key
+    vocabularies where Ray's native per-group-Python aggregate degrades."""
+    from .partition import grouped_aggregate
 
     keys = [key] if isinstance(key, str) else list(key)
 
     def partial(batch: pa.Table) -> pa.Table:
         b = add_salt(batch, num_salts)
-        aggs = [([value_col, "sum"] if value_col else None),
-                ([keys[0], "count"])]
         spec = [(value_col, "sum")] if value_col else []
         spec.append((keys[0], "count"))
         g = b.group_by([*keys, "_salt"]).aggregate(spec)
         names = [*keys, "_salt"] + ([f"sum_{value_col}"] if value_col else []) + ["n"]
-        return g.rename_columns(names)
+        g = g.rename_columns(names)
+        return g.drop_columns(["_salt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum("n", alias_name="n")]
+    spec = [("n", "sum")]
+    out_names = ["n"]
     if value_col:
-        aggs.insert(0, Sum(f"sum_{value_col}", alias_name=f"sum_{value_col}"))
-    out = partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*aggs)
-    return out
+        spec.insert(0, (f"sum_{value_col}", "sum"))
+        out_names.insert(0, f"sum_{value_col}")
+    return grouped_aggregate(partials, keys, spec, out_names)

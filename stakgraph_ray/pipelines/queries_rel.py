@@ -382,22 +382,29 @@ from documents
 
 
 def q_exact_dedup_docs(sf_dir: str):
-    """Exact content dedup: md5 fingerprint -> first doc_id + group size."""
-    from ray.data.aggregate import Count, Min
+    """Exact content dedup: md5 fingerprint -> first doc_id + group size.
+
+    High-cardinality shape: the key vocabulary is corpus-sized, so the
+    rollup runs per-batch combiner -> hash-partitioned pyarrow aggregate
+    (ops.partition.grouped_aggregate), NOT Ray's native per-group-Python
+    aggregate."""
+    from ..ops.partition import grouped_aggregate
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fp(t: pa.Table) -> pa.Table:
+    def fp_partial(t: pa.Table) -> pa.Table:
         import hashlib
 
         md5 = pa.array([hashlib.md5(x.encode()).hexdigest()
                         for x in t["text"].to_pylist()], pa.string())
-        return pa.table({"doc_id": t["doc_id"], "text_md5": md5})
+        g = pa.table({"doc_id": t["doc_id"], "text_md5": md5}) \
+            .group_by(["text_md5"]).aggregate(
+                [("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["text_md5", "first_doc_id", "n_docs"])
 
-    return ds.map_batches(fp, batch_format="pyarrow") \
-        .groupby("text_md5") \
-        .aggregate(Min("doc_id", alias_name="first_doc_id"),
-                   Count(alias_name="n_docs"))
+    return grouped_aggregate(
+        ds.map_batches(fp_partial, batch_format="pyarrow"), "text_md5",
+        [("first_doc_id", "min"), ("n_docs", "sum")], ["first_doc_id", "n_docs"])
 
 
 SQL_EXACT_DEDUP = """
