@@ -59,7 +59,8 @@ def token_budget_limit(items: list[dict], max_tokens: int,
 
 def fulltext_scores(texts: dict, query_terms: list[str]) -> list[tuple]:
     """Toy fulltext ranking: per doc, count of query-term occurrences
-    (whitespace tokens). [(id, score)] desc, ties by id."""
+    (whitespace tokens). [(id, score)] desc, ties by id. (Driver-side
+    reference implementation; the pipeline path is fulltext_topk.)"""
     qs = set(query_terms)
     scored = []
     for i, t in texts.items():
@@ -68,3 +69,58 @@ def fulltext_scores(texts: dict, query_terms: list[str]) -> list[tuple]:
         if s > 0:
             scored.append((i, float(s)))
     return sorted(scored, key=lambda kv: (-kv[1], kv[0]))
+
+
+def fulltext_topk(docs_ds, id_col: str, text_col: str,
+                  query_terms: list[str], k: int = 50) -> list[tuple]:
+    """Pipeline-native fulltext top-k: vectorized term-count scoring inside
+    map_batches (explode + is_in + bincount), distributed sort, limit k.
+    Only the k winners reach the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    terms = pa.array(sorted(set(query_terms)))
+
+    def score(t: pa.Table) -> pa.Table:
+        text = pc.cast(t[text_col], pa.large_string())
+        toks = pc.split_pattern(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=terms).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        s = np.bincount(parent, weights=hit.astype("float64"), minlength=n)
+        out = pa.table({id_col: t[id_col], "score": pa.array(s, pa.float64())})
+        return out.filter(pc.greater(out["score"], 0.0))
+
+    top = docs_ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["score", id_col], descending=[True, False]).limit(k)
+    return [(r[id_col], r["score"]) for r in top.take_all()]
+
+
+def vector_topk(emb_ds, id_col: str, vec_col: str, qvec,
+                k: int = 50) -> list[tuple]:
+    """Pipeline-native brute-force cosine top-k for ONE query vector:
+    numpy matmul per batch against the broadcast query, distributed sort,
+    limit k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import broadcast
+
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    ref = broadcast(q)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        from .relational import _resolve
+
+        qv = _resolve(_ref)
+        m = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ qv
+        return pa.table({id_col: t[id_col], "cos": pa.array(cos, pa.float64())})
+
+    top = emb_ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["cos", id_col], descending=[True, False]).limit(k)
+    return [(r[id_col], r["cos"]) for r in top.take_all()]

@@ -228,34 +228,42 @@ def q_media_features(sf_dir: str):
 
 
 def q_hybrid_search(sf_dir: str):
-    """Hybrid search: toy fulltext ranking + brute-force vector ranking,
-    fused with the reference's RRF formula (mcp/src/graph/graph.ts:152-236),
-    token-budget-limited. Rows-only; formula unit-tested in
-    tests/test_graph_search_ops.py."""
+    """Hybrid search: pipeline-native fulltext + vector rankings (scored in
+    map_batches, distributed sort, only top-k on the driver), fused with the
+    reference's RRF formula (mcp/src/graph/graph.ts:152-236), token-budget-
+    limited. Rows-only; formula unit-tested in tests/test_graph_search_ops.py."""
     import pyarrow.parquet as pq
 
-    import numpy as np
     import ray.data as rd
 
-    from ..ops.search import fulltext_scores, rrf_fuse, token_budget_limit
+    from ..ops.search import (fulltext_topk, rrf_fuse, token_budget_limit,
+                              vector_topk)
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    ft = fulltext_scores(texts, ["spark", "join", "window"])[:50]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"], override_num_blocks=_nb())
+    ft = fulltext_topk(docs, "doc_id", "text",
+                       ["spark", "join", "window"], k=50)
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    q = M[0]
-    cos = M @ q
-    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, -cos))[:50]
-    vec = [(int(ids[i]), float(cos[i])) for i in order]
+    # the query vector: one row fetched by id (row-group-pruned read)
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          override_num_blocks=_nb())
+    vec = vector_topk(emb, "vec_id", "embedding", q, k=50)
 
-    fused = rrf_fuse(ft, vec, limit=25)
+    fused = rrf_fuse(ft, vec, limit=25)  # driver fuses top-k lists only
+    fused_ids = pa.array([i for i, _ in fused], pa.int64())
+    counts = {r["doc_id"]: r["n_tokens"] for r in docs.map_batches(
+        lambda t: (lambda f: pa.table({
+            "doc_id": f["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(
+                pc.split_pattern(pc.cast(f["text"], pa.large_string()), " ")),
+                pa.int64())}))(t.filter(pc.is_in(t["doc_id"], value_set=fused_ids))),
+        batch_format="pyarrow").take_all()}
     items = [{"doc_id": i, "score": round(s, 6),
-              "token_count": len((texts.get(i) or "").split(" "))}
-             for i, s in fused]
+              "token_count": counts.get(i, 0)} for i, s in fused]
     kept = token_budget_limit(items, max_tokens=1500)
     return rd.from_arrow(pa.table({
         "doc_id": pa.array([x["doc_id"] for x in kept], pa.int64()),

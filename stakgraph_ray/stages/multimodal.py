@@ -66,15 +66,12 @@ def decode_payload(payload: bytes) -> np.ndarray:
     raise NotImplementedError("unsupported container")
 
 
-def synth_media_table(sf_dir: str, n: int | None = None) -> pa.Table:
-    """Deterministic media table derived from the documents table: payload
-    bytes are the doc's utf-8 text tiled into an h×w grid (h, w from doc_id),
-    so every derived feature is a pure function of the inputs."""
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if n is not None:
-        docs = docs.slice(0, n)
+def media_rows_batch(docs: pa.Table) -> pa.Table:
+    """documents batch (doc_id, text) -> media batch: payload bytes are the
+    doc's utf-8 text tiled into an h×w grid (h, w from doc_id), so every
+    derived feature is a pure function of the inputs. Runs INSIDE
+    map_batches — the media table is derived distributedly, never built on
+    the driver (payload encoding is inherently per-row numpy)."""
     ids, kinds, payloads, ws, hs, nf = [], [], [], [], [], []
     for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         h = 16 + (doc_id % 7) * 8
@@ -103,6 +100,30 @@ def synth_media_table(sf_dir: str, n: int | None = None) -> pa.Table:
         "height": pa.array(hs, pa.int32()),
         "n_frames": pa.array(nf, pa.int32()),
     })
+
+
+def synth_media_ds(sf_dir: str, n: int | None = None):
+    """Lazy Dataset of synthetic media rows (distributed derivation)."""
+    import ray.data as rd
+
+    from ..util import default_num_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=default_num_blocks())
+    if n is not None:
+        ds = ds.limit(n)
+    return ds.map_batches(media_rows_batch, batch_format="pyarrow")
+
+
+def synth_media_table(sf_dir: str, n: int | None = None) -> pa.Table:
+    """Eager single-process variant for tests (same derivation fn)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if n is not None:
+        docs = docs.slice(0, n)
+    return media_rows_batch(docs)
 
 
 class ImageFeatureStage:
@@ -149,10 +170,10 @@ class ImageFeatureStage:
 
 
 def media_features(sf_dir: str, concurrency=None, batch_size: int = 64):
-    """Dataset pipeline: synthetic media table -> decoded feature vectors."""
-    import ray.data as rd
-
+    """Dataset pipeline: synthetic media rows (derived inside map_batches)
+    -> decoded feature vectors (actor-pool stage, small batches for the
+    large binary payloads)."""
     concurrency = concurrency or _pool()
-    ds = rd.from_arrow(synth_media_table(sf_dir))
+    ds = synth_media_ds(sf_dir)
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
