@@ -48,6 +48,12 @@ class PipelineConfig:
     extract_concurrency: int = 4    # actor-pool size for mention extraction
     output_partitions: int = 16     # hash(url) % P output layout
 
+    # Graph epilogue in the materialized build (cf. deduplicate_nodes /
+    # prune_orphan_functions, btreemap_graph.rs:664-756): prefer-typed node
+    # dedup + orphan prune + edge cascade. Childless-parent filtering is a
+    # separate explicit call (ops.epilogue.filter_childless_parents).
+    epilogue: bool = True
+
     # Dedup policy: first-wins by (node_key, warc_ts) — the Neo4j MERGE
     # semantics (neo4j/queries/nodes.rs:49-50), chosen over BTreeMap last-wins.
     dedup_first_wins: bool = True

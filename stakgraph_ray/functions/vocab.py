@@ -34,18 +34,6 @@ CANONICAL_TERMS: frozenset[str] = frozenset({
 })
 
 
-def alias_rows() -> list[dict]:
-    """The alias dictionary as rows (alias, canonical, shard) — the
-    broadcastable side table handed to linker actors."""
-    n_shards = 4
-    rows = []
-    for alias, canonical in sorted(ALIASES.items()):
-        rows.append({"alias": alias, "canonical": canonical,
-                     "shard": hash_shard(alias, n_shards)})
-    return rows
-
-
-def hash_shard(s: str, n: int) -> int:
-    import zlib
-
-    return zlib.crc32(s.encode("utf-8")) % n
+# Sharded-dictionary linking lives in stages.shardlink (build_dict_shards
+# + link_mentions_sharded): shard assignment reuses the pipeline's
+# partition hash so a mention's partition and its shard coincide.

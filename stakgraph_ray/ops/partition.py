@@ -98,6 +98,49 @@ def first_wins_hp(ds, key: str, order_by: str, num_partitions: int | None = None
         ds, key, lambda t: first_per_key_batch(t, key, order_by), num_partitions)
 
 
+def membership_filter_hp(payload_ds, keys_ds, key_col: str, keep: bool,
+                         num_partitions: int | None = None,
+                         payload_schema: pa.Schema | None = None):
+    """Keep (or drop) payload rows whose ``key_col`` appears in ``keys_ds``
+    — the distributed semi/anti join that preserves ALL payload columns
+    (incl. list-typed) with ONE keyed shuffle and no pyarrow join. Key rows
+    ride along as null-padded payload rows tagged ``_mf_side=1``."""
+    side_col = "_mf_side"
+    schema = payload_schema or payload_ds.schema().base_schema
+    fields = list(schema)
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        t = t.select([f.name for f in fields])  # align column order w/ keys side
+        return t.append_column(side_col, pa.array([0] * t.num_rows, pa.int8()))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = []
+        for fld in fields:
+            if fld.name == key_col:
+                col = t[key_col]
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                arrays.append(col.cast(fld.type) if col.type != fld.type else col)
+            else:
+                arrays.append(pa.nulls(n, fld.type))
+        arrays.append(pa.array([1] * n, pa.int8()))
+        return pa.Table.from_arrays(
+            arrays, schema=pa.schema(fields + [pa.field(side_col, pa.int8())]))
+
+    def co_filter(t: pa.Table) -> pa.Table:
+        side = t[side_col]
+        keys = t.filter(pc.equal(side, 1))[key_col]
+        rows = t.filter(pc.equal(side, 0))
+        mask = pc.is_in(rows[key_col], value_set=keys.combine_chunks())
+        if not keep:
+            mask = pc.invert(mask)
+        return rows.filter(mask).drop_columns([side_col])
+
+    both = payload_ds.map_batches(tag_payload, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+    return partitioned_apply(both, key_col, co_filter, num_partitions)
+
+
 _SIDE = "_side"
 
 

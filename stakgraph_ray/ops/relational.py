@@ -243,6 +243,68 @@ def asof_join(ds, right: pa.Table, by: str, left_on: str, right_on: str,
                           batch_format="pyarrow", concurrency=concurrency)
 
 
+class EndpointMatcher:
+    """Actor-pool stage: segment-wise path match + verb equality against a
+    broadcast endpoint table (the Request↔Endpoint linker,
+    /root/reference/ast/src/lang/linker.rs:362-396 paths_match — ``:param``
+    segments match any one segment — and 472-506 verbs_match).
+
+    Endpoint patterns compile ONCE per actor in __init__ (anchored re2:
+    each ``:param`` segment -> ``[^/]+``); per batch each endpoint's regex
+    runs as one vectorized kernel over the normalized request paths — cost
+    O(#endpoints x batch), endpoint tables are dictionary-sized."""
+
+    def __init__(self, endpoints_ref, path_col: str, verb_col: str):
+        import re as _re
+
+        eps = _resolve(endpoints_ref)
+        self.path_col, self.verb_col = path_col, verb_col
+        self.compiled: list[tuple[str, str, str, dict]] = []
+        for row in eps.to_pylist():
+            segs = row["endpoint_path"].split("/")
+            pat = "/".join("[^/]+" if s.startswith(":") else _re.escape(s)
+                           for s in segs)
+            self.compiled.append((row["verb"], "^" + pat + "$",
+                                  row["endpoint_path"], row))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.textutils import normalize_url_column
+
+        paths = normalize_url_column(batch[self.path_col])
+        verbs = batch[self.verb_col]
+        outs = []
+        for verb, pat, ep_path, row in self.compiled:
+            mask = pc.and_(pc.match_substring_regex(paths, pat),
+                           pc.equal(verbs, verb))
+            hit = batch.filter(mask)
+            if hit.num_rows == 0:
+                continue
+            hit = hit.append_column("endpoint_path",
+                                    pa.array([ep_path] * hit.num_rows, pa.string()))
+            hit = hit.append_column("handler",
+                                    pa.array([row.get("handler")] * hit.num_rows,
+                                             pa.string()))
+            outs.append(hit)
+        if not outs:
+            schema = batch.schema.append(pa.field("endpoint_path", pa.string())) \
+                                 .append(pa.field("handler", pa.string()))
+            return schema.empty_table()
+        return pa.concat_tables(outs)
+
+
+def endpoint_match_join(requests_ds, endpoints: pa.Table, path_col: str = "path",
+                        verb_col: str = "verb", concurrency=None):
+    """requests (path, verb, ...) ⋈ endpoints (endpoint_path, verb, handler)
+    on normalized segment match + verb equality. Broadcast small side."""
+    concurrency = concurrency or _pool()
+    ref = broadcast(endpoints)
+    return requests_ds.map_batches(
+        EndpointMatcher,
+        fn_constructor_kwargs={"endpoints_ref": ref, "path_col": path_col,
+                               "verb_col": verb_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 def tumbling_window(ds, ts_col: str, width: str, keys: list[str], aggs):
     """Tumbling event-time windows: truncate ts (vectorized), then a grouped
     aggregate on (window, *keys). ``width``: pyarrow round unit ("hour", "day")."""

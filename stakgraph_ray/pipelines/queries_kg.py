@@ -136,6 +136,40 @@ def q_mention_edges(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def q_mention_edges_sharded(sf_dir: str):
+    """Same MENTIONS aggregate through the SHARDED-dictionary linking path
+    (stages.shardlink — partition-by-lookup-key, 1/P of the dictionary per
+    worker); verified against the identical SQL oracle as the broadcast
+    path."""
+    from ..ops.partition import grouped_aggregate
+    from ..stages.shardlink import link_mentions_sharded
+    from .kg import mention_edge_partial
+
+    ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
+    linked = link_mentions_sharded(ds)
+    agg = grouped_aggregate(
+        linked.map_batches(mention_edge_partial, batch_format="pyarrow"),
+        ["url", "canonical"], [("confidence", "max"), ("weight", "sum")],
+        ["confidence", "weight"])
+
+    def final(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .kg import strategy_from_confidence
+
+        conf = pc.round(pc.cast(t["confidence"], pa.float64()), 2,
+                        round_mode="half_towards_infinity")
+        strat = strategy_from_confidence(
+            t["confidence"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "url": t["url"], "canonical": t["canonical"],
+            "weight": t["weight"], "confidence": conf,
+            "strategy": pa.array(strat, pa.string()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 SQL_MENTION_EDGES = f"""
 with toks as (
   select {URL_SQL} as url, unnest(string_split(text, ' ')) as tok
@@ -422,7 +456,51 @@ select node_key, cast(min(depth) as bigint) as depth from u group by node_key
 """
 
 
+def q_epilogue_pages(sf_dir: str):
+    """Childless-parent epilogue pass (filter_out_nodes_without_children,
+    /root/reference/ast/src/lang/graphs/btreemap_graph.rs:664-710): Page
+    nodes lacking a MENTIONS child edge (skipped pages, stopword-only pages)
+    are filtered out; survivors listed by url."""
+    from ..ops.epilogue import filter_childless_parents
+    from ..schema import node_key_array
+    from .kg import page_node_rows, _const, _edge_table
+
+    ex = _extracted(sf_dir)
+    page_nodes = ex.map_batches(page_node_rows, batch_format="pyarrow")
+    kw = make_linker_stage()
+    linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
+        .map_batches(TermLinker, fn_constructor_kwargs=kw,
+                     batch_format="pyarrow", batch_size=None,
+                     concurrency=_pool())
+
+    def mention_edges(t: pa.Table) -> pa.Table:
+        from ..ops.dedup import distinct_per_batch
+
+        d = distinct_per_batch(t.select(["url"]), ["url"])
+        n = d.num_rows
+        url = d["url"].combine_chunks() if isinstance(d["url"], pa.ChunkedArray) else d["url"]
+        key = node_key_array(_const(n, "Page"), url, url)
+        return _edge_table(n, key, "MENTIONS", _const(n, ""))
+
+    edges = linked.map_batches(mention_edges, batch_format="pyarrow")
+    nodes_out, _edges_out = filter_childless_parents(
+        page_nodes, edges, "Page", "MENTIONS", cascade=False)
+    return nodes_out.map_batches(
+        lambda t: pa.table({"url": pc.cast(t["name"], pa.string())}),
+        batch_format="pyarrow")
+
+
+SQL_EPILOGUE_PAGES = f"""
+select {URL_SQL} as url
+from documents
+where {NOT_SKIP_SQL}
+  and len(list_filter(string_split(text, ' '),
+                      x -> x not in ({STOP_LIST}))) > 0
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_epilogue_pages": (q_epilogue_pages, SQL_EPILOGUE_PAGES),
     "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
     "kg_reachable_from_spark": (q_reachable_from_spark, SQL_REACHABLE),
     "kg_two_hop": (q_two_hop, SQL_TWO_HOP),
@@ -432,6 +510,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "kg_page_nodes": (q_page_nodes, SQL_PAGE_NODES),
     "kg_mention_edges": (q_mention_edges, SQL_MENTION_EDGES),
+    "kg_mention_edges_sharded": (q_mention_edges_sharded, SQL_MENTION_EDGES),
     "kg_term_nodes": (q_term_nodes, SQL_TERM_NODES),
     "kg_follows_edges": (q_follows_edges, SQL_FOLLOWS_EDGES),
     "kg_host_stats": (q_host_stats, SQL_HOST_STATS),

@@ -509,7 +509,69 @@ from events e asof left join
 """
 
 
+def q_endpoint_requests(sf_dir: str):
+    """Request↔Endpoint segment-match + verb join (linker.rs:362-396,
+    472-506): deterministic request/endpoint tables derived from documents;
+    ``:id`` segments match any value, query strings are normalized away."""
+    from ..ops.relational import endpoint_match_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def to_requests(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        ids = doc_id.to_numpy()
+        path = pc.binary_join_element_wise(
+            pa.scalar("/api/"), pc.cast(t["source"], pa.string()),
+            pa.scalar("/"), pc.cast(doc_id, pa.string()), "")
+        # every 5th request carries a query string the normalizer must strip
+        path = pc.if_else(pa.array(ids % 5 == 0),
+                          pc.binary_join_element_wise(path, pa.scalar("?q=1"), ""),
+                          path)
+        verb = pc.if_else(pa.array(ids % 2 == 0),
+                          pa.scalar("GET"), pa.scalar("POST"))
+        return pa.table({"doc_id": doc_id, "path": path,
+                         "verb": pc.cast(verb, pa.string())})
+
+    reqs = docs.map_batches(to_requests, batch_format="pyarrow")
+
+    sources = sorted(set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        ["source"].to_pylist()))
+    eps = pa.table({
+        "endpoint_path": pa.array([f"/api/{s}/:id" for s in sources for _ in (0, 1)],
+                                  pa.string()),
+        "verb": pa.array([v for _ in sources for v in ("GET", "POST")], pa.string()),
+        "handler": pa.array([f"{s}_{v.lower()}" for s in sources
+                             for v in ("GET", "POST")], pa.string()),
+    })
+    out = endpoint_match_join(reqs, eps)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "verb", "endpoint_path", "handler"]),
+        batch_format="pyarrow")
+
+
+SQL_ENDPOINT_REQUESTS = """
+with reqs as (
+  select doc_id,
+         regexp_replace('/api/' || source || '/' || doc_id ||
+                        case when doc_id % 5 = 0 then '?q=1' else '' end,
+                        '[?#].*$', '') as path,
+         case when doc_id % 2 = 0 then 'GET' else 'POST' end as verb
+  from documents),
+eps as (
+  select distinct '/api/' || source || '/:id' as endpoint_path, v.verb,
+         source || '_' || lower(v.verb) as handler
+  from documents, (values ('GET'), ('POST')) v(verb))
+select r.doc_id, r.verb, e.endpoint_path, e.handler
+from reqs r join eps e
+  on r.verb = e.verb
+ and regexp_full_match(r.path,
+                       regexp_replace(e.endpoint_path, ':[a-zA-Z_]+', '[^/]+', 'g'))
+"""
+
+
 REL_QUERIES: dict[str, tuple] = {
+    "rel_endpoint_requests": (q_endpoint_requests, SQL_ENDPOINT_REQUESTS),
     "rel_prev_purchase_asof": (q_prev_purchase_asof, SQL_ASOF),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "rel_region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

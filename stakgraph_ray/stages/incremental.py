@@ -81,47 +81,11 @@ def changed_urls_ds(fresh_extracted_ds, workdir: str):
         batch_format="pyarrow")
 
 
-_SIDE = "_chg_side"
-
-
 def _membership_filter_hp(payload_ds, keys_ds, keep: bool,
                           num_partitions: int | None = None):
-    """Keep (or drop) payload rows whose ``url`` appears in ``keys_ds`` —
-    one keyed shuffle, payload columns untouched. The key rows ride along
-    as null-padded payload rows tagged ``_SIDE=1``."""
-    from ..ops.partition import partitioned_apply
+    from ..ops.partition import membership_filter_hp
 
-    schema = payload_ds.schema().base_schema  # parquet read / materialized: free
-    fields = list(schema)
-
-    def tag_payload(t: pa.Table) -> pa.Table:
-        return t.append_column(_SIDE, pa.array([0] * t.num_rows, pa.int8()))
-
-    def tag_keys(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        arrays = []
-        for fld in fields:
-            if fld.name == "url":
-                col = t["url"]
-                arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-            else:
-                arrays.append(pa.nulls(n, fld.type))
-        arrays.append(pa.array([1] * n, pa.int8()))
-        return pa.Table.from_arrays(
-            arrays, schema=pa.schema(fields + [pa.field(_SIDE, pa.int8())]))
-
-    def co_filter(t: pa.Table) -> pa.Table:
-        side = t[_SIDE]
-        keys = t.filter(pc.equal(side, 1))["url"]
-        rows = t.filter(pc.equal(side, 0))
-        mask = pc.is_in(rows["url"], value_set=keys.combine_chunks())
-        if not keep:
-            mask = pc.invert(mask)
-        return rows.filter(mask).drop_columns([_SIDE])
-
-    both = payload_ds.map_batches(tag_payload, batch_format="pyarrow").union(
-        keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
-    return partitioned_apply(both, "url", co_filter, num_partitions)
+    return membership_filter_hp(payload_ds, keys_ds, "url", keep, num_partitions)
 
 
 def changed_urls(new_pages_ds, workdir: str, cfg=None) -> set[str]:

@@ -227,6 +227,16 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         nodes = nodes.union(typed_nodes)
         edges = edges.union(typed_edges)
 
+    # ---- stage 5: graph epilogue (prefer-typed dedup, orphan prune,
+    # edge cascade — cf. btreemap_graph.rs:664-756) -------------------------
+    if cfg.epilogue:
+        from ..ops.epilogue import apply_epilogue
+
+        t0 = time.time()
+        nodes, edges = apply_epilogue(nodes, edges)
+        metrics.append({"stage": "epilogue", "rows": None,
+                        "sec": round(time.time() - t0, 3), "skipped": False})
+
     nodes_out = checkpoint(nodes, os.path.join(workdir, "nodes"), "nodes", metrics)
     edges_out = checkpoint(edges, os.path.join(workdir, "edges"), "edges", metrics)
 
