@@ -151,7 +151,7 @@ def tile(t):
         copies.append(t.set_column(t.column_names.index("url"), "url",
             pc.binary_join_element_wise(t["url"], pa.scalar(f"?v={{k}}"), pa.scalar(""))))
     return pa.concat_tables(copies)
-ds = rd.read_parquet(path, override_num_blocks=64).map_batches(tile, batch_format="pyarrow")
+ds = rd.read_parquet(path, override_num_blocks=256).map_batches(tile, batch_format="pyarrow")
 ds.count()
 t0 = time.time()
 triples, roots = build_rich_triples(ds)

@@ -118,6 +118,23 @@ def extract_text_column(html: pa.ChunkedArray | pa.Array,
     return clean_html_text(s), skipped
 
 
+_TITLE_RE = r"(?is)<title[^>]*>(?P<t>[^<]*)</title\s*>"
+
+
+def extract_title_column(html_s: pa.Array) -> pa.Array:
+    """First ``<title>`` text per page (entity-decoded, whitespace-collapsed,
+    trimmed — same rules as body text); null when absent/skipped. This is
+    the ``docs`` analog: comment/JSDoc attachment in the reference
+    (/root/reference/ast/src/lang/mod.rs:85-197) re-targeted at the page's
+    self-describing metadata."""
+    m = pc.extract_regex(html_s, _TITLE_RE)
+    t = pc.struct_field(m, "t")
+    for ent, ch in _ENTITIES:
+        t = pc.replace_substring(t, ent, ch)
+    t = pc.replace_substring_regex(t, _WS_PATTERN, " ")
+    return pc.cast(pc.utf8_trim_whitespace(t), pa.string())
+
+
 def sha256_column(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     """sha256 hex of each string (hash-column precedent:
     /root/reference/ast/src/builder/utils.rs:256). hashlib per row — cheap

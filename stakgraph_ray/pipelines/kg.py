@@ -109,6 +109,7 @@ def page_node_rows(batch: pa.Table) -> pa.Table:
         body=pc.cast(text, pa.large_string()),
         start=pa.array(np.zeros(n, dtype="int64")),
         end=pc.cast(pc.utf8_length(text), pa.int64()),  # char offsets (contract)
+        docs=batch["title"] if "title" in batch.column_names else None,
         hash_=batch["text_sha256"],
         meta_json=meta,
     )

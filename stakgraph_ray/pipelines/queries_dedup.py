@@ -272,7 +272,60 @@ def q_hybrid_search(sf_dir: str):
     }))
 
 
+def q_node_embedding_ann(sf_dir: str):
+    """Embedding backfill wired into the graph product: Term nodes from the
+    pages corpus -> EmbedBodies actor pool (batch 32, model once per actor)
+    -> LSH-bucketed ANN against the first 3 term vectors. Pipeline-native
+    end to end (rows-only: approximate by design; recall-vs-bruteforce
+    gated in tests/test_ann_multimodal.py)."""
+    import zlib
+
+    from ..ops.ann import knn_lsh
+    from ..ops.dedup import distinct
+    from ..sources.pages import read_pages
+    from ..stages.enrich import embed_nodes
+    from ..stages.extract import ExtractTextStage, mention_rows
+    from ..stages.link import TermLinker, make_linker_stage
+
+    ds = read_pages(sf_dir).map_batches(ExtractTextStage(),
+                                        batch_format="pyarrow") \
+        .map_batches(mention_rows, batch_format="pyarrow")
+    kw = make_linker_stage()
+    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
+                            batch_format="pyarrow", batch_size=None,
+                            concurrency=_pool())
+    terms = distinct(linked.map_batches(
+        lambda t: t.select(["canonical"]), batch_format="pyarrow"),
+        ["canonical"])
+
+    def as_nodes(t: pa.Table) -> pa.Table:
+        names = t["canonical"].to_pylist()
+        return pa.table({
+            "vec_id": pa.array([zlib.crc32(n.encode()) for n in names],
+                               pa.int64()),
+            "name": pc.cast(t["canonical"], pa.string()),
+            "body": pc.cast(t["canonical"], pa.large_string()),
+        })
+
+    nodes = terms.map_batches(as_nodes, batch_format="pyarrow")
+    embedded = embed_nodes(nodes).materialize()  # queries + corpus consumers
+    queries = embedded.sort("vec_id").limit(3) \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    qt = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in queries], pa.int64()),
+        "embedding": pa.array([r["embedding"] for r in queries],
+                              pa.list_(pa.float32())),
+    })
+    out = knn_lsh(embedded.select_columns(["vec_id", "embedding"]), qt, k=5)
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("cos"), "cos",
+                               pc.round(t["cos"], 4,
+                                        round_mode="half_towards_infinity")),
+        batch_format="pyarrow")
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
+    "sim_node_embedding_ann": (q_node_embedding_ann, None),
     "kg_rich_triples": (q_rich_triples, None),
     "search_hybrid_rrf": (q_hybrid_search, None),
     "sim_knn_lsh": (q_knn_lsh, None),

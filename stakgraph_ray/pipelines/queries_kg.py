@@ -83,22 +83,25 @@ from documents
 
 
 def q_page_nodes(sf_dir: str):
-    """Page-node identity columns: node_key, name, file, hash."""
+    """Page-node identity columns: node_key, name, file, hash, docs
+    (docs = extracted <title>, the comment-attachment analog)."""
     from .kg import page_node_rows
 
     ds = _extracted(sf_dir).map_batches(page_node_rows, batch_format="pyarrow")
     return ds.map_batches(
-        lambda t: t.select(["node_key", "name", "file", "hash"]),
+        lambda t: t.select(["node_key", "name", "file", "hash", "docs"]),
         batch_format="pyarrow")
 
 
 _SAN_URL = SANITIZE_SQL.replace("{c}", "url")
 SQL_PAGE_NODES = f"""
 with p as (select {URL_SQL} as url,
-                  case when {SKIP_SQL} then sha256('') else sha256(text) end as hash
+                  case when {SKIP_SQL} then sha256('') else sha256(text) end as hash,
+                  case when {SKIP_SQL} then NULL
+                       else 'Doc ' || cast(doc_id as varchar) end as docs
            from documents)
 select 'page-' || {_SAN_URL} || '-' || {_SAN_URL} as node_key,
-       url as name, url as file, hash
+       url as name, url as file, hash, docs
 from p
 """
 

@@ -13,7 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
-from ..functions.html import clean_html_text, decode_valid_html, sha256_column
+from ..functions.html import (clean_html_text, decode_valid_html,
+                              extract_title_column, sha256_column)
 from ..functions.textutils import explode_tokens, host_of_url_column
 
 _LS = pa.large_string()
@@ -58,6 +59,7 @@ class ExtractTextStage:
             "warc_ts": batch["warc_ts"],
             "lang": batch["lang"],
             "text": pc.cast(text, pa.string()),
+            "title": extract_title_column(html_s),  # docs analog (null if skipped)
             "skipped": skipped,
             "hrefs": extract_hrefs_column(html_s),
         }
