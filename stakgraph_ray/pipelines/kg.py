@@ -265,6 +265,12 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             batch_format="pyarrow")
         extracted = first_wins_hp(extracted, "url", "warc_ts")
 
+    # ~7 consumers branch off `extracted` below; a lazy branch point would
+    # re-run HTML extraction per consumer. Pin it once — object-store backed,
+    # spills under pressure (the checkpointed flagship writes parquet
+    # instead, stages/materialize.py).
+    extracted = extracted.materialize()
+
     mentions = extracted.map_batches(mention_rows, batch_format="pyarrow")
     linker_kwargs = make_linker_stage(cfg, dictionary)
     linked = mentions.map_batches(

@@ -324,7 +324,41 @@ def q_node_embedding_ann(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_fulltext_topk(sf_dir: str):
+    """Fulltext top-k, oracle-backed: vectorized term-count scoring inside
+    map_batches (the Lucene fulltext-index analog, queries.ts:512-560),
+    distributed (score, id) sort, limit k — only winners reach the driver."""
+    import ray.data as rd
+
+    from ..ops.search import fulltext_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           override_num_blocks=_nb())
+    top = fulltext_topk(docs, "doc_id", "text",
+                        ["spark", "join", "window"], k=50)
+    return pa.table({
+        "doc_id": pa.array([i for i, _ in top], pa.int64()),
+        "score": pa.array([s for _, s in top], pa.float64()),
+    })
+
+
+SQL_FULLTEXT_TOPK = """
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+), sc as (
+  select doc_id,
+         cast(count(*) filter (where tok in ('spark', 'join', 'window'))
+              as double) as score
+  from toks group by doc_id
+)
+select doc_id, score from sc where score > 0
+order by score desc, doc_id limit 50
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
+    "search_fulltext_topk": (q_fulltext_topk, SQL_FULLTEXT_TOPK),
     "sim_node_embedding_ann": (q_node_embedding_ann, None),
     "kg_rich_triples": (q_rich_triples, None),
     "search_hybrid_rrf": (q_hybrid_search, None),

@@ -441,10 +441,20 @@ def q_knn_bruteforce(sf_dir: str):
             cos = m @ self.qm.T  # (batch, nq)
             vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
             nb, nq = cos.shape
+            # per-batch PARTIAL top-k under the same composite order as the
+            # final reduce ((-cos, neighbor_id)): only nq*k rows per batch
+            # enter the shuffle, not the full batch x nq cross product
+            k = min(5, nb)
+            qs, ns, cs = [], [], []
+            for j in range(nq):
+                keep = np.lexsort((vec_ids, -cos[:, j]))[:k]
+                qs.append(np.full(k, self.qids[j]))
+                ns.append(vec_ids[keep])
+                cs.append(cos[keep, j])
             return pa.table({
-                "query_id": pa.array(np.repeat(self.qids, nb), pa.int64()),
-                "neighbor_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
-                "cos": pa.array(cos.T.ravel(), pa.float64()),
+                "query_id": pa.array(np.concatenate(qs), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(ns), pa.int64()),
+                "cos": pa.array(np.concatenate(cs), pa.float64()),
             })
 
     import ray.data as rd

@@ -62,6 +62,111 @@ _TRIPLE_AGG_SPEC = ([("confidence", "max"), ("year", "min"),
                      ("weight", "sum")],
                     ["confidence", "year", "subj_ts", "obj_ts", "weight"])
 
+# Combiner outputs up to this many rows take the single-driver reduce path
+# (one guarded collect of distinct surface triples — the same vocab-scale
+# bound the broadcast alias dictionaries already assume). Above it, the
+# distributed keyed-shuffle path runs.
+DRIVER_TAIL_LIMIT = 2_000_000
+
+# schema of the aggregated triple table (grouped_aggregate output)
+AGG_TRIPLES_SCHEMA = pa.schema([
+    pa.field("subj", pa.string()),
+    pa.field("pred", pa.string()),
+    pa.field("obj", pa.string()),
+    pa.field("confidence", pa.float32()),
+    pa.field("year", pa.int32()),
+    pa.field("subj_ts", pa.string()),
+    pa.field("obj_ts", pa.string()),
+    pa.field("weight", pa.int64()),
+])
+
+
+def _agg_table(t: pa.Table, spec, out_names) -> pa.Table:
+    g = t.group_by(["subj", "pred", "obj"]).aggregate(spec)
+    return g.rename_columns(["subj", "pred", "obj", *out_names])
+
+
+def _driver_tail(local: pa.Table, spec, out_names, canon_threshold: float,
+                 min_len: int = 8):
+    """Vocab-scale reduce on the driver: aggregate → LSH roots → canonical
+    rewrite → re-aggregate. Kernel-for-kernel identical to the distributed
+    path (same pyarrow group_by spec, same `_roots_driver_side` hash
+    functions, same dict-map rewrite), so both paths emit the same table."""
+    import pyarrow.compute as pc
+
+    from ..stages.canonicalize import _roots_driver_side
+
+    agg = _agg_table(local, spec, out_names)
+    names = pc.unique(pa.concat_arrays(
+        [agg["subj"].combine_chunks(), agg["obj"].combine_chunks()]))
+    eligible = sorted(names.filter(
+        pc.greater_equal(pc.utf8_length(names), min_len)).to_pylist())
+    roots = _roots_driver_side(eligible, canon_threshold)
+    if not roots:
+        return agg, roots
+    import pandas as pd
+
+    for col in ("subj", "obj"):
+        s = agg[col].to_pandas()
+        mapped = s.map(roots).fillna(s)
+        agg = agg.set_column(agg.column_names.index(col), col,
+                             pa.array(mapped.values, pa.string()))
+    return _agg_table(agg, spec, out_names), roots
+
+
+def reduce_triples(m, cfg: PipelineConfig = DEFAULT_CONFIG,
+                   canon_threshold: float = 0.8, min_len: int = 8):
+    """Materialized combiner output -> (final aggregated triples, roots).
+
+    Every aggregate (max confidence, min year/ts, sum weight) is
+    associative+commutative, so aggregating the combiner output, then
+    re-aggregating after the canonical rewrite, is exact. Two shapes:
+      small (combiner output ≤ DRIVER_TAIL_LIMIT rows): single driver
+        reduce — the same guarded vocab-scale collect the broadcast
+        dictionaries already assume; avoids 4+ executor round trips.
+      large: hash-partitioned keyed shuffle (grouped_aggregate) and
+        Dataset passes throughout — the 100-TB shape.
+    Both paths run identical kernels (see test_rich_corpus parity test)
+    and return a MATERIALIZED Dataset (consumers fan out)."""
+    import ray
+    import ray.data as rd
+
+    from ..ops.dedup import distinct
+    from ..ops.partition import grouped_aggregate
+    from ..stages.canonicalize import canonical_roots, canonicalize_columns
+
+    spec, out_names = _TRIPLE_AGG_SPEC
+
+    n = m.count()
+    if n == 0:  # corpora without relation patterns (empty blocks lose schema)
+        return rd.from_arrow(AGG_TRIPLES_SCHEMA.empty_table()), {}
+    if n <= DRIVER_TAIL_LIMIT:
+        local = pa.concat_tables(
+            [t for t in ray.get(m.to_arrow_refs()) if t.num_rows],
+            promote_options="permissive")
+        final_t, roots = _driver_tail(local, spec, out_names,
+                                      canon_threshold=canon_threshold,
+                                      min_len=min_len)
+        return rd.from_arrow(final_t), roots
+
+    agg = grouped_aggregate(m, ["subj", "pred", "obj"], spec, out_names)
+    agg = agg.materialize()  # vocab-sized pin; two small consumers below
+
+    # second pass: LSH-merge residual surface variants (e.g. "... Corp")
+    names = distinct(
+        agg.map_batches(
+            lambda t: pa.table({"name": pa.concat_arrays([
+                t["subj"].combine_chunks() if isinstance(t["subj"], pa.ChunkedArray) else t["subj"],
+                t["obj"].combine_chunks() if isinstance(t["obj"], pa.ChunkedArray) else t["obj"]])}),
+            batch_format="pyarrow"), ["name"])
+    roots = canonical_roots(names, cfg, min_len=min_len,
+                            threshold=canon_threshold)
+    if not roots:
+        return agg, roots
+    rewritten = canonicalize_columns(agg, ["subj", "obj"], roots)
+    final = grouped_aggregate(rewritten, ["subj", "pred", "obj"], spec, out_names)
+    return final.materialize(), roots
+
 
 def build_rich_triples(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                        canon_threshold: float = 0.8,
@@ -70,31 +175,16 @@ def build_rich_triples(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     Output columns: subj, pred, obj, confidence, year, subj_ts, obj_ts,
     weight (select a subset for presentation)."""
-    from ..ops.dedup import distinct
-    from ..ops.partition import grouped_aggregate
-    from ..stages.canonicalize import canonical_roots, canonicalize_columns
-
     triples = extract_typed_triples(pages_ds, cfg, factories)
-    # combiner BEFORE the materialize barrier: the pinned intermediate is
-    # vocabulary-sized (distinct triples per batch), not corpus-sized
+    # Combiner fused into the extract chain, then ONE materialize barrier.
+    # No all-to-all inside this execution: the streaming executor reserves
+    # resources for shuffle operators, which would starve the (dominant)
+    # extraction map — keep this execution pure-map so it gets every CPU.
+    # The pinned intermediate is per-block-distinct triples: bounded by
+    # 256 bytes/row × surface vocabulary × #blocks, not corpus size.
     triples = triples.map_batches(_partial_agg, batch_format="pyarrow")
-    # two consumers below (names pass + rewrite): pin the partial-aggregated
-    # table once instead of re-running extraction per consumer
-    triples = triples.materialize()
-
-    # second pass: LSH-merge residual surface variants (e.g. "... Corp")
-    names = distinct(
-        triples.map_batches(
-            lambda t: pa.table({"name": pa.concat_arrays([
-                t["subj"].combine_chunks() if isinstance(t["subj"], pa.ChunkedArray) else t["subj"],
-                t["obj"].combine_chunks() if isinstance(t["obj"], pa.ChunkedArray) else t["obj"]])}),
-            batch_format="pyarrow"), ["name"])
-    roots = canonical_roots(names, cfg, min_len=8, threshold=canon_threshold)
-    triples = canonicalize_columns(triples, ["subj", "obj"], roots)
-
-    spec, out_names = _TRIPLE_AGG_SPEC
-    agg = grouped_aggregate(triples, ["subj", "pred", "obj"], spec, out_names)
-    return agg, roots
+    m = triples.materialize()
+    return reduce_triples(m, cfg, canon_threshold=canon_threshold)
 
 
 def entity_types_table(agg_triples_ds, limit: int = 1_000_000) -> dict[str, str]:

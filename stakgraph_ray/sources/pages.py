@@ -29,6 +29,10 @@ from ..config import DEFAULT_CONFIG
 OVERSIZE_MOD = 13
 BADUTF8_MOD = 29
 SKIP_MODS = (OVERSIZE_MOD, BADUTF8_MOD)
+# deterministic page markers (oracle SQL mirrors these by construction)
+PROBE_MOD = 5     # doc_id % 5 == 0 -> HTTP-probe comment in the body
+TESTID_MOD = 3    # doc_id % 3 == 0 -> data-testid attributes
+_VERBS = ("GET", "POST", "PUT", "DELETE")
 _EPOCH_US = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
 
 # Built once per process: a comment block that pushes any page past the cap.
@@ -70,16 +74,59 @@ def build_pages_batch(batch: pa.Table) -> pa.Table:
     esc = escape_column(text)
     id_str = pc.cast(doc_id, pa.string())
 
+    id_np = doc_id.to_numpy()
+    src_ls = pc.cast(source.combine_chunks() if isinstance(source, pa.ChunkedArray) else source, pa.large_string())
+    empty = pa.scalar("", pa.large_string())
+
+    # Deterministic markers (see PROBE_MOD/TESTID_MOD): an HTTP-probe comment
+    # (analog of test bodies naming verbs+routes, linker.rs:329-360) and
+    # data-testid attributes (linker.rs:302-314). Comments/attributes are
+    # stripped by text extraction, so documents.text stays byte-identical.
+    probe = pc.if_else(
+        pa.array(id_np % PROBE_MOD == 0),
+        pc.binary_join_element_wise(
+            pa.scalar("<!-- probe: ", pa.large_string()),
+            pa.array([_VERBS[i] for i in id_np % 4], pa.large_string()),
+            pa.scalar(" /api/", pa.large_string()), src_ls,
+            pa.scalar("/", pa.large_string()),
+            pc.cast(pa.array(id_np % 50), pa.large_string()),
+            pa.scalar(" -->\n", pa.large_string()), empty),
+        empty)
+    has_tid = pa.array(id_np % TESTID_MOD == 0)
+    div_tid = pc.if_else(
+        has_tid,
+        pc.binary_join_element_wise(
+            pa.scalar(' data-testid="main-', pa.large_string()),
+            pc.cast(pa.array(id_np % 97), pa.large_string()),
+            pa.scalar('"', pa.large_string()), empty),
+        empty)
+    nav_tid = pc.if_else(
+        has_tid,
+        pc.binary_join_element_wise(
+            pa.scalar(' data-testid="nav-', pa.large_string()), src_ls,
+            pa.scalar('"', pa.large_string()), empty),
+        empty)
+
     html = pc.binary_join_element_wise(
         pa.scalar("<html><head><title>Doc ", pa.large_string()), pc.cast(id_str, pa.large_string()),
         pa.scalar("</title><style>p { color: #000; }</style>"
                   "<script>var t = 1 < 2;</script></head>\n<body><!-- src=", pa.large_string()),
-        pc.cast(source.combine_chunks() if isinstance(source, pa.ChunkedArray) else source, pa.large_string()),
-        pa.scalar(" -->\n<div class=\"main\"><p>", pa.large_string()),
+        src_ls,
+        pa.scalar(" -->\n", pa.large_string()),
+        probe,
+        pa.scalar("<div class=\"main\"", pa.large_string()),
+        div_tid,
+        pa.scalar("><p>", pa.large_string()),
         esc,
         pa.scalar("</p></div>\n<a href=\"https://", pa.large_string()),
         pc.cast(host, pa.large_string()),
-        pa.scalar("/\"></a></body></html>", pa.large_string()),
+        pa.scalar("/\"></a>\n<a href=\"https://", pa.large_string()),
+        pc.cast(host, pa.large_string()),
+        pa.scalar("/about/", pa.large_string()),
+        pc.cast(pa.array(id_np % 7), pa.large_string()),
+        pa.scalar("\"", pa.large_string()),
+        nav_tid,
+        pa.scalar("></a></body></html>", pa.large_string()),
         pa.scalar("", pa.large_string()))
 
     mod_np = doc_id.to_numpy() % 1000  # pyarrow 16 has no modulo kernel

@@ -45,16 +45,32 @@ ORGS_FR = {
 }
 PLACES_FR = {"Paris": ["Paris"], "Lyon": ["Lyon"], "Marseille": ["Marseille"]}
 
+PERSONS_ES = {
+    "Lucía García": ["Lucía García", "L. García"],
+    "Diego Fernández": ["Diego Fernández"],
+    "Carmen Ruiz": ["Carmen Ruiz"],
+}
+ORGS_ES = {
+    "Datos Ejemplo": ["Datos Ejemplo"],
+    "Software Meridiano": ["Software Meridiano", "Meridiano"],
+    "Análisis Austral": ["Análisis Austral", "Austral"],
+}
+PLACES_ES = {"Madrid": ["Madrid"], "Sevilla": ["Sevilla"],
+             "Valencia": ["Valencia"]}
+
 FILLERS = {
     "de": ["der schnelle braune fuchs springt über den faulen hund.",
            "jeder datenstrom fließt durch die leitung."],
     "fr": ["le renard brun rapide saute par-dessus le chien paresseux.",
            "chaque flux de données passe par le canal."],
+    "es": ["el rápido zorro marrón salta sobre el perro perezoso.",
+           "cada flujo de datos pasa por el canal."],
 }
-# the OTHER language's pattern shape — must not be extracted by this stack
+# ANOTHER language's pattern shape — must not be extracted by this stack
 CROSS = {
     "de": "Marie Dubois travaille chez Exemple Données.",
     "fr": "Johann Müller arbeitet bei Nordlicht Software.",
+    "es": "Greta Weiß arbeitet bei Süddata Analytik.",
 }
 
 TEMPLATES = {
@@ -69,6 +85,12 @@ TEMPLATES = {
         "ACQUIRED": "{s} a acquis {o} en {y}.",
         "WORKS_AT": "{s} travaille chez {o}.",
         "LOCATED_IN": "{s} se trouve à {o}.",
+    },
+    "es": {
+        "FOUNDED": "{s} fundó {o} en {y}.",
+        "ACQUIRED": "{s} adquirió {o} en {y}.",
+        "WORKS_AT": "{s} trabaja en {o}.",
+        "LOCATED_IN": "{s} está ubicada en {o}.",
     },
 }
 
@@ -95,8 +117,13 @@ def entity_dictionary_fr() -> dict:
     return _dict_of(PERSONS_FR, ORGS_FR, PLACES_FR)
 
 
+def entity_dictionary_es() -> dict:
+    return _dict_of(PERSONS_ES, ORGS_ES, PLACES_ES)
+
+
 _VOCAB = {"de": (PERSONS_DE, ORGS_DE, PLACES_DE),
-          "fr": (PERSONS_FR, ORGS_FR, PLACES_FR)}
+          "fr": (PERSONS_FR, ORGS_FR, PLACES_FR),
+          "es": (PERSONS_ES, ORGS_ES, PLACES_ES)}
 
 
 def generate_multilingual_pages(n_pages: int = 200, seed: int = 7):
@@ -122,7 +149,7 @@ def generate_multilingual_pages(n_pages: int = 200, seed: int = 7):
         types.setdefault(o, o_typ)
 
     for i in range(n_pages):
-        lang = "de" if i % 2 == 0 else "fr"
+        lang = ("de", "fr", "es")[i % 3]
         persons, orgs, places = _VOCAB[lang]
         pl_sorted = sorted(persons), sorted(orgs), sorted(places)
         tpl = TEMPLATES[lang]

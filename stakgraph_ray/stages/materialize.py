@@ -194,28 +194,19 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     # graph product (cf. ast/src/builder/core.rs:48-235); the relation year
     # attribute rides in edge.operand. Corpora without relation patterns
     # contribute zero rows at the cost of one regex pass over extracted text.
-    from ..pipelines.rich import (_partial_agg, _TRIPLE_AGG_SPEC,
-                                  entity_types_table, typed_graph_tables)
+    from ..pipelines.rich import (_partial_agg, entity_types_table,
+                                  reduce_triples, typed_graph_tables)
     from ..stages.registry import make_router
-    from ..stages.canonicalize import canonicalize_columns
 
     t0 = time.time()
     typed = ex.map_batches(make_router(), batch_format="pyarrow",
                            batch_size=None) \
         .map_batches(_partial_agg, batch_format="pyarrow")
-    typed = typed.materialize()  # consumers: names pass + rewrite
-    typed_names = distinct(typed.map_batches(
-        lambda t: pa.table({"name": pa.concat_tables(
-            [pa.table({"name": t["subj"]}), pa.table({"name": t["obj"]})])["name"]
-            .combine_chunks()}),
-        batch_format="pyarrow"), ["name"])
+    typed = typed.materialize()  # pure-map execution; reduce comes next
     # typed entity names canonicalize in their OWN namespace (separate LSH
-    # pass from the token-vocabulary roots above)
-    troots = canonical_roots(typed_names, cfg)
-    typed = canonicalize_columns(typed, ["subj", "obj"], troots)
-    spec, out_names = _TRIPLE_AGG_SPEC
-    typed = grouped_aggregate(typed, ["subj", "pred", "obj"], spec, out_names)
-    typed = typed.materialize()  # two consumers: types pass + node/edge rows
+    # pass from the token-vocabulary roots above); adaptive vocab-scale
+    # reduce, same kernels either path (see pipelines/rich.reduce_triples)
+    typed, troots = reduce_triples(typed, cfg, canon_threshold=0.85)
     n_typed = typed.count()
     metrics.append({"stage": "typed_extract", "rows": n_typed,
                     "sec": round(time.time() - t0, 3), "skipped": False})

@@ -94,11 +94,12 @@ def make_router(factories: dict | None = None):
 
 def _register_defaults() -> None:
     from .stacks import (EnglishTripleExtractor, FrenchTripleExtractor,
-                         GermanTripleExtractor)
+                         GermanTripleExtractor, SpanishTripleExtractor)
 
     _FACTORIES.setdefault("en", EnglishTripleExtractor)
     _FACTORIES.setdefault("de", GermanTripleExtractor)
     _FACTORIES.setdefault("fr", FrenchTripleExtractor)
+    _FACTORIES.setdefault("es", SpanishTripleExtractor)
 
 
 _register_defaults()

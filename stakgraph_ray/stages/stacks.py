@@ -186,3 +186,18 @@ class FrenchTripleExtractor(PatternTripleExtractor):
         from ..sources.synth_ml import entity_dictionary_fr
 
         super().__init__(dictionary or entity_dictionary_fr(), self.TEMPLATES)
+
+
+class SpanishTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÁÉÍÓÚÑ][A-Za-zÁÉÍÓÚÑáéíóúñü0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) fundó (?P<o>{ent}) en (?P<y>\d{{4}})\.", "FOUNDED"),
+        (r"(?P<s>{ent}) adquirió (?P<o>{ent}) en (?P<y>\d{{4}})\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) trabaja en (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) está ubicada en (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_es
+
+        super().__init__(dictionary or entity_dictionary_es(), self.TEMPLATES)

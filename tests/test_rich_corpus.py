@@ -68,3 +68,27 @@ def test_strategies_all_exercised(ray_session):
     raw = ex(t)
     strategies = set(raw["strategy"].to_pylist())
     assert {"exact", "alias", "same_page_unique", "unverified"} <= strategies
+
+
+def test_driver_and_distributed_tails_identical(ray_session, monkeypatch):
+    """The adaptive reduce (vocab-scale driver tail vs distributed keyed
+    shuffle) must emit the same triple table and the same roots."""
+    import ray.data as rd
+
+    import stakgraph_ray.pipelines.rich as rich
+
+    pages, _ = generate_rich_pages(200)
+    small_ds, small_roots = build_rich_triples(rd.from_arrow(pages))
+    small = small_ds.to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+
+    monkeypatch.setattr(rich, "DRIVER_TAIL_LIMIT", 0)
+    big_ds, big_roots = build_rich_triples(rd.from_arrow(pages))
+    big = big_ds.to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+
+    assert small_roots == big_roots
+    assert list(small.columns) == list(big.columns)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(small, big[small.columns], check_dtype=False)
