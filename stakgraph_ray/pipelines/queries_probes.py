@@ -128,3 +128,55 @@ from off where n = 1
 """
 
 PROBE_QUERIES["kg_maximal_mentions"] = (q_maximal_mentions, SQL_MAXIMAL_MENTIONS)
+
+
+def q_probe_endpoint_links(sf_dir: str):
+    """Probe → Endpoint linking: the extracted HTTP-probe mentions
+    (extract_http_verbs_from_test analog) joined to the endpoint table via
+    the segment-match + verb-equality join — the reference's full
+    test→endpoint linking flow (linker.rs:316-396). PUT/DELETE probes have
+    no endpoint and drop out (unmatched path exercised)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.relational import endpoint_match_join
+    from ..stages.probes import http_probe_rows
+
+    probes = read_pages(sf_dir).map_batches(http_probe_rows,
+                                            batch_format="pyarrow")
+    sources = sorted(set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        ["source"].to_pylist()))
+    eps = pa.table({
+        "endpoint_path": pa.array([f"/api/{s}/:id" for s in sources
+                                   for _ in (0, 1)], pa.string()),
+        "verb": pa.array([v for _ in sources for v in ("GET", "POST")],
+                         pa.string()),
+        "handler": pa.array([f"{s}_{v.lower()}" for s in sources
+                             for v in ("GET", "POST")], pa.string()),
+    })
+    out = endpoint_match_join(probes, eps)
+    return out.map_batches(
+        lambda t: t.select(["url", "verb", "endpoint_path", "handler"]),
+        batch_format="pyarrow")
+
+
+SQL_PROBE_ENDPOINT_LINKS = f"""
+with probes as (
+  select {URL_SQL} as url,
+         case doc_id % 4 when 0 then 'GET' when 1 then 'POST'
+                         when 2 then 'PUT' else 'DELETE' end as verb,
+         '/api/' || source || '/' || cast(doc_id % 50 as varchar) as path
+  from documents where {NOT_SKIP_SQL} and doc_id % 5 = 0),
+eps as (
+  select distinct '/api/' || source || '/:id' as endpoint_path, v.verb,
+         source || '_' || lower(v.verb) as handler
+  from documents, (values ('GET'), ('POST')) v(verb))
+select p.url, p.verb, e.endpoint_path, e.handler
+from probes p join eps e
+  on p.verb = e.verb
+ and regexp_full_match(p.path,
+                       regexp_replace(e.endpoint_path, ':[a-zA-Z_]+', '[^/]+', 'g'))
+"""
+
+PROBE_QUERIES["kg_probe_endpoint_links"] = (q_probe_endpoint_links,
+                                            SQL_PROBE_ENDPOINT_LINKS)

@@ -164,7 +164,7 @@ def incremental_update(new_pages_ds, workdir: str, cfg=None,
                    extra={"incremental": True, "n_changed": n_changed})
 
     # downstream stages are derived: invalidate their manifests
-    for stage in ("linked", "nodes", "edges"):
+    for stage in ("linked", "nodes_raw", "edges_raw", "nodes", "edges"):
         mp = os.path.join(workdir, stage, "_MANIFEST.json")
         if os.path.exists(mp):
             os.remove(mp)
