@@ -5,9 +5,10 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "triples_per_sec": ...}
 
---scaling: runs the headline pipeline in two fresh processes
-(num_cpus=8 and num_cpus=32) on the same input and reports both
-throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+--scaling: runs the compute-bound flagship and the full KG build in fresh
+processes at two CPU levels (default 4 vs 16 — per-core resources held
+constant, the single-box stand-in for N vs 4N nodes), best-of-2 per level,
+and reports both throughputs + scaling efficiency.
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ def run_headline(sf_dir: str) -> dict:
     """Full KG build -> parquet sink; returns timings + triple throughput.
 
     BENCH_REPLICATE tiles the corpus deterministically (scaling mode uses
-    x8 so compute dominates fixed session overhead; identical input at both
+    x64 so compute dominates fixed session overhead; identical input at both
     parallelism levels)."""
     import shutil
 
@@ -120,7 +121,7 @@ def main():
 
 def run_child(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
-               BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "8"))
+               BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "64"))
     out = subprocess.run([sys.executable, __file__], env=env,
                          capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -229,7 +230,7 @@ def scaling():
         "rich_pages_per_sec_lo": round(total_pages / rich_lo),
         "rich_pages_per_sec_hi": round(total_pages / rich_hi),
         "rich_scaling_efficiency": round(rich_eff, 3),
-        "kg_replicate": int(os.environ.get("BENCH_REPLICATE", "8")),
+        "kg_replicate": int(os.environ.get("BENCH_REPLICATE", "64")),
         "kg_sec_lo": t_lo, "kg_sec_hi": t_hi,
         "kg_triples_per_sec_lo": r_lo["triples_per_sec"],
         "kg_triples_per_sec_hi": r_hi["triples_per_sec"],
