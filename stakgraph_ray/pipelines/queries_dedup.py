@@ -371,3 +371,27 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "txt_fingerprints": (q_doc_fingerprints, None),
     "txt_langid": (q_langid, SQL_LANGID),
 }
+
+
+def q_media_metadata(sf_dir: str):
+    """Multimodal typed-metadata columns, oracle-backed: the media table is
+    derived inside map_batches (kind / width / height / n_frames are pure
+    functions of doc_id), so the distributed derivation and schema are
+    SQL-checkable even though the binary payload features are not."""
+    from ..stages.multimodal import synth_media_ds
+
+    return synth_media_ds(sf_dir).map_batches(
+        lambda t: t.select(["media_id", "kind", "width", "height", "n_frames"]),
+        batch_format="pyarrow")
+
+
+SQL_MEDIA_METADATA = """
+select doc_id as media_id,
+       case when doc_id % 10 = 0 then 'video' else 'image' end as kind,
+       cast(16 + (doc_id % 5) * 8 as int) as width,
+       cast(16 + (doc_id % 7) * 8 as int) as height,
+       cast(case when doc_id % 10 = 0 then 4 else 1 end as int) as n_frames
+from documents
+"""
+
+DEDUP_QUERIES["mm_media_metadata"] = (q_media_metadata, SQL_MEDIA_METADATA)

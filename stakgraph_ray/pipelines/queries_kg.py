@@ -518,3 +518,35 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_follows_edges": (q_follows_edges, SQL_FOLLOWS_EDGES),
     "kg_host_stats": (q_host_stats, SQL_HOST_STATS),
 }
+
+
+def q_parse_stats(sf_dir: str):
+    """Per-language parse stats (pages / skipped) — the reference's parse
+    statistics rollup (ast/src/lang/mod.rs:39-50) as an oracle-backed query
+    instead of metrics-file-only."""
+    from ray.data.aggregate import Sum
+
+    ds = _extracted(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": t["lang"],
+            "skip": pc.cast(t["skipped"], pa.int64()),
+        }).group_by(["lang"]).aggregate([("skip", "sum"), ("skip", "count")])
+        return g.rename_columns(["lang", "n_skipped", "n_pages"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n_pages", alias_name="n_pages"),
+                                   Sum("n_skipped", alias_name="n_skipped"))
+    return out.map_batches(
+        lambda t: t.select(["lang", "n_pages", "n_skipped"]),
+        batch_format="pyarrow")
+
+
+SQL_PARSE_STATS = f"""
+select lang, count(*) as n_pages,
+       count(*) filter (where {SKIP_SQL}) as n_skipped
+from documents group by 1
+"""
+
+KG_QUERIES["kg_parse_stats"] = (q_parse_stats, SQL_PARSE_STATS)

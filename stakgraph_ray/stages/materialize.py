@@ -254,3 +254,34 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     return {"workdir": workdir, "metrics": metrics,
             "nodes": nodes_out, "edges": edges_out,
             "roots": roots}
+
+
+def export_graph_partitioned(workdir: str, out_dir: str) -> dict:
+    """Bulk-sink analog of the reference's per-label Neo4j upload
+    (/root/reference/neo4j/helpers.rs:8 batch=4096, builder/streaming.rs:58):
+    re-exports the built graph as Parquet partitioned one directory per
+    node_type / edge_type, so a bulk loader (or a 256-node cluster reading
+    one label) touches only its partition. Reads the flagship checkpoints;
+    returns the per-type row counts."""
+    import shutil
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..util import default_num_blocks
+
+    counts: dict[str, dict[str, int]] = {}
+    for table, part_col in (("nodes", "node_type"), ("edges", "edge_type")):
+        src = os.path.join(workdir, table)
+        dst = os.path.join(out_dir, table)
+        shutil.rmtree(dst, ignore_errors=True)
+        ds = rd.read_parquet(src, override_num_blocks=default_num_blocks())
+        ds.write_parquet(dst, partition_cols=[part_col],
+                         min_rows_per_file=100_000)
+        # per-partition counts from parquet metadata (no Ray execution)
+        c: dict[str, int] = {}
+        for frag in pads.dataset(dst, partitioning="hive").get_fragments():
+            key = frag.path.split(f"{part_col}=")[1].split("/")[0]
+            c[key] = c.get(key, 0) + frag.count_rows()
+        counts[table] = c
+    return counts

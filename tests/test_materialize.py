@@ -60,3 +60,29 @@ def test_resume_recomputes_incomplete_stage(built, sf_tiny):
     assert skipped["extract"] and skipped["link"] and skipped["nodes"]
     assert not skipped["edges"]
     assert again["edges"].count() == n_edges  # no duplicate output
+
+
+def test_export_graph_partitioned(built, tmp_path):
+    import duckdb
+
+    from stakgraph_ray.stages.materialize import export_graph_partitioned
+
+    out = str(tmp_path / "bulk")
+    counts = export_graph_partitioned(WORKDIR, out)
+    assert counts["nodes"].get("Page") and counts["edges"].get("MENTIONS")
+    con = duckdb.connect()
+    # a per-label read touches only its partition and matches the flat table
+    n_pages = con.sql(
+        f"select count(*) from read_parquet('{out}/nodes/node_type=Page/*.parquet')"
+    ).fetchone()[0]
+    flat = con.sql(
+        f"select count(*) from read_parquet('{WORKDIR}/nodes/*.parquet') "
+        "where node_type = 'Page'").fetchone()[0]
+    assert n_pages == flat == counts["nodes"]["Page"]
+    total = con.sql(
+        f"select count(*) from read_parquet('{out}/edges/*/*.parquet')"
+    ).fetchone()[0]
+    flat_e = con.sql(
+        f"select count(*) from read_parquet('{WORKDIR}/edges/*.parquet')"
+    ).fetchone()[0]
+    assert total == flat_e == sum(counts["edges"].values())
