@@ -187,9 +187,11 @@ from documents
 def q_rich_triples(sf_dir: str):
     """Full typed-entity pipeline over the annotated synthetic corpus
     (dictionary+pattern extraction, cascade linking incl. same-page-unique,
-    LSH canonicalization). Rows-only: the corpus is generated, not a
-    registered view; correctness is gated by the pytest P/R >= 0.95 test
-    (tests/test_rich_corpus.py)."""
+    LSH canonicalization), projected to the (subj, pred, obj) triple set.
+    Oracle: the generator's by-construction golden as an inline VALUES
+    relation — exact because the pytest gate holds P = R = 1.0
+    (tests/test_rich_corpus.py); confidence/year/type columns are asserted
+    there as well."""
     import ray.data as rd
 
     from ..pipelines.rich import build_rich_triples
@@ -197,7 +199,23 @@ def q_rich_triples(sf_dir: str):
 
     pages, _golden = generate_rich_pages(300)
     triples, _roots = build_rich_triples(rd.from_arrow(pages))
-    return triples
+    return triples.map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow")
+
+
+def _sql_rich_triples() -> str:
+    from ..sources.synth import generate_rich_pages
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    _pages, golden = generate_rich_pages(300)
+    rows = ", ".join(f"({q(s)}, {q(p)}, {q(o)})"
+                     for s, p, o in sorted(golden["triples"]))
+    return (f"select * from (values {rows}) as t(subj, pred, obj)")
+
+
+SQL_RICH_TRIPLES = _sql_rich_triples()
 
 
 def q_knn_lsh(sf_dir: str):
@@ -262,7 +280,14 @@ def q_hybrid_search(sf_dir: str):
                 pc.split_pattern(pc.cast(f["text"], pa.large_string()), " ")),
                 pa.int64())}))(t.filter(pc.is_in(t["doc_id"], value_set=fused_ids))),
         batch_format="pyarrow").take_all()}
-    items = [{"doc_id": i, "score": round(s, 6),
+    import math
+
+    # half-away-from-zero to match DuckDB round() (python round is half-even
+    # and diverges at exact .5 boundaries like 0.0140625)
+    def r6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    items = [{"doc_id": i, "score": r6(s),
               "token_count": counts.get(i, 0)} for i, s in fused]
     kept = token_budget_limit(items, max_tokens=1500)
     return rd.from_arrow(pa.table({
@@ -360,7 +385,7 @@ order by score desc, doc_id limit 50
 DEDUP_QUERIES: dict[str, tuple] = {
     "search_fulltext_topk": (q_fulltext_topk, SQL_FULLTEXT_TOPK),
     "sim_node_embedding_ann": (q_node_embedding_ann, None),
-    "kg_rich_triples": (q_rich_triples, None),
+    "kg_rich_triples": (q_rich_triples, SQL_RICH_TRIPLES),
     "search_hybrid_rrf": (q_hybrid_search, None),
     "sim_knn_lsh": (q_knn_lsh, None),
     "mm_media_features": (q_media_features, None),
@@ -395,3 +420,64 @@ from documents
 """
 
 DEDUP_QUERIES["mm_media_metadata"] = (q_media_metadata, SQL_MEDIA_METADATA)
+
+
+# Hybrid-RRF oracle: the full reference formula in SQL — per-list min-max
+# normalization ((s-lo)/(hi-lo), range 0 -> 1.0 divisor), contribution
+# (1/(60+rank))*(0.5+0.5*norm), 1.5x both-lists boost, (-score, id) order,
+# limit 25, then the greedy token-budget prefix as a window cumsum.
+SQL_HYBRID_RRF = """
+with ft0 as (
+  select doc_id,
+         cast(len(list_filter(string_split(text, ' '),
+                              x -> x in ('spark', 'join', 'window')))
+              as double) as score
+  from documents
+),
+ftl as (select doc_id, score from ft0 where score > 0
+        order by score desc, doc_id limit 50),
+ftr as (select doc_id, score,
+               row_number() over (order by score desc, doc_id) as rnk,
+               min(score) over () as lo, max(score) over () as hi from ftl),
+v0 as (
+  select vec_id,
+         list_cosine_similarity(embedding,
+             (select embedding from embeddings where vec_id = 0)) as cos
+  from embeddings
+),
+vl as (select vec_id, cos from v0 order by cos desc, vec_id limit 50),
+vr as (select vec_id, cos,
+              row_number() over (order by cos desc, vec_id) as rnk,
+              min(cos) over () as lo, max(cos) over () as hi from vl),
+contrib as (
+  select doc_id as id,
+         (1.0 / (60 + rnk)) *
+         (0.5 + 0.5 * (score - lo) / (case when hi = lo then 1.0
+                                           else hi - lo end)) as c
+  from ftr
+  union all
+  select vec_id as id,
+         (1.0 / (60 + rnk)) *
+         (0.5 + 0.5 * (cos - lo) / (case when hi = lo then 1.0
+                                         else hi - lo end)) as c
+  from vr
+),
+fused as (
+  select id, sum(c) * (case when count(*) = 2 then 1.5 else 1.0 end) as s
+  from contrib group by id
+),
+top as (select id, s from fused order by s desc, id limit 25),
+tok as (select doc_id, len(string_split(text, ' ')) as token_count
+        from documents),
+budgeted as (
+  select t.id as doc_id, t.s, coalesce(k.token_count, 0) as token_count,
+         sum(coalesce(k.token_count, 0)) over (
+             order by t.s desc, t.id
+             rows between unbounded preceding and current row) as cum
+  from top t left join tok k on t.id = k.doc_id
+)
+select doc_id, round(s, 6) as score, token_count
+from budgeted where cum <= 1500
+"""
+
+DEDUP_QUERIES["search_hybrid_rrf"] = (q_hybrid_search, SQL_HYBRID_RRF)

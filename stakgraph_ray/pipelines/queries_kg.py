@@ -550,3 +550,43 @@ from documents group by 1
 """
 
 KG_QUERIES["kg_parse_stats"] = (q_parse_stats, SQL_PARSE_STATS)
+
+
+def _sql_pagerank(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank oracle over the FOLLOWS term graph.
+
+    SQL cannot express the iterative loop in one recursive CTE (aggregates
+    over the recursive reference are not allowed), but the iteration count
+    is FIXED (10), so the loop unrolls into chained CTEs r0..r10 — each
+    round the exact update the pipeline uses (ops/graph.pagerank):
+        r'(i) = (1-d)/n + d * (sum_{j->i} r(j)/out(j) + D/n)
+    with D the dangling (out-degree-0) rank mass."""
+    follows = SQL_FOLLOWS_EDGES.strip().rstrip(";")
+    parts = [f"""
+with edges as materialized (select a as src, b as dst from ({follows}) f),
+deg as materialized (select src, count(*) as outd from edges group by src),
+nodes as materialized (select distinct k from
+          (select src as k from edges union all select dst as k from edges)),
+meta as materialized (select count(*) as n from nodes),
+r0 as materialized (select k, 1.0 / (select n from meta) as r from nodes)"""]
+    for i in range(iterations):
+        parts.append(f"""
+d{i} as materialized (select coalesce(sum(r.r), 0) as dm
+         from r{i} r left join deg on r.k = deg.src where deg.src is null),
+r{i + 1} as materialized (
+  select n.k,
+         {1.0 - damping} / (select n from meta) +
+         {damping} * (coalesce(c.s, 0) + (select dm from d{i}) /
+                      (select n from meta)) as r
+  from nodes n left join (
+      select e.dst as k, sum(r.r / deg.outd) as s
+      from edges e join r{i} r on e.src = r.k
+                   join deg on deg.src = e.src
+      group by e.dst) c on n.k = c.k)""")
+    return (",".join(parts) +
+            f"\nselect k as node_key, round(r, 6) as rank from r{iterations}")
+
+
+SQL_TERM_PAGERANK = _sql_pagerank()
+
+KG_QUERIES["kg_term_pagerank"] = (q_term_pagerank, SQL_TERM_PAGERANK)

@@ -119,7 +119,7 @@ def generate_rich_pages(n_pages: int = 300, seed: int = 42):
             continue
 
         for _ in range(rng.randint(3, 7)):
-            kind = rng.randrange(10)
+            kind = rng.randrange(15)
             if kind <= 1:      # FOUNDED
                 p, o = rng.choice(persons), rng.choice(orgs)
                 ps = rng.choice(PERSONS[p])
@@ -161,6 +161,32 @@ def generate_rich_pages(n_pages: int = 300, seed: int = 42):
                 sents.append(f"{v} is located in {rng.choice(PLACES[pl])}.")
                 gold_triples.add((LSH_VARIANTS[v], "LOCATED_IN", pl))
                 used_strategies.add("lsh_merge")
+            elif kind == 10:   # BORN_IN
+                p, pl = rng.choice(persons), rng.choice(places)
+                sents.append(f"{rng.choice(PERSONS[p])} was born in "
+                             f"{rng.choice(PLACES[pl])}.")
+                gold_triples.add((p, "BORN_IN", pl))
+            elif kind == 11:   # CEO_OF
+                p, o = rng.choice(persons), rng.choice(orgs)
+                sents.append(f"{rng.choice(PERSONS[p])} is the chief executive "
+                             f"of {rng.choice(ORGS[o])}.")
+                gold_triples.add((p, "CEO_OF", o))
+                page_persons.append(p)
+            elif kind == 12:   # SUBSIDIARY_OF
+                o1, o2 = rng.sample(orgs, 2)
+                sents.append(f"{rng.choice(ORGS[o1])} is a subsidiary of "
+                             f"{rng.choice(ORGS[o2])}.")
+                gold_triples.add((o1, "SUBSIDIARY_OF", o2))
+            elif kind == 13:   # PARTNERED_WITH (year attribute)
+                o1, o2 = rng.sample(orgs, 2)
+                sents.append(f"{rng.choice(ORGS[o1])} partnered with "
+                             f"{rng.choice(ORGS[o2])} in {2000 + rng.randrange(25)}.")
+                gold_triples.add((o1, "PARTNERED_WITH", o2))
+            elif kind == 14:   # HEADQUARTERED_IN
+                o, pl = rng.choice(orgs), rng.choice(places)
+                sents.append(f"{rng.choice(ORGS[o])} is headquartered in "
+                             f"{rng.choice(PLACES[pl])}.")
+                gold_triples.add((o, "HEADQUARTERED_IN", pl))
             else:
                 sents.append(rng.choice(FILLERS))
 

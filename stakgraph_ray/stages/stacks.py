@@ -36,6 +36,11 @@ SLOT_TYPES = {
     "ACQUIRED": ("Org", "Org"),
     "WORKS_AT": ("Person", "Org"),
     "LOCATED_IN": ("Org", "Place"),
+    "BORN_IN": ("Person", "Place"),
+    "CEO_OF": ("Person", "Org"),
+    "SUBSIDIARY_OF": ("Org", "Org"),
+    "PARTNERED_WITH": ("Org", "Org"),
+    "HEADQUARTERED_IN": ("Org", "Place"),
 }
 
 TRIPLES_SCHEMA = pa.schema([
@@ -146,6 +151,13 @@ class EnglishTripleExtractor(PatternTripleExtractor):
         (r"(?P<s>{ent}) acquired (?P<o>{ent}) in (?P<y>\d{{4}})\.", "ACQUIRED"),
         (r"(?P<s>{ent}) works at (?P<o>{ent})\.", "WORKS_AT"),
         (r"(?P<s>{ent}) is located in (?P<o>{ent})\.", "LOCATED_IN"),
+        (r"(?P<s>{ent}) was born in (?P<o>{ent})\.", "BORN_IN"),
+        (r"(?P<s>{ent}) is the chief executive of (?P<o>{ent})\.", "CEO_OF"),
+        (r"(?P<s>{ent}) is a subsidiary of (?P<o>{ent})\.", "SUBSIDIARY_OF"),
+        (r"(?P<s>{ent}) partnered with (?P<o>{ent}) in (?P<y>\d{{4}})\.",
+         "PARTNERED_WITH"),
+        (r"(?P<s>{ent}) is headquartered in (?P<o>{ent})\.",
+         "HEADQUARTERED_IN"),
     ]
 
     def __init__(self, dictionary: dict | None = None):
