@@ -157,7 +157,7 @@ def incremental_update(new_pages_ds, workdir: str, cfg=None,
 
     tmp_dir = old_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    merged.write_parquet(tmp_dir)
+    merged.write_parquet(tmp_dir, min_rows_per_file=100_000)
     shutil.rmtree(old_dir, ignore_errors=True)
     os.replace(tmp_dir, old_dir)
     write_manifest(old_dir, rows=_parquet_rows(old_dir), stage="extract",
