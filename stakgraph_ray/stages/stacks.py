@@ -85,8 +85,19 @@ class PatternTripleExtractor:
                           key=len, reverse=True)  # longest-match-first
         ent = "|".join(re.escape(s) for s in surfaces)
         ent = f"(?:{ent}|{self.fallback})"
-        self.patterns = [(re.compile(fmt.format(ent=ent)), pred)
-                         for fmt, pred in templates]
+        # ONE combined alternation: each page body is scanned once, not once
+        # per relation family (9 families = 9 full scans otherwise; matches
+        # are disjoint sentences, so the union of per-pattern match sets is
+        # preserved). Group names are suffixed per branch; ``preds`` maps the
+        # branch sentinel back to its predicate.
+        self.preds = [pred for _fmt, pred in templates]
+        branches = []
+        for i, (fmt, _pred) in enumerate(templates):
+            p = fmt.format(ent=ent)
+            for g in ("s", "o", "y"):
+                p = p.replace(f"(?P<{g}>", f"(?P<{g}{i}>")
+            branches.append(f"(?:{p})")
+        self.combined = re.compile("|".join(branches))
 
     def _link(self, surface: str, pred: str, slot: int,
               page_entities: list[tuple[str, str]]):
@@ -111,18 +122,23 @@ class PatternTripleExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {f.name: [] for f in TRIPLES_SCHEMA}
+        npred = len(self.preds)
         for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
             raw: list[tuple[str, str, str, int | None]] = []
             page_entities: list[tuple[str, str]] = []
-            for rx, pred in self.patterns:
-                for m in rx.finditer(text or ""):
-                    year = m.groupdict().get("y")
-                    raw.append((m.group("s"), pred, m.group("o"),
-                                int(year) if year else None))
-                    for surf in (m.group("s"), m.group("o")):
-                        hit = self.dict.get(surf)
-                        if hit is not None:
-                            page_entities.append(hit)
+            for m in self.combined.finditer(text or ""):
+                gd = m.groupdict()
+                for i in range(npred):
+                    s = gd.get(f"s{i}")
+                    if s is not None:
+                        year = gd.get(f"y{i}")
+                        raw.append((s, self.preds[i], gd[f"o{i}"],
+                                    int(year) if year else None))
+                        for surf in (s, gd[f"o{i}"]):
+                            hit = self.dict.get(surf)
+                            if hit is not None:
+                                page_entities.append(hit)
+                        break
             for s_surf, pred, o_surf, year in raw:
                 s_c, s_conf, s_strat, s_typ, s_src = self._link(
                     s_surf, pred, 0, page_entities)
