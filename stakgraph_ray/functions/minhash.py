@@ -16,8 +16,6 @@ import zlib
 import numpy as np
 
 _MERSENNE = np.uint64((1 << 61) - 1)
-_SEED_A = 0x9E3779B97F4A7C15
-_SEED_B = 0xC2B2AE3D27D4EB4F
 
 
 def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
@@ -85,24 +83,29 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 _M64 = 0xFFFFFFFFFFFFFFFF
 
 
-def _splitmix64(h: int) -> int:
-    h = (h + _SEED_A) & _M64
-    h ^= h >> 30
-    h = (h * 0xBF58476D1CE4E5B9) & _M64
-    h ^= h >> 27
-    h = (h * 0x94D049BB133111EB) & _M64
-    h ^= h >> 31
-    return h
+from functools import lru_cache as _lru_cache
+import hashlib as _hashlib
+
+
+@_lru_cache(maxsize=1 << 20)
+def md5low64(s: str) -> int:
+    """Upper-half-little-endian 64 bits of md5 — the exact value DuckDB's
+    ``md5_number_lower`` computes, so SimHash / fingerprints built on it are
+    SQL-reproducible oracle-side. Memoized: web-corpus token/window sets are
+    heavily repeated (closed-ish vocabulary), so per-distinct-string cost
+    amortizes to a dict hit inside long-lived worker processes."""
+    return int.from_bytes(_hashlib.md5(s.encode("utf-8")).digest()[8:16],
+                          "little")
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32 + splitmix64 mixing);
+    """64-bit SimHash over whitespace tokens (md5-low-64 token hash);
     pure-int arithmetic (numpy shifts overflow on the top bit)."""
     acc = [0] * 64
     for tok in (text or "").split(" "):
         if not tok:
             continue
-        h = _splitmix64(zlib.crc32(tok.encode("utf-8")))
+        h = md5low64(tok)
         for i in range(64):
             acc[i] += 1 if (h >> i) & 1 else -1
     out = 0
@@ -117,9 +120,10 @@ def hamming64(a: int, b: int) -> int:
 
 
 def rolling_fingerprint(text: str, window: int = 8) -> int:
-    """Winnowing-style document fingerprint: min crc32 over byte windows
-    (document fingerprinting op for the training-data pipeline)."""
-    enc = (text or "").encode("utf-8")
-    if len(enc) <= window:
-        return zlib.crc32(enc)
-    return min(zlib.crc32(enc[i:i + window]) for i in range(len(enc) - window + 1))
+    """Winnowing-style document fingerprint: min md5-low-64 over CHAR
+    windows (char-based, consistent with the char-offset mention contract;
+    md5-low-64 keeps it DuckDB-reproducible)."""
+    t = text or ""
+    if len(t) <= window:
+        return md5low64(t)
+    return min(md5low64(t[i:i + window]) for i in range(len(t) - window + 1))

@@ -121,8 +121,9 @@ from embeddings where {VEC_COND_SQL}
 
 
 def q_simhash_fingerprints(sf_dir: str):
-    """64-bit SimHash per document + 16-bit blocking bucket (rows-only:
-    the fingerprint function is not SQL-expressible)."""
+    """64-bit SimHash per document + 16-bit blocking bucket. The token hash
+    is md5-low-64 (= DuckDB md5_number_lower), so the whole fingerprint is
+    SQL-expressible: the oracle unrolls the per-bit majority vote."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
@@ -133,8 +134,33 @@ def q_simhash_fingerprints(sf_dir: str):
                           batch_format="pyarrow", concurrency=_pool())
 
 
+SQL_SIMHASH = """
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+),
+h as (select doc_id, md5_number_lower(tok) as h from tok where tok != ''),
+bits as (
+  select doc_id, b.bit,
+         sum(case when (h >> b.bit) & 1 = 1 then 1 else -1 end) as s
+  from h cross join (select unnest(generate_series(0, 63)) as bit) b
+  group by doc_id, b.bit
+),
+sim as (
+  select doc_id,
+         cast(sum(case when s > 0 then (1::ubigint << bit)
+                       else 0::ubigint end) as ubigint) as h64
+  from bits group by doc_id
+)
+select d.doc_id,
+       lower(lpad(to_hex(coalesce(s.h64, 0::ubigint)), 16, '0')) as simhash,
+       cast(coalesce(s.h64, 0::ubigint) >> 48 as bigint) as bucket
+from documents d left join sim s on d.doc_id = s.doc_id
+"""
+
+
 def q_doc_fingerprints(sf_dir: str):
-    """Winnowing-style rolling-hash fingerprint per doc (rows-only)."""
+    """Winnowing-style rolling-hash fingerprint per doc: min md5-low-64 over
+    8-char windows (oracle: min(md5_number_lower(substring(...))))."""
     import ray.data as rd
 
     from ..functions.minhash import rolling_fingerprint
@@ -145,9 +171,18 @@ def q_doc_fingerprints(sf_dir: str):
     def fp(t: pa.Table) -> pa.Table:
         vals = [rolling_fingerprint(x or "") for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"],
-                         "fingerprint": pa.array(vals, pa.int64())})
+                         "fingerprint": pa.array(vals, pa.uint64())})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+SQL_FINGERPRINTS = """
+select doc_id,
+       (select min(md5_number_lower(substring(text, w.i, 8)))
+        from (select unnest(generate_series(
+                1, greatest(length(text) - 7, 1))) as i) w) as fingerprint
+from documents
+"""
 
 
 def q_langid(sf_dir: str):
@@ -392,8 +427,8 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),
     "dedup_token_jaccard": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD),
     "dedup_embedding_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_PAIRS),
-    "dedup_simhash": (q_simhash_fingerprints, None),
-    "txt_fingerprints": (q_doc_fingerprints, None),
+    "dedup_simhash": (q_simhash_fingerprints, SQL_SIMHASH),
+    "txt_fingerprints": (q_doc_fingerprints, SQL_FINGERPRINTS),
     "txt_langid": (q_langid, SQL_LANGID),
 }
 

@@ -333,8 +333,12 @@ def q_two_hop(sf_dir: str):
     /root/reference/ast/src/lang/linker.rs:34-140)."""
     from ..ops.partition import grouped_aggregate
 
+    # materialize the AGGREGATED edge table once: it is vocabulary-bounded
+    # (|canonical terms|^2 worst case), not corpus-bounded, and both join
+    # sides derive from it — without this the whole extract->link->aggregate
+    # chain executes twice (once per lazy join input).
     edges = _follows_edges_ds(sf_dir).map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow").materialize()
     right = edges.map_batches(
         lambda t: pa.table({"b": t["a"], "c": t["b"]}), batch_format="pyarrow")
     from ..util import join_num_partitions
