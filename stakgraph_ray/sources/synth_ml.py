@@ -58,6 +58,30 @@ ORGS_ES = {
 PLACES_ES = {"Madrid": ["Madrid"], "Sevilla": ["Sevilla"],
              "Valencia": ["Valencia"]}
 
+PERSONS_IT = {
+    "Giulia Rossi": ["Giulia Rossi", "G. Rossi"],
+    "Marco Bianchi": ["Marco Bianchi"],
+    "Elena Conti": ["Elena Conti"],
+}
+ORGS_IT = {
+    "Dati Esempio": ["Dati Esempio"],
+    "Software Tramonto": ["Software Tramonto", "Tramonto"],
+    "Analisi Adriatica": ["Analisi Adriatica", "Adriatica"],
+}
+PLACES_IT = {"Roma": ["Roma"], "Milano": ["Milano"], "Torino": ["Torino"]}
+
+PERSONS_PT = {
+    "Ana Silva": ["Ana Silva", "A. Silva"],
+    "Pedro Santos": ["Pedro Santos"],
+    "Beatriz Costa": ["Beatriz Costa"],
+}
+ORGS_PT = {
+    "Dados Exemplo": ["Dados Exemplo"],
+    "Software Horizonte": ["Software Horizonte", "Horizonte"],
+    "Análise Atlântica": ["Análise Atlântica", "Atlântica"],
+}
+PLACES_PT = {"Lisboa": ["Lisboa"], "Porto": ["Porto"], "Coimbra": ["Coimbra"]}
+
 FILLERS = {
     "de": ["der schnelle braune fuchs springt über den faulen hund.",
            "jeder datenstrom fließt durch die leitung."],
@@ -65,12 +89,18 @@ FILLERS = {
            "chaque flux de données passe par le canal."],
     "es": ["el rápido zorro marrón salta sobre el perro perezoso.",
            "cada flujo de datos pasa por el canal."],
+    "it": ["la rapida volpe marrone salta sopra il cane pigro.",
+           "ogni flusso di dati passa per il canale."],
+    "pt": ["a rápida raposa marrom salta sobre o cão preguiçoso.",
+           "cada fluxo de dados passa pelo canal."],
 }
 # ANOTHER language's pattern shape — must not be extracted by this stack
 CROSS = {
     "de": "Marie Dubois travaille chez Exemple Données.",
     "fr": "Johann Müller arbeitet bei Nordlicht Software.",
     "es": "Greta Weiß arbeitet bei Süddata Analytik.",
+    "it": "Ana Silva trabalha na Dados Exemplo.",
+    "pt": "Giulia Rossi lavora presso Dati Esempio.",
 }
 
 TEMPLATES = {
@@ -91,6 +121,18 @@ TEMPLATES = {
         "ACQUIRED": "{s} adquirió {o} en {y}.",
         "WORKS_AT": "{s} trabaja en {o}.",
         "LOCATED_IN": "{s} está ubicada en {o}.",
+    },
+    "it": {
+        "FOUNDED": "{s} fondò {o} nel {y}.",
+        "ACQUIRED": "{s} acquisì {o} nel {y}.",
+        "WORKS_AT": "{s} lavora presso {o}.",
+        "LOCATED_IN": "{s} si trova a {o}.",
+    },
+    "pt": {
+        "FOUNDED": "{s} fundou {o} em {y}.",
+        "ACQUIRED": "{s} adquiriu {o} em {y}.",
+        "WORKS_AT": "{s} trabalha na {o}.",
+        "LOCATED_IN": "{s} fica em {o}.",
     },
 }
 
@@ -121,9 +163,19 @@ def entity_dictionary_es() -> dict:
     return _dict_of(PERSONS_ES, ORGS_ES, PLACES_ES)
 
 
+def entity_dictionary_it() -> dict:
+    return _dict_of(PERSONS_IT, ORGS_IT, PLACES_IT)
+
+
+def entity_dictionary_pt() -> dict:
+    return _dict_of(PERSONS_PT, ORGS_PT, PLACES_PT)
+
+
 _VOCAB = {"de": (PERSONS_DE, ORGS_DE, PLACES_DE),
           "fr": (PERSONS_FR, ORGS_FR, PLACES_FR),
-          "es": (PERSONS_ES, ORGS_ES, PLACES_ES)}
+          "es": (PERSONS_ES, ORGS_ES, PLACES_ES),
+          "it": (PERSONS_IT, ORGS_IT, PLACES_IT),
+          "pt": (PERSONS_PT, ORGS_PT, PLACES_PT)}
 
 
 def generate_multilingual_pages(n_pages: int = 200, seed: int = 7):
@@ -149,7 +201,7 @@ def generate_multilingual_pages(n_pages: int = 200, seed: int = 7):
         types.setdefault(o, o_typ)
 
     for i in range(n_pages):
-        lang = ("de", "fr", "es")[i % 3]
+        lang = ("de", "fr", "es", "it", "pt")[i % 5]
         persons, orgs, places = _VOCAB[lang]
         pl_sorted = sorted(persons), sorted(orgs), sorted(places)
         tpl = TEMPLATES[lang]

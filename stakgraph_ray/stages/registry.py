@@ -94,12 +94,15 @@ def make_router(factories: dict | None = None):
 
 def _register_defaults() -> None:
     from .stacks import (EnglishTripleExtractor, FrenchTripleExtractor,
-                         GermanTripleExtractor, SpanishTripleExtractor)
+                         GermanTripleExtractor, ItalianTripleExtractor,
+                         PortugueseTripleExtractor, SpanishTripleExtractor)
 
     _FACTORIES.setdefault("en", EnglishTripleExtractor)
     _FACTORIES.setdefault("de", GermanTripleExtractor)
     _FACTORIES.setdefault("fr", FrenchTripleExtractor)
     _FACTORIES.setdefault("es", SpanishTripleExtractor)
+    _FACTORIES.setdefault("it", ItalianTripleExtractor)
+    _FACTORIES.setdefault("pt", PortugueseTripleExtractor)
 
 
 _register_defaults()

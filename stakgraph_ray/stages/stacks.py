@@ -1,5 +1,5 @@
 """Per-language extractor stacks: a generic pattern-bank triple extractor
-plus concrete language implementations (en / de / fr).
+plus concrete language implementations (en / de / fr / es / it / pt).
 
 This is the analog of the reference's per-language ``Stack`` implementations
 (/root/reference/ast/src/lang/queries/{python,go,react_ts,...}.rs — each
@@ -229,3 +229,33 @@ class SpanishTripleExtractor(PatternTripleExtractor):
         from ..sources.synth_ml import entity_dictionary_es
 
         super().__init__(dictionary or entity_dictionary_es(), self.TEMPLATES)
+
+
+class ItalianTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÀÈÉÌÒÙ][A-Za-zÀÈÉÌÒÙàèéìòù0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) fondò (?P<o>{ent}) nel (?P<y>\d{{4}})\.", "FOUNDED"),
+        (r"(?P<s>{ent}) acquisì (?P<o>{ent}) nel (?P<y>\d{{4}})\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) lavora presso (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) si trova a (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_it
+
+        super().__init__(dictionary or entity_dictionary_it(), self.TEMPLATES)
+
+
+class PortugueseTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÁÂÃÉÊÍÓÔÕÚÇ][A-Za-zÁÂÃÉÊÍÓÔÕÚÇáâãéêíóôõúç0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) fundou (?P<o>{ent}) em (?P<y>\d{{4}})\.", "FOUNDED"),
+        (r"(?P<s>{ent}) adquiriu (?P<o>{ent}) em (?P<y>\d{{4}})\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) trabalha na (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) fica em (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_pt
+
+        super().__init__(dictionary or entity_dictionary_pt(), self.TEMPLATES)
