@@ -1,5 +1,5 @@
-"""Deterministic annotated multilingual corpus (de / fr) for the
-per-language extractor stacks.
+"""Deterministic annotated multilingual corpus (de / fr / es / it / pt /
+nl / sv / pl / ro) for the per-language extractor stacks.
 
 Mirrors the reference's per-language test fixtures
 (/root/reference/ast/src/testing/{go,python,react,...} — one annotated
@@ -82,6 +82,58 @@ ORGS_PT = {
 }
 PLACES_PT = {"Lisboa": ["Lisboa"], "Porto": ["Porto"], "Coimbra": ["Coimbra"]}
 
+PERSONS_NL = {
+    "Daan de Vries": ["Daan de Vries", "D. de Vries"],
+    "Sanne Bakker": ["Sanne Bakker"],
+    "Ruben Visser": ["Ruben Visser"],
+}
+ORGS_NL = {
+    "Voorbeeld Gegevens": ["Voorbeeld Gegevens"],
+    "Molenwerk Software": ["Molenwerk Software", "Molenwerk"],
+    "Analyse Noordzee": ["Analyse Noordzee", "Noordzee"],
+}
+PLACES_NL = {"Amsterdam": ["Amsterdam"], "Utrecht": ["Utrecht"],
+             "Rotterdam": ["Rotterdam"]}
+
+PERSONS_SV = {
+    "Erik Lindqvist": ["Erik Lindqvist", "E. Lindqvist"],
+    "Astrid Nilsson": ["Astrid Nilsson"],
+    "Oskar Berg": ["Oskar Berg"],
+}
+ORGS_SV = {
+    "Exempel Data": ["Exempel Data"],
+    "Norrsken Programvara": ["Norrsken Programvara", "Norrsken"],
+    "Analys Polstjärna": ["Analys Polstjärna", "Polstjärna"],
+}
+PLACES_SV = {"Stockholm": ["Stockholm"], "Göteborg": ["Göteborg"],
+             "Uppsala": ["Uppsala"]}
+
+PERSONS_PL = {
+    "Jan Kowalski": ["Jan Kowalski", "J. Kowalski"],
+    "Anna Nowak": ["Anna Nowak"],
+    "Piotr Wiśniewski": ["Piotr Wiśniewski"],
+}
+ORGS_PL = {
+    "Dane Przykład": ["Dane Przykład"],
+    "Oprogramowanie Wisła": ["Oprogramowanie Wisła", "Wisła"],
+    "Analiza Bałtyk": ["Analiza Bałtyk", "Bałtyk"],
+}
+PLACES_PL = {"Warszawa": ["Warszawa"], "Kraków": ["Kraków"],
+             "Gdańsk": ["Gdańsk"]}
+
+PERSONS_RO = {
+    "Andrei Popescu": ["Andrei Popescu", "A. Popescu"],
+    "Ioana Ionescu": ["Ioana Ionescu"],
+    "Mihai Dumitrescu": ["Mihai Dumitrescu"],
+}
+ORGS_RO = {
+    "Date Exemplu": ["Date Exemplu"],
+    "Software Carpați": ["Software Carpați", "Carpați"],
+    "Analiză Dunărea": ["Analiză Dunărea", "Dunărea"],
+}
+PLACES_RO = {"București": ["București"], "Cluj": ["Cluj"],
+             "Timișoara": ["Timișoara"]}
+
 FILLERS = {
     "de": ["der schnelle braune fuchs springt über den faulen hund.",
            "jeder datenstrom fließt durch die leitung."],
@@ -93,6 +145,14 @@ FILLERS = {
            "ogni flusso di dati passa per il canale."],
     "pt": ["a rápida raposa marrom salta sobre o cão preguiçoso.",
            "cada fluxo de dados passa pelo canal."],
+    "nl": ["de snelle bruine vos springt over de luie hond.",
+           "elke datastroom loopt door het kanaal."],
+    "sv": ["den snabba bruna räven hoppar över den lata hunden.",
+           "varje dataström flödar genom kanalen."],
+    "pl": ["szybki brązowy lis przeskakuje nad leniwym psem.",
+           "każdy strumień danych przepływa przez kanał."],
+    "ro": ["vulpea maro rapidă sare peste câinele leneș.",
+           "fiecare flux de date trece prin canal."],
 }
 # ANOTHER language's pattern shape — must not be extracted by this stack
 CROSS = {
@@ -101,6 +161,10 @@ CROSS = {
     "es": "Greta Weiß arbeitet bei Süddata Analytik.",
     "it": "Ana Silva trabalha na Dados Exemplo.",
     "pt": "Giulia Rossi lavora presso Dati Esempio.",
+    "nl": "Erik Lindqvist arbetar hos Exempel Data.",
+    "sv": "Jan Kowalski pracuje w Dane Przykład.",
+    "pl": "Andrei Popescu lucrează la Date Exemplu.",
+    "ro": "Daan de Vries werkt bij Voorbeeld Gegevens.",
 }
 
 TEMPLATES = {
@@ -133,6 +197,30 @@ TEMPLATES = {
         "ACQUIRED": "{s} adquiriu {o} em {y}.",
         "WORKS_AT": "{s} trabalha na {o}.",
         "LOCATED_IN": "{s} fica em {o}.",
+    },
+    "nl": {
+        "FOUNDED": "{s} richtte {o} op in {y}.",
+        "ACQUIRED": "{s} nam {o} over in {y}.",
+        "WORKS_AT": "{s} werkt bij {o}.",
+        "LOCATED_IN": "{s} is gevestigd in {o}.",
+    },
+    "sv": {
+        "FOUNDED": "{s} grundade {o} år {y}.",
+        "ACQUIRED": "{s} förvärvade {o} år {y}.",
+        "WORKS_AT": "{s} arbetar hos {o}.",
+        "LOCATED_IN": "{s} ligger i {o}.",
+    },
+    "pl": {
+        "FOUNDED": "{s} założył {o} w {y} roku.",
+        "ACQUIRED": "{s} przejął {o} w {y} roku.",
+        "WORKS_AT": "{s} pracuje w {o}.",
+        "LOCATED_IN": "{s} znajduje się w {o}.",
+    },
+    "ro": {
+        "FOUNDED": "{s} a fondat {o} în {y}.",
+        "ACQUIRED": "{s} a achiziționat {o} în {y}.",
+        "WORKS_AT": "{s} lucrează la {o}.",
+        "LOCATED_IN": "{s} se află în {o}.",
     },
 }
 
@@ -171,11 +259,32 @@ def entity_dictionary_pt() -> dict:
     return _dict_of(PERSONS_PT, ORGS_PT, PLACES_PT)
 
 
+def entity_dictionary_nl() -> dict:
+    return _dict_of(PERSONS_NL, ORGS_NL, PLACES_NL)
+
+
+def entity_dictionary_sv() -> dict:
+    return _dict_of(PERSONS_SV, ORGS_SV, PLACES_SV)
+
+
+def entity_dictionary_pl() -> dict:
+    return _dict_of(PERSONS_PL, ORGS_PL, PLACES_PL)
+
+
+def entity_dictionary_ro() -> dict:
+    return _dict_of(PERSONS_RO, ORGS_RO, PLACES_RO)
+
+
 _VOCAB = {"de": (PERSONS_DE, ORGS_DE, PLACES_DE),
           "fr": (PERSONS_FR, ORGS_FR, PLACES_FR),
           "es": (PERSONS_ES, ORGS_ES, PLACES_ES),
           "it": (PERSONS_IT, ORGS_IT, PLACES_IT),
-          "pt": (PERSONS_PT, ORGS_PT, PLACES_PT)}
+          "pt": (PERSONS_PT, ORGS_PT, PLACES_PT),
+          "nl": (PERSONS_NL, ORGS_NL, PLACES_NL),
+          "sv": (PERSONS_SV, ORGS_SV, PLACES_SV),
+          "pl": (PERSONS_PL, ORGS_PL, PLACES_PL),
+          "ro": (PERSONS_RO, ORGS_RO, PLACES_RO)}
+LANG_CYCLE = tuple(_VOCAB)
 
 
 def generate_multilingual_pages(n_pages: int = 200, seed: int = 7):
@@ -201,7 +310,7 @@ def generate_multilingual_pages(n_pages: int = 200, seed: int = 7):
         types.setdefault(o, o_typ)
 
     for i in range(n_pages):
-        lang = ("de", "fr", "es", "it", "pt")[i % 5]
+        lang = LANG_CYCLE[i % len(LANG_CYCLE)]
         persons, orgs, places = _VOCAB[lang]
         pl_sorted = sorted(persons), sorted(orgs), sorted(places)
         tpl = TEMPLATES[lang]

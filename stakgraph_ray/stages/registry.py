@@ -93,9 +93,11 @@ def make_router(factories: dict | None = None):
 
 
 def _register_defaults() -> None:
-    from .stacks import (EnglishTripleExtractor, FrenchTripleExtractor,
-                         GermanTripleExtractor, ItalianTripleExtractor,
-                         PortugueseTripleExtractor, SpanishTripleExtractor)
+    from .stacks import (DutchTripleExtractor, EnglishTripleExtractor,
+                         FrenchTripleExtractor, GermanTripleExtractor,
+                         ItalianTripleExtractor, PolishTripleExtractor,
+                         PortugueseTripleExtractor, RomanianTripleExtractor,
+                         SpanishTripleExtractor, SwedishTripleExtractor)
 
     _FACTORIES.setdefault("en", EnglishTripleExtractor)
     _FACTORIES.setdefault("de", GermanTripleExtractor)
@@ -103,6 +105,10 @@ def _register_defaults() -> None:
     _FACTORIES.setdefault("es", SpanishTripleExtractor)
     _FACTORIES.setdefault("it", ItalianTripleExtractor)
     _FACTORIES.setdefault("pt", PortugueseTripleExtractor)
+    _FACTORIES.setdefault("nl", DutchTripleExtractor)
+    _FACTORIES.setdefault("sv", SwedishTripleExtractor)
+    _FACTORIES.setdefault("pl", PolishTripleExtractor)
+    _FACTORIES.setdefault("ro", RomanianTripleExtractor)
 
 
 _register_defaults()

@@ -1,5 +1,6 @@
 """Per-language extractor stacks: a generic pattern-bank triple extractor
-plus concrete language implementations (en / de / fr / es / it / pt).
+plus concrete language implementations
+(en / de / fr / es / it / pt / nl / sv / pl / ro).
 
 This is the analog of the reference's per-language ``Stack`` implementations
 (/root/reference/ast/src/lang/queries/{python,go,react_ts,...}.rs — each
@@ -259,3 +260,63 @@ class PortugueseTripleExtractor(PatternTripleExtractor):
         from ..sources.synth_ml import entity_dictionary_pt
 
         super().__init__(dictionary or entity_dictionary_pt(), self.TEMPLATES)
+
+
+class DutchTripleExtractor(PatternTripleExtractor):
+    TEMPLATES = [
+        (r"(?P<s>{ent}) richtte (?P<o>{ent}) op in (?P<y>\d{{4}})\.", "FOUNDED"),
+        (r"(?P<s>{ent}) nam (?P<o>{ent}) over in (?P<y>\d{{4}})\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) werkt bij (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) is gevestigd in (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_nl
+
+        super().__init__(dictionary or entity_dictionary_nl(), self.TEMPLATES)
+
+
+class SwedishTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÅÄÖ][A-Za-zÅÄÖåäö0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) grundade (?P<o>{ent}) år (?P<y>\d{{4}})\.", "FOUNDED"),
+        (r"(?P<s>{ent}) förvärvade (?P<o>{ent}) år (?P<y>\d{{4}})\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) arbetar hos (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) ligger i (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_sv
+
+        super().__init__(dictionary or entity_dictionary_sv(), self.TEMPLATES)
+
+
+class PolishTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZĄĆĘŁŃÓŚŹŻ][A-Za-zĄĆĘŁŃÓŚŹŻąćęłńóśźż0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) założył (?P<o>{ent}) w (?P<y>\d{{4}}) roku\.", "FOUNDED"),
+        (r"(?P<s>{ent}) przejął (?P<o>{ent}) w (?P<y>\d{{4}}) roku\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) pracuje w (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) znajduje się w (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_pl
+
+        super().__init__(dictionary or entity_dictionary_pl(), self.TEMPLATES)
+
+
+class RomanianTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZĂÂÎȘȚ][A-Za-zĂÂÎȘȚăâîșț0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) a fondat (?P<o>{ent}) în (?P<y>\d{{4}})\.", "FOUNDED"),
+        (r"(?P<s>{ent}) a achiziționat (?P<o>{ent}) în (?P<y>\d{{4}})\.",
+         "ACQUIRED"),
+        (r"(?P<s>{ent}) lucrează la (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) se află în (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_ro
+
+        super().__init__(dictionary or entity_dictionary_ro(), self.TEMPLATES)

@@ -1,6 +1,6 @@
-"""Per-language stack gates: de/fr/es/it/pt P/R on the annotated multilingual corpus,
-worker-side registration of user stacks, and the typed graph product
-(year attribute + entity types)."""
+"""Per-language stack gates: de/fr/es/it/pt/nl/sv/pl/ro P/R on the
+annotated multilingual corpus, worker-side registration of user stacks, and
+the typed graph product (year attribute + entity types)."""
 
 import pyarrow as pa
 import pytest
@@ -17,7 +17,8 @@ def test_ml_generator_deterministic():
     p2, g2 = generate_multilingual_pages(60)
     assert p1.equals(p2)
     assert g1["triples"] == g2["triples"] and g1["years"] == g2["years"]
-    assert set(p1["lang"].to_pylist()) == {"de", "fr", "es", "it", "pt"}
+    assert set(p1["lang"].to_pylist()) == {"de", "fr", "es", "it", "pt",
+                                           "nl", "sv", "pl", "ro"}
 
 
 def test_ml_precision_recall_and_years(ray_session):
