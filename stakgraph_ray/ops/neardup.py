@@ -141,8 +141,12 @@ def _pairs_in_partition(t: pa.Table, threshold: float, id_type,
             out_b.extend(gids[bi[keep]])
     if not out_a:
         return empty
-    return pa.table({"a": pa.array(out_a, id_type),
-                     "b": pa.array(out_b, id_type)})
+    # local dedup: the same pair often collides in several bands of one
+    # partition; np.unique here is free compared to shipping duplicates
+    pairs = np.unique(np.stack([np.asarray(out_a), np.asarray(out_b)],
+                               axis=1), axis=0)
+    return pa.table({"a": pa.array(pairs[:, 0]).cast(id_type),
+                     "b": pa.array(pairs[:, 1]).cast(id_type)})
 
 
 def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -170,13 +174,20 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, n_perms: int = 64,
                       threshold: float = 0.7, concurrency=None,
                       shingle: str = "token", id_type=pa.int64(),
                       band_cap: int | None = None,
-                      num_partitions: int | None = None):
-    """-> distinct verified candidate pairs Dataset (a < b).
+                      num_partitions: int | None = None,
+                      unique: bool = True):
+    """-> verified candidate pairs Dataset (a < b), distinct when ``unique``.
 
     One streaming pass: signatures (task pool, cached perm params) ->
     hash-partitioned collide-and-pair on (band_id, band_hash) -> distinct.
     No execution barrier, no driver round trip. ``band_cap`` defaults to
-    PipelineConfig.salt_group_limit (star-pairing skew guard)."""
+    PipelineConfig.salt_group_limit (star-pairing skew guard).
+
+    ``unique=False`` skips the global distinct exchange: pairs are already
+    deduped per partition, and consumers that only need connectivity
+    (union-find / label propagation are idempotent over repeated edges)
+    save one all-to-all; residual cross-partition duplicates are bounded by
+    n_bands - 1 copies."""
     from ..config import DEFAULT_CONFIG
     from .partition import distinct_hp, partitioned_apply
 
@@ -189,6 +200,8 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, n_perms: int = 64,
         sigs, ["band_id", "band_hash"],
         lambda t: _pairs_in_partition(t, threshold, id_type, band_cap),
         num_partitions)
+    if not unique:
+        return pairs
     return distinct_hp(pairs, ["a", "b"], num_partitions)
 
 
@@ -264,8 +277,13 @@ def minhash_lsh_clusters(ds, id_col: str, text_col: str, max_pairs: int = 2_000_
 
     Components come from driver union-find while the verified pair set fits
     ``max_pairs`` (pairs are bounded by duplicate mass, not corpus size);
-    beyond the guard the distributed label-propagation fallback runs."""
-    pairs_ds = minhash_lsh_pairs(ds, id_col, text_col, **kw).materialize()
+    beyond the guard the distributed label-propagation fallback runs.
+    Both consumers are idempotent over repeated edges, so the pair feed
+    skips the global distinct exchange (``unique=False``); the guard
+    therefore counts near-distinct pairs (per-partition deduped, at most
+    n_bands - 1 stray copies each)."""
+    pairs_ds = minhash_lsh_pairs(ds, id_col, text_col, unique=False,
+                                 **kw).materialize()
     n_pairs = pairs_ds.count()
     if n_pairs > max_pairs:
         return label_propagation_clusters(ds, id_col, pairs_ds)
