@@ -183,7 +183,7 @@ where c_custkey not in (select o_custkey from orders where o_orderstatus = 'P')
 def q_orders_lineitem_join(sf_dir: str):
     """Both-sides-large hash join (Dataset.join) + rollup: revenue per
     order priority."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -198,8 +198,17 @@ def q_orders_lineitem_join(sf_dir: str):
     joined = li.join(orders, join_type="inner",
                      num_partitions=join_num_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: the rollup shuffle moves ~|priorities| rows
+        # per block instead of the whole join output
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return g.rename_columns(["o_orderpriority", "rev", "n"])
+
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
     return out.map_batches(lambda t: _round_cols(t, {"revenue": 2}),
                            batch_format="pyarrow")
 
