@@ -134,6 +134,83 @@ ORGS_RO = {
 PLACES_RO = {"București": ["București"], "Cluj": ["Cluj"],
              "Timișoara": ["Timișoara"]}
 
+PERSONS_DA = {
+    "Mette Jensen": ["Mette Jensen", "M. Jensen"],
+    "Lars Holm": ["Lars Holm"],
+    "Freja Dahl": ["Freja Dahl"],
+}
+ORGS_DA = {
+    "Eksempel Data": ["Eksempel Data"],
+    "Havvind Software": ["Havvind Software", "Havvind"],
+    "Analyse Kattegat": ["Analyse Kattegat", "Kattegat"],
+}
+PLACES_DA = {"København": ["København"], "Aarhus": ["Aarhus"],
+             "Odense": ["Odense"]}
+
+PERSONS_FI = {
+    "Aino Virtanen": ["Aino Virtanen", "A. Virtanen"],
+    "Eero Korhonen": ["Eero Korhonen"],
+    "Helmi Nieminen": ["Helmi Nieminen"],
+}
+ORGS_FI = {
+    "Esimerkki Data": ["Esimerkki Data"],
+    "Revontuli Ohjelmistot": ["Revontuli Ohjelmistot", "Revontuli"],
+    "Analyysi Saimaa": ["Analyysi Saimaa", "Saimaa"],
+}
+PLACES_FI = {"Helsinki": ["Helsinki"], "Tampere": ["Tampere"],
+             "Turku": ["Turku"]}
+
+PERSONS_CS = {
+    "Jana Svobodová": ["Jana Svobodová", "J. Svobodová"],
+    "Petr Dvořák": ["Petr Dvořák"],
+    "Eva Černá": ["Eva Černá"],
+}
+ORGS_CS = {
+    "Data Ukázka": ["Data Ukázka"],
+    "Software Vltava": ["Software Vltava", "Vltava"],
+    "Analýza Morava": ["Analýza Morava", "Morava"],
+}
+PLACES_CS = {"Praha": ["Praha"], "Brno": ["Brno"], "Ostrava": ["Ostrava"]}
+
+PERSONS_HU = {
+    "Kovács Bence": ["Kovács Bence", "K. Bence"],
+    "Nagy Réka": ["Nagy Réka"],
+    "Szabó Dániel": ["Szabó Dániel"],
+}
+ORGS_HU = {
+    "Példa Adat": ["Példa Adat"],
+    "Délibáb Szoftver": ["Délibáb Szoftver", "Délibáb"],
+    "Elemzés Balaton": ["Elemzés Balaton", "Balaton"],
+}
+PLACES_HU = {"Budapest": ["Budapest"], "Debrecen": ["Debrecen"],
+             "Szeged": ["Szeged"]}
+
+PERSONS_TR = {
+    "Ayşe Yılmaz": ["Ayşe Yılmaz", "A. Yılmaz"],
+    "Mehmet Demir": ["Mehmet Demir"],
+    "Zeynep Kaya": ["Zeynep Kaya"],
+}
+ORGS_TR = {
+    "Örnek Veri": ["Örnek Veri"],
+    "Anadolu Yazılım": ["Anadolu Yazılım", "Anadolu"],
+    "Analiz Boğaziçi": ["Analiz Boğaziçi", "Boğaziçi"],
+}
+PLACES_TR = {"İstanbul": ["İstanbul"], "Ankara": ["Ankara"],
+             "İzmir": ["İzmir"]}
+
+PERSONS_EL = {
+    "Μαρία Παπαδοπούλου": ["Μαρία Παπαδοπούλου", "Μ. Παπαδοπούλου"],
+    "Γιώργος Νικολάου": ["Γιώργος Νικολάου"],
+    "Ελένη Βασιλείου": ["Ελένη Βασιλείου"],
+}
+ORGS_EL = {
+    "Παράδειγμα Δεδομένα": ["Παράδειγμα Δεδομένα"],
+    "Λογισμικό Αιγαίο": ["Λογισμικό Αιγαίο", "Αιγαίο"],
+    "Ανάλυση Όλυμπος": ["Ανάλυση Όλυμπος", "Όλυμπος"],
+}
+PLACES_EL = {"Αθήνα": ["Αθήνα"], "Θεσσαλονίκη": ["Θεσσαλονίκη"],
+             "Πάτρα": ["Πάτρα"]}
+
 FILLERS = {
     "de": ["der schnelle braune fuchs springt über den faulen hund.",
            "jeder datenstrom fließt durch die leitung."],
@@ -153,6 +230,18 @@ FILLERS = {
            "każdy strumień danych przepływa przez kanał."],
     "ro": ["vulpea maro rapidă sare peste câinele leneș.",
            "fiecare flux de date trece prin canal."],
+    "da": ["den hurtige brune ræv springer over den dovne hund.",
+           "hver datastrøm løber gennem kanalen."],
+    "fi": ["nopea ruskea kettu hyppää laiskan koiran yli.",
+           "jokainen datavirta kulkee kanavan läpi."],
+    "cs": ["rychlá hnědá liška skáče přes líného psa.",
+           "každý datový tok proudí kanálem."],
+    "hu": ["a gyors barna róka átugrik a lusta kutya felett.",
+           "minden adatfolyam a csatornán halad át."],
+    "tr": ["hızlı kahverengi tilki tembel köpeğin üzerinden atlar.",
+           "her veri akışı kanaldan geçer."],
+    "el": ["η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο.",
+           "κάθε ροή δεδομένων περνά από το κανάλι."],
 }
 # ANOTHER language's pattern shape — must not be extracted by this stack
 CROSS = {
@@ -165,6 +254,12 @@ CROSS = {
     "sv": "Jan Kowalski pracuje w Dane Przykład.",
     "pl": "Andrei Popescu lucrează la Date Exemplu.",
     "ro": "Daan de Vries werkt bij Voorbeeld Gegevens.",
+    "da": "Aino Virtanen työskentelee yrityksessä Esimerkki Data.",
+    "fi": "Jana Svobodová pracuje ve firmě Data Ukázka.",
+    "cs": "Kovács Bence a Példa Adat munkatársa.",
+    "hu": "Ayşe Yılmaz, Örnek Veri bünyesinde çalışıyor.",
+    "tr": "Μαρία Παπαδοπούλου εργάζεται στην Παράδειγμα Δεδομένα.",
+    "el": "Mette Jensen arbejder hos Eksempel Data.",
 }
 
 TEMPLATES = {
@@ -222,6 +317,42 @@ TEMPLATES = {
         "WORKS_AT": "{s} lucrează la {o}.",
         "LOCATED_IN": "{s} se află în {o}.",
     },
+    "da": {
+        "FOUNDED": "{s} grundlagde {o} i {y}.",
+        "ACQUIRED": "{s} opkøbte {o} i {y}.",
+        "WORKS_AT": "{s} arbejder hos {o}.",
+        "LOCATED_IN": "{s} er beliggende i {o}.",
+    },
+    "fi": {
+        "FOUNDED": "{s} perusti {o} vuonna {y}.",
+        "ACQUIRED": "{s} osti {o} vuonna {y}.",
+        "WORKS_AT": "{s} työskentelee yrityksessä {o}.",
+        "LOCATED_IN": "{s} sijaitsee kaupungissa {o}.",
+    },
+    "cs": {
+        "FOUNDED": "{s} založil {o} v roce {y}.",
+        "ACQUIRED": "{s} koupil {o} v roce {y}.",
+        "WORKS_AT": "{s} pracuje ve firmě {o}.",
+        "LOCATED_IN": "{s} sídlí ve městě {o}.",
+    },
+    "hu": {
+        "FOUNDED": "{s} megalapította a {o} vállalatot {y}-ben.",
+        "ACQUIRED": "{s} felvásárolta a {o} vállalatot {y}-ben.",
+        "WORKS_AT": "{s} a {o} munkatársa.",
+        "LOCATED_IN": "{s} a {o} városban található.",
+    },
+    "tr": {
+        "FOUNDED": "{s}, {o} şirketini {y} yılında kurdu.",
+        "ACQUIRED": "{s}, {o} şirketini {y} yılında satın aldı.",
+        "WORKS_AT": "{s}, {o} bünyesinde çalışıyor.",
+        "LOCATED_IN": "{s}, {o} şehrinde bulunuyor.",
+    },
+    "el": {
+        "FOUNDED": "{s} ίδρυσε την {o} το {y}.",
+        "ACQUIRED": "{s} εξαγόρασε την {o} το {y}.",
+        "WORKS_AT": "{s} εργάζεται στην {o}.",
+        "LOCATED_IN": "{s} βρίσκεται στην {o}.",
+    },
 }
 
 
@@ -275,6 +406,30 @@ def entity_dictionary_ro() -> dict:
     return _dict_of(PERSONS_RO, ORGS_RO, PLACES_RO)
 
 
+def entity_dictionary_da() -> dict:
+    return _dict_of(PERSONS_DA, ORGS_DA, PLACES_DA)
+
+
+def entity_dictionary_fi() -> dict:
+    return _dict_of(PERSONS_FI, ORGS_FI, PLACES_FI)
+
+
+def entity_dictionary_cs() -> dict:
+    return _dict_of(PERSONS_CS, ORGS_CS, PLACES_CS)
+
+
+def entity_dictionary_hu() -> dict:
+    return _dict_of(PERSONS_HU, ORGS_HU, PLACES_HU)
+
+
+def entity_dictionary_tr() -> dict:
+    return _dict_of(PERSONS_TR, ORGS_TR, PLACES_TR)
+
+
+def entity_dictionary_el() -> dict:
+    return _dict_of(PERSONS_EL, ORGS_EL, PLACES_EL)
+
+
 _VOCAB = {"de": (PERSONS_DE, ORGS_DE, PLACES_DE),
           "fr": (PERSONS_FR, ORGS_FR, PLACES_FR),
           "es": (PERSONS_ES, ORGS_ES, PLACES_ES),
@@ -283,7 +438,13 @@ _VOCAB = {"de": (PERSONS_DE, ORGS_DE, PLACES_DE),
           "nl": (PERSONS_NL, ORGS_NL, PLACES_NL),
           "sv": (PERSONS_SV, ORGS_SV, PLACES_SV),
           "pl": (PERSONS_PL, ORGS_PL, PLACES_PL),
-          "ro": (PERSONS_RO, ORGS_RO, PLACES_RO)}
+          "ro": (PERSONS_RO, ORGS_RO, PLACES_RO),
+          "da": (PERSONS_DA, ORGS_DA, PLACES_DA),
+          "fi": (PERSONS_FI, ORGS_FI, PLACES_FI),
+          "cs": (PERSONS_CS, ORGS_CS, PLACES_CS),
+          "hu": (PERSONS_HU, ORGS_HU, PLACES_HU),
+          "tr": (PERSONS_TR, ORGS_TR, PLACES_TR),
+          "el": (PERSONS_EL, ORGS_EL, PLACES_EL)}
 LANG_CYCLE = tuple(_VOCAB)
 
 

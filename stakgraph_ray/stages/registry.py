@@ -93,22 +93,26 @@ def make_router(factories: dict | None = None):
 
 
 def _register_defaults() -> None:
-    from .stacks import (DutchTripleExtractor, EnglishTripleExtractor,
-                         FrenchTripleExtractor, GermanTripleExtractor,
-                         ItalianTripleExtractor, PolishTripleExtractor,
-                         PortugueseTripleExtractor, RomanianTripleExtractor,
-                         SpanishTripleExtractor, SwedishTripleExtractor)
+    from . import stacks as s
 
-    _FACTORIES.setdefault("en", EnglishTripleExtractor)
-    _FACTORIES.setdefault("de", GermanTripleExtractor)
-    _FACTORIES.setdefault("fr", FrenchTripleExtractor)
-    _FACTORIES.setdefault("es", SpanishTripleExtractor)
-    _FACTORIES.setdefault("it", ItalianTripleExtractor)
-    _FACTORIES.setdefault("pt", PortugueseTripleExtractor)
-    _FACTORIES.setdefault("nl", DutchTripleExtractor)
-    _FACTORIES.setdefault("sv", SwedishTripleExtractor)
-    _FACTORIES.setdefault("pl", PolishTripleExtractor)
-    _FACTORIES.setdefault("ro", RomanianTripleExtractor)
+    for lang, cls in (
+            ("en", s.EnglishTripleExtractor),
+            ("de", s.GermanTripleExtractor),
+            ("fr", s.FrenchTripleExtractor),
+            ("es", s.SpanishTripleExtractor),
+            ("it", s.ItalianTripleExtractor),
+            ("pt", s.PortugueseTripleExtractor),
+            ("nl", s.DutchTripleExtractor),
+            ("sv", s.SwedishTripleExtractor),
+            ("pl", s.PolishTripleExtractor),
+            ("ro", s.RomanianTripleExtractor),
+            ("da", s.DanishTripleExtractor),
+            ("fi", s.FinnishTripleExtractor),
+            ("cs", s.CzechTripleExtractor),
+            ("hu", s.HungarianTripleExtractor),
+            ("tr", s.TurkishTripleExtractor),
+            ("el", s.GreekTripleExtractor)):
+        _FACTORIES.setdefault(lang, cls)
 
 
 _register_defaults()

@@ -320,3 +320,103 @@ class RomanianTripleExtractor(PatternTripleExtractor):
         from ..sources.synth_ml import entity_dictionary_ro
 
         super().__init__(dictionary or entity_dictionary_ro(), self.TEMPLATES)
+
+
+class DanishTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÆØÅ][A-Za-zÆØÅæøå0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) grundlagde (?P<o>{ent}) i (?P<y>\d{{4}})\.", "FOUNDED"),
+        (r"(?P<s>{ent}) opkøbte (?P<o>{ent}) i (?P<y>\d{{4}})\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) arbejder hos (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) er beliggende i (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_da
+
+        super().__init__(dictionary or entity_dictionary_da(), self.TEMPLATES)
+
+
+class FinnishTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÄÖ][A-Za-zÄÖäö0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) perusti (?P<o>{ent}) vuonna (?P<y>\d{{4}})\.",
+         "FOUNDED"),
+        (r"(?P<s>{ent}) osti (?P<o>{ent}) vuonna (?P<y>\d{{4}})\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) työskentelee yrityksessä (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) sijaitsee kaupungissa (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_fi
+
+        super().__init__(dictionary or entity_dictionary_fi(), self.TEMPLATES)
+
+
+class CzechTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ][A-Za-záčďéěíňóřšťúůýž0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) založil (?P<o>{ent}) v roce (?P<y>\d{{4}})\.",
+         "FOUNDED"),
+        (r"(?P<s>{ent}) koupil (?P<o>{ent}) v roce (?P<y>\d{{4}})\.",
+         "ACQUIRED"),
+        (r"(?P<s>{ent}) pracuje ve firmě (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) sídlí ve městě (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_cs
+
+        super().__init__(dictionary or entity_dictionary_cs(), self.TEMPLATES)
+
+
+class HungarianTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÁÉÍÓÖŐÚÜŰ][A-Za-záéíóöőúüű0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) megalapította a (?P<o>{ent}) vállalatot "
+         r"(?P<y>\d{{4}})-ben\.", "FOUNDED"),
+        (r"(?P<s>{ent}) felvásárolta a (?P<o>{ent}) vállalatot "
+         r"(?P<y>\d{{4}})-ben\.", "ACQUIRED"),
+        (r"(?P<s>{ent}) a (?P<o>{ent}) munkatársa\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) a (?P<o>{ent}) városban található\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_hu
+
+        super().__init__(dictionary or entity_dictionary_hu(), self.TEMPLATES)
+
+
+class TurkishTripleExtractor(PatternTripleExtractor):
+    fallback = r"[A-ZÇĞİÖŞÜ][A-Za-zçğıİöşü0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}), (?P<o>{ent}) şirketini (?P<y>\d{{4}}) yılında "
+         r"kurdu\.", "FOUNDED"),
+        (r"(?P<s>{ent}), (?P<o>{ent}) şirketini (?P<y>\d{{4}}) yılında "
+         r"satın aldı\.", "ACQUIRED"),
+        (r"(?P<s>{ent}), (?P<o>{ent}) bünyesinde çalışıyor\.", "WORKS_AT"),
+        (r"(?P<s>{ent}), (?P<o>{ent}) şehrinde bulunuyor\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_tr
+
+        super().__init__(dictionary or entity_dictionary_tr(), self.TEMPLATES)
+
+
+class GreekTripleExtractor(PatternTripleExtractor):
+    # Latin range kept for out-of-dictionary stubs in mixed-script pages
+    fallback = r"[A-ZΑ-ΩΆΈΉΊΌΎΏ][A-Za-zΑ-Ωα-ωάέήίόύώϊϋΐΰς0-9]*"
+    TEMPLATES = [
+        (r"(?P<s>{ent}) ίδρυσε την (?P<o>{ent}) το (?P<y>\d{{4}})\.",
+         "FOUNDED"),
+        (r"(?P<s>{ent}) εξαγόρασε την (?P<o>{ent}) το (?P<y>\d{{4}})\.",
+         "ACQUIRED"),
+        (r"(?P<s>{ent}) εργάζεται στην (?P<o>{ent})\.", "WORKS_AT"),
+        (r"(?P<s>{ent}) βρίσκεται στην (?P<o>{ent})\.", "LOCATED_IN"),
+    ]
+
+    def __init__(self, dictionary: dict | None = None):
+        from ..sources.synth_ml import entity_dictionary_el
+
+        super().__init__(dictionary or entity_dictionary_el(), self.TEMPLATES)

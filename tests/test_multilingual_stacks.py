@@ -17,8 +17,9 @@ def test_ml_generator_deterministic():
     p2, g2 = generate_multilingual_pages(60)
     assert p1.equals(p2)
     assert g1["triples"] == g2["triples"] and g1["years"] == g2["years"]
-    assert set(p1["lang"].to_pylist()) == {"de", "fr", "es", "it", "pt",
-                                           "nl", "sv", "pl", "ro"}
+    assert set(p1["lang"].to_pylist()) == {
+        "de", "fr", "es", "it", "pt", "nl", "sv", "pl", "ro",
+        "da", "fi", "cs", "hu", "tr", "el"}
 
 
 def test_ml_precision_recall_and_years(ray_session):
