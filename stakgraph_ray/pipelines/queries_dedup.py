@@ -342,14 +342,12 @@ def q_node_embedding_ann(sf_dir: str):
 
     from ..ops.ann import knn_lsh
     from ..ops.dedup import distinct
-    from ..sources.pages import read_pages
     from ..stages.enrich import embed_nodes
-    from ..stages.extract import ExtractTextStage, mention_rows
+    from ..stages.extract import mention_rows
     from ..stages.link import TermLinker, make_linker_stage
+    from .queries_kg import _extracted
 
-    ds = read_pages(sf_dir).map_batches(ExtractTextStage(),
-                                        batch_format="pyarrow") \
-        .map_batches(mention_rows, batch_format="pyarrow")
+    ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
     kw = make_linker_stage()
     linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
                             batch_format="pyarrow", batch_size=None,

@@ -60,10 +60,21 @@ SANITIZE_SQL = "lower(regexp_replace({c}, '[^a-zA-Z0-9]', '', 'g'))"
 # ---------------------------------------------------------------- Ray side
 
 
+_EXTRACT_CACHE: dict[str, object] = {}
+
+
 def _extracted(sf_dir: str):
-    return read_pages(sf_dir).map_batches(
-        ExtractTextStage(), batch_format="pyarrow",
-        batch_size=DEFAULT_CONFIG.batch_size)
+    """Materialized extract checkpoint shared across queries in a session —
+    the flagship's extract-checkpoint analog (materialize.py stage 1):
+    HTML extraction runs once per corpus, every downstream consumer streams
+    from the materialized blocks instead of re-executing the chain."""
+    ds = _EXTRACT_CACHE.get(sf_dir)
+    if ds is None:
+        ds = read_pages(sf_dir).map_batches(
+            ExtractTextStage(), batch_format="pyarrow",
+            batch_size=DEFAULT_CONFIG.batch_size).materialize()
+        _EXTRACT_CACHE[sf_dir] = ds
+    return ds
 
 
 def q_extract_text(sf_dir: str):

@@ -62,13 +62,10 @@ from documents where {NOT_SKIP_SQL}
 def q_link_sections(sf_dir: str):
     """Per-page link-section reduce (combine_import_sections analog,
     builder/utils.rs:158-218)."""
-    from ..config import DEFAULT_CONFIG
-    from ..stages.extract import ExtractTextStage
+    from .queries_kg import _extracted
 
-    ds = read_pages(sf_dir).map_batches(ExtractTextStage(DEFAULT_CONFIG),
-                                        batch_format="pyarrow",
-                                        batch_size=None)
-    return ds.map_batches(link_section_rows, batch_format="pyarrow")
+    return _extracted(sf_dir).map_batches(link_section_rows,
+                                          batch_format="pyarrow")
 
 
 SQL_LINK_SECTIONS = f"""
