@@ -54,6 +54,91 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
     return vals.min(axis=0).astype(np.uint64)
 
 
+_POLY = np.uint64(1000003)
+
+
+def minhash_token_signatures(texts, a: np.ndarray, b: np.ndarray,
+                             ngram: int = 3) -> np.ndarray:
+    """(n_rows, n_perms) signatures over token n-grams for a whole Arrow
+    string column at once — zero per-row Python.
+
+    Tokenization (pyarrow split) and token hashing (pandas siphash over the
+    flattened value array) are batch-level; gram hashes are a polynomial
+    combine of ``ngram`` consecutive token hashes (min over a multiset ==
+    min over the set, so no per-doc gram dedup is needed); per-doc minima
+    come from one argsort-free reduceat per permutation. Semantics match
+    token_ngram_set: <ngram tokens -> one whole-text gram, empty text ->
+    all-zero signature. The gram hash differs from the scalar crc32 path by
+    design — MinHash only needs a fixed uniform hash, and no consumer
+    compares signatures across the two kernels."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(pc.cast(texts, pa.string()), "")
+    n = len(texts)
+    n_perms = len(a)
+    if n == 0:
+        return np.empty((0, n_perms), dtype=np.uint64)
+    tok = pc.split_pattern(texts, " ")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    offs = tok.offsets.to_numpy().astype(np.int64)
+    # hash DISTINCT tokens only (dictionary-encode), then gather: web-text
+    # vocabulary per batch is far smaller than the token count
+    venc = tok.values.dictionary_encode()
+    if len(venc) == 0:
+        tokh = np.empty(0, dtype=np.uint64)
+    else:
+        dich = pd.util.hash_array(
+            np.asarray(venc.dictionary.to_pylist(), dtype=object)
+        ).astype(np.uint64)
+        tokh = dich[venc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    counts = np.diff(offs)                      # tokens per doc
+    empty = np.asarray(pc.equal(texts, "")).astype(bool)  # -> zero signature
+
+    # long docs: grams = every window of `ngram` consecutive tokens
+    doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if len(tokh) >= ngram:
+        gram_h = tokh[: len(tokh) - ngram + 1].copy()
+        for k in range(1, ngram):
+            gram_h = gram_h * _POLY + tokh[k: len(tokh) - ngram + 1 + k]
+        valid = doc_of_tok[: len(tokh) - ngram + 1] == \
+            doc_of_tok[ngram - 1:]
+        valid &= ~empty[doc_of_tok[: len(tokh) - ngram + 1]]
+        gram_h = gram_h[valid]
+        gram_doc = doc_of_tok[: len(tokh) - ngram + 1][valid]
+    else:
+        gram_h = np.empty(0, dtype=np.uint64)
+        gram_doc = np.empty(0, dtype=np.int64)
+
+    # short docs (1 <= tokens < ngram, non-empty text): one whole-text gram
+    short = (counts >= 1) & (counts < ngram) & ~empty
+    if short.any():
+        sdocs = np.flatnonzero(short)
+        sh = np.zeros(len(sdocs), dtype=np.uint64)
+        for k in range(ngram - 1):          # bounded by ngram, not rows
+            has = counts[sdocs] > k
+            sh[has] = sh[has] * _POLY + tokh[offs[sdocs[has]] + k]
+        gram_h = np.concatenate([gram_h, sh])
+        gram_doc = np.concatenate([gram_doc, sdocs])
+
+    out = np.zeros((n, n_perms), dtype=np.uint64)
+    if len(gram_h) == 0:
+        return out
+    order = np.argsort(gram_doc, kind="stable")
+    gram_h, gram_doc = gram_h[order], gram_doc[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(gram_doc[1:] != gram_doc[:-1]) + 1))
+    docs_with = gram_doc[starts]
+    for p in range(n_perms):
+        vals = (gram_h * a[p] + b[p]) % _MERSENNE
+        out[docs_with, p] = np.minimum.reduceat(vals, starts)
+    return out
+
+
 def minhash_batch(texts: list[str], n_perms: int = 64, k: int = 3) -> np.ndarray:
     """(n_rows, n_perms) uint64 signature matrix for a batch of strings."""
     a, b = _perm_params(n_perms)

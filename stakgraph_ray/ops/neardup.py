@@ -32,7 +32,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.minhash import (_perm_params, band_keys, char_shingle_hashes,
-                                 minhash_signature, simhash64, token_ngram_set)
+                                 minhash_signature, minhash_token_signatures,
+                                 simhash64)
 
 
 class MinHashStage:
@@ -50,21 +51,20 @@ class MinHashStage:
         self.a, self.b = _perm_params(n_perms)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
-
-        texts = batch[self.text_col].to_pylist()
         id_arr = batch[self.id_col]
         id_arr = id_arr.combine_chunks() if isinstance(id_arr, pa.ChunkedArray) else id_arr
-        n = len(texts)
-        sigs = np.empty((n, self.n_perms), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            if self.shingle == "char":
+        n = batch.num_rows
+        if self.shingle == "token":
+            # whole-batch vectorized kernel: pyarrow tokenize + distinct-token
+            # siphash + reduceat minima — no per-row Python
+            sigs = minhash_token_signatures(batch[self.text_col], self.a,
+                                            self.b, self.ngram)
+        else:
+            texts = batch[self.text_col].to_pylist()
+            sigs = np.empty((n, self.n_perms), dtype=np.uint64)
+            for i, t in enumerate(texts):
                 hashes = char_shingle_hashes(t or "", self.ngram)
-            else:
-                grams = token_ngram_set(t or "", self.ngram)
-                hashes = np.fromiter((zlib.crc32(g.encode("utf-8")) for g in grams),
-                                     dtype=np.uint64, count=len(grams))
-            sigs[i] = minhash_signature(hashes, self.a, self.b)
+                sigs[i] = minhash_signature(hashes, self.a, self.b)
         bands = band_keys(sigs, self.n_bands)  # (n, n_bands)
         nb = self.n_bands
         # 8-bit compressed signature for in-band verification (8x less

@@ -71,11 +71,26 @@ def fulltext_scores(texts: dict, query_terms: list[str]) -> list[tuple]:
     return sorted(scored, key=lambda kv: (-kv[1], kv[0]))
 
 
+def _partial_topk(t, score_col: str, id_col: str, k: int):
+    """Keep each batch's top-k (desc score, asc id tie-break) so the global
+    sort exchange moves at most k rows per block instead of every scored
+    row — the combiner that makes top-k scale to corpus-sized inputs."""
+    import pyarrow as pa
+
+    if t.num_rows <= k:
+        return t
+    s = t[score_col].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    keep = np.lexsort((ids, -s))[:k]
+    return t.take(pa.array(keep, pa.int64()))
+
+
 def fulltext_topk(docs_ds, id_col: str, text_col: str,
                   query_terms: list[str], k: int = 50) -> list[tuple]:
     """Pipeline-native fulltext top-k: vectorized term-count scoring inside
-    map_batches (explode + is_in + bincount), distributed sort, limit k.
-    Only the k winners reach the driver."""
+    map_batches (explode + is_in + bincount), per-batch partial top-k,
+    distributed sort over the partials, limit k. Only the k winners reach
+    the driver."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -91,7 +106,8 @@ def fulltext_topk(docs_ds, id_col: str, text_col: str,
         n = t.num_rows
         s = np.bincount(parent, weights=hit.astype("float64"), minlength=n)
         out = pa.table({id_col: t[id_col], "score": pa.array(s, pa.float64())})
-        return out.filter(pc.greater(out["score"], 0.0))
+        out = out.filter(pc.greater(out["score"], 0.0))
+        return _partial_topk(out, "score", id_col, k)
 
     top = docs_ds.map_batches(score, batch_format="pyarrow") \
         .sort(["score", id_col], descending=[True, False]).limit(k)
@@ -116,10 +132,15 @@ def vector_topk(emb_ds, id_col: str, vec_col: str, qvec,
         from .relational import _resolve
 
         qv = _resolve(_ref)
-        m = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        col = t[vec_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # fixed-width list<float> -> zero-copy flatten + reshape
+        m = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(t.num_rows, -1)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cos = m @ qv
-        return pa.table({id_col: t[id_col], "cos": pa.array(cos, pa.float64())})
+        out = pa.table({id_col: t[id_col], "cos": pa.array(cos, pa.float64())})
+        return _partial_topk(out, "cos", id_col, k)
 
     top = emb_ds.map_batches(score, batch_format="pyarrow") \
         .sort(["cos", id_col], descending=[True, False]).limit(k)

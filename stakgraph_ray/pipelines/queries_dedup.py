@@ -21,8 +21,13 @@ from ..sources.augmented import (MUT_COND_SQL, VEC_COND_SQL, ID_OFFSET,
 
 def q_minhash_lsh_clusters(sf_dir: str):
     """MinHash(64) + LSH(16x4) near-dup clustering over the augmented corpus.
-    cluster_id = min doc_id of the connected component."""
-    ds = documents_with_neardups(sf_dir)
+    cluster_id = min doc_id of the connected component.
+
+    The input is materialized once: minhash_lsh_clusters consumes its input
+    twice (signature pass + cluster-assign pass), and handing it the lazy
+    augment chain would re-execute read+mutate per pass. At scale the input
+    is a parquet checkpoint, where the second pass is just a re-read."""
+    ds = documents_with_neardups(sf_dir).materialize()
     return minhash_lsh_clusters(ds, "doc_id", "text")
 
 
@@ -307,14 +312,15 @@ def q_hybrid_search(sf_dir: str):
     vec = vector_topk(emb, "vec_id", "embedding", q, k=50)
 
     fused = rrf_fuse(ft, vec, limit=25)  # driver fuses top-k lists only
-    fused_ids = pa.array([i for i, _ in fused], pa.int64())
-    counts = {r["doc_id"]: r["n_tokens"] for r in docs.map_batches(
-        lambda t: (lambda f: pa.table({
-            "doc_id": f["doc_id"],
-            "n_tokens": pc.cast(pc.list_value_length(
-                pc.split_pattern(pc.cast(f["text"], pa.large_string()), " ")),
-                pa.int64())}))(t.filter(pc.is_in(t["doc_id"], value_set=fused_ids))),
-        batch_format="pyarrow").take_all()}
+    # token counts for the 25 fused ids: row-group-pruned point read (no
+    # third corpus-wide execution — predicate pushdown does the work)
+    hits = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         filters=[("doc_id", "in", [i for i, _ in fused])])
+    counts = dict(zip(
+        hits["doc_id"].to_pylist(),
+        pc.list_value_length(pc.split_pattern(
+            pc.cast(hits["text"], pa.large_string()), " ")).to_pylist()))
     import math
 
     # half-away-from-zero to match DuckDB round() (python round is half-even
