@@ -69,6 +69,66 @@ def grouped_aggregate(ds, keys, spec: list[tuple[str, str]],
     return partitioned_apply(ds, keys, agg, num_partitions)
 
 
+def low_card_aggregate(ds, keys, spec: list[tuple[str, str]],
+                       out_names: list[str]):
+    """Grouped aggregate for LOW-cardinality keys (groups ≪ rows — status
+    flags, regions, hosts): per-batch pyarrow group_by combiner sends at
+    most G rows per block to the driver, which merges the partials — no
+    corpus-scale sort/shuffle exchange at all. For corpus-cardinality keys
+    use grouped_aggregate (hash-partitioned) instead: the driver merge here
+    is bounded by blocks × groups.
+
+    ``spec``: [(col, fn)] with fn in sum|min|max|mean|count_all (count_all
+    ignores ``col``); output columns are [*keys, *out_names]."""
+    import pyarrow as pa
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partial_plan: list[tuple] = []
+    for col, fn in spec:
+        if fn == "mean":
+            partial_plan += [(col, "sum"), (col, "count")]
+        elif fn == "count_all":
+            partial_plan.append(([], "count_all"))
+        else:
+            partial_plan.append((col, fn))
+    # dedup partial columns (same (col, fn) may serve several spec entries)
+    seen: dict[tuple, str] = {}
+    plan = []
+    for col, fn in partial_plan:
+        name = "count_all" if fn == "count_all" else f"{col}_{fn}"
+        if (col if fn != "count_all" else "", fn) not in seen:
+            seen[(col if fn != "count_all" else "", fn)] = name
+            plan.append((col, fn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(keys).aggregate(plan)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts)
+    # re-aggregate the partials: sums/counts add, min/max idempotent
+    merge_plan = []
+    for col, fn in plan:
+        name = "count_all" if fn == "count_all" else f"{col}_{fn}"
+        merge_plan.append((name, "sum" if fn in ("sum", "count", "count_all")
+                           else fn))
+    final = merged.group_by(keys).aggregate(merge_plan)
+    cols: dict[str, object] = {k: final[k] for k in keys}
+    import pyarrow.compute as _pc
+
+    for (col, fn), out in zip(spec, out_names):
+        if fn == "mean":
+            cols[out] = _pc.divide(
+                _pc.cast(final[f"{col}_sum_sum"], pa.float64()),
+                _pc.cast(final[f"{col}_count_sum"], pa.float64()))
+        elif fn == "count_all":
+            cols[out] = final["count_all_sum"]
+        else:
+            cols[out] = final[f"{col}_{fn}_{'sum' if fn == 'sum' else fn}"]
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(cols))
+
+
 def distinct_hp(ds, keys, num_partitions: int | None = None):
     keys = [keys] if isinstance(keys, str) else list(keys)
     return partitioned_apply(

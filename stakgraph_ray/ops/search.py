@@ -71,7 +71,7 @@ def fulltext_scores(texts: dict, query_terms: list[str]) -> list[tuple]:
     return sorted(scored, key=lambda kv: (-kv[1], kv[0]))
 
 
-def _partial_topk(t, score_col: str, id_col: str, k: int):
+def partial_topk(t, score_col: str, id_col: str, k: int):
     """Keep each batch's top-k (desc score, asc id tie-break) so the global
     sort exchange moves at most k rows per block instead of every scored
     row — the combiner that makes top-k scale to corpus-sized inputs."""
@@ -107,7 +107,7 @@ def fulltext_topk(docs_ds, id_col: str, text_col: str,
         s = np.bincount(parent, weights=hit.astype("float64"), minlength=n)
         out = pa.table({id_col: t[id_col], "score": pa.array(s, pa.float64())})
         out = out.filter(pc.greater(out["score"], 0.0))
-        return _partial_topk(out, "score", id_col, k)
+        return partial_topk(out, "score", id_col, k)
 
     top = docs_ds.map_batches(score, batch_format="pyarrow") \
         .sort(["score", id_col], descending=[True, False]).limit(k)
@@ -140,7 +140,7 @@ def vector_topk(emb_ds, id_col: str, vec_col: str, qvec,
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cos = m @ qv
         out = pa.table({id_col: t[id_col], "cos": pa.array(cos, pa.float64())})
-        return _partial_topk(out, "cos", id_col, k)
+        return partial_topk(out, "cos", id_col, k)
 
     top = emb_ds.map_batches(score, batch_format="pyarrow") \
         .sort(["cos", id_col], descending=[True, False]).limit(k)

@@ -26,12 +26,18 @@ def _read(sf_dir: str, table: str, columns=None, **kw):
 
 
 def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
-    # half_towards_infinity == DuckDB's round() on DOUBLE (half away from
-    # zero) — pyarrow's default half_to_even would diverge on .5 boundaries.
+    # DuckDB round() on DOUBLE: half away from zero, then a correctly-
+    # rounded DIVISION by 10^nd. pc.round instead multiplies by the inexact
+    # constant 10^-nd, which can land 1 ulp off DuckDB's result (observed on
+    # money sums), so compute sign * floor(|x|*10^nd + 0.5) / 10^nd with a
+    # true division.
+    import numpy as np
+
     for c, nd in cols.items():
-        t = t.set_column(t.column_names.index(c), c,
-                         pc.round(pc.cast(t[c], pa.float64()), nd,
-                                  round_mode="half_towards_infinity"))
+        x = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+        scale = 10.0 ** nd
+        r = np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+        t = t.set_column(t.column_names.index(c), c, pa.array(r, pa.float64()))
     return t
 
 
@@ -41,7 +47,7 @@ def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style grouped aggregate with a computed column; the
     partial-then-final aggregation pattern (stats rollup,
     cf. /root/reference/ast/src/builder/utils.rs:61-74)."""
-    from ray.data.aggregate import Count, Sum
+    from ..ops.partition import low_card_aggregate
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -52,12 +58,12 @@ def q_pricing_summary(sf_dir: str):
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("rev", rev)
 
-    out = ds.map_batches(revenue, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]) \
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                   Sum("l_extendedprice", alias_name="sum_base_price"),
-                   Sum("rev", alias_name="sum_revenue"),
-                   Count(alias_name="n_rows"))
+    out = low_card_aggregate(
+        ds.map_batches(revenue, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+         ("rev", "sum"), (None, "count_all")],
+        ["sum_qty", "sum_base_price", "sum_revenue", "n_rows"])
     return out.map_batches(
         lambda t: _round_cols(t, {"sum_qty": 2, "sum_base_price": 2,
                                   "sum_revenue": 2}),
@@ -76,7 +82,7 @@ from lineitem group by l_returnflag, l_linestatus
 
 def q_region_rollup(sf_dir: str):
     """Broadcast dimension joins (customer ⋈ nation ⋈ region) + rollup."""
-    from ray.data.aggregate import Count, Sum
+    from ..ops.partition import low_card_aggregate
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
@@ -84,8 +90,9 @@ def q_region_rollup(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
     ds = broadcast_join(ds, dim.select(["n_nationkey", "r_name"]),
                         keys="c_nationkey", right_keys="n_nationkey")
-    out = ds.groupby("r_name").aggregate(Count(alias_name="n_customers"),
-                                         Sum("c_acctbal", alias_name="sum_acctbal"))
+    out = low_card_aggregate(ds, "r_name",
+                             [(None, "count_all"), ("c_acctbal", "sum")],
+                             ["n_customers", "sum_acctbal"])
     return out.map_batches(lambda t: _round_cols(t, {"sum_acctbal": 2}),
                            batch_format="pyarrow")
 
@@ -99,14 +106,15 @@ group by r_name
 
 
 def q_nation_customers(sf_dir: str):
-    from ray.data.aggregate import Count, Mean
+    from ..ops.partition import low_card_aggregate
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
     ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
     ds = broadcast_join(ds, nation, keys="c_nationkey", right_keys="n_nationkey")
-    out = ds.groupby("n_name").aggregate(Count(alias_name="n_customers"),
-                                         Mean("c_acctbal", alias_name="avg_acctbal"))
+    out = low_card_aggregate(ds, "n_name",
+                             [(None, "count_all"), ("c_acctbal", "mean")],
+                             ["n_customers", "avg_acctbal"])
     return out.map_batches(lambda t: _round_cols(t, {"avg_acctbal": 4}),
                            batch_format="pyarrow")
 
@@ -123,15 +131,21 @@ group by n_name
 def q_top_customers(sf_dir: str):
     """Join + grouped sum + global top-k (vector search top-k shape,
     cf. mcp/src/graph/queries.ts:564+)."""
-    from ray.data.aggregate import Sum
+    from ..ops.partition import grouped_aggregate
+    from ..ops.search import partial_topk
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"])
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = broadcast_join(ds, cust, keys="o_custkey", right_keys="c_custkey")
-    agg = ds.groupby(["o_custkey", "c_name"]).aggregate(
-        Sum("o_totalprice", alias_name="total_spent"))
-    out = agg.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
+    # corpus-cardinality key: hash-partitioned aggregate, then each
+    # partition forwards only its top 10 into the global sort
+    agg = grouped_aggregate(ds, ["o_custkey", "c_name"],
+                            [("o_totalprice", "sum")], ["total_spent"])
+    out = agg.map_batches(
+        lambda t: partial_topk(t, "total_spent", "o_custkey", 10),
+        batch_format="pyarrow") \
+        .sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
     return out.map_batches(lambda t: _round_cols(t, {"total_spent": 2}),
                            batch_format="pyarrow")
 
