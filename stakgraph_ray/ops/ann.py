@@ -51,20 +51,22 @@ class BucketAssigner:
         self.planes = _hyperplanes(dim, n_bits)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        m = np.array(t[self.vec_col].to_pylist(), dtype=np.float64)
+        m = _vecs_of(t[self.vec_col])
         return t.append_column("bucket", pa.array(bucket_of(m, self.planes)))
 
 
 class ProbedScorer:
     """Scores only rows whose bucket is in some query's probe set."""
 
-    def __init__(self, queries_ref, n_bits: int, radius: int = 2):
+    def __init__(self, queries_ref, n_bits: int, radius: int = 2,
+                 k: int | None = None):
         from .relational import _resolve
 
         q = _resolve(queries_ref)
         self.qids = q["qids"]
         self.qm = q["qm"]          # (nq, dim) L2-normalized
         self.qbuckets = q["qbuckets"]
+        self.k = k
         self.probe_sets = [set(multi_probe(int(b), n_bits, radius))
                            for b in self.qbuckets]
         self.all_probed = set().union(*self.probe_sets) if len(self.qids) else set()
@@ -77,7 +79,7 @@ class ProbedScorer:
                              "neighbor_id": pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
         sub = t.filter(pa.array(mask))
-        m = np.array(sub["embedding"].to_pylist(), dtype=np.float64)
+        m = _vecs_of(sub["embedding"])
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         vec_ids = sub["vec_id"].to_numpy(zero_copy_only=False)
         sub_buckets = buckets[mask]
@@ -94,11 +96,140 @@ class ProbedScorer:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
+        q = np.concatenate(out_q)
+        n = np.concatenate(out_n)
+        c = np.concatenate(out_c)
+        if self.k is not None:
+            return _per_query_topk(q, n, c, self.k)
         return pa.table({
-            "query_id": pa.array(np.concatenate(out_q)),
-            "neighbor_id": pa.array(np.concatenate(out_n)),
-            "cos": pa.array(np.concatenate(out_c)),
+            "query_id": pa.array(q),
+            "neighbor_id": pa.array(n),
+            "cos": pa.array(c),
         })
+
+
+def _per_query_topk(q: np.ndarray, n: np.ndarray, c: np.ndarray,
+                    k: int) -> pa.Table:
+    """Batch-local top-k per query id — the combiner that keeps ANN scoring
+    from shipping every (query, candidate) row into the final exchange."""
+    if len(q) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    order = np.lexsort((n, -c, q))   # by query, cos desc, id asc
+    qs, ns, cs = q[order], n[order], c[order]
+    starts = np.concatenate(([0], np.flatnonzero(qs[1:] != qs[:-1]) + 1,
+                             [len(qs)]))
+    keep = np.concatenate([np.arange(s, min(s + k, e))
+                           for s, e in zip(starts[:-1], starts[1:])])
+    return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
+                     "neighbor_id": pa.array(ns[keep], pa.int64()),
+                     "cos": pa.array(cs[keep], pa.float64())})
+
+
+def _vecs_of(col) -> np.ndarray:
+    """Zero-copy fixed-width list<float> column -> (n, d) float64 matrix."""
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(len(col), -1)
+
+
+def train_centroids(ds, vec_col: str, n_centroids: int, n_iters: int = 8,
+                    sample: int = 10_000) -> np.ndarray:
+    """Deterministic coarse k-means for the IVF index: Lloyd iterations
+    over a bounded head sample on the driver (training is O(sample), the
+    index SCAN stays distributed). Centroids are L2-normalized so nearest
+    centroid == max cosine."""
+    head = ds.limit(sample).take_all()
+    m = np.array([r[vec_col] for r in head], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(7)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+class IVFScorer:
+    """Scores only rows whose centroid cell is probed by some query.
+    Centroids + queries resolve once per actor from the broadcast ref."""
+
+    def __init__(self, ref, vec_col: str, id_col: str, k: int):
+        from .relational import _resolve
+
+        q = _resolve(ref)
+        self.cent = q["cent"]               # (C, d) L2-normalized
+        self.qids = q["qids"]
+        self.qm = q["qm"]                   # (nq, d) L2-normalized
+        self.probe = q["probe"]             # (nq, n_probe) centroid ids
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+        self.cells = np.unique(self.probe)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _vecs_of(t[self.vec_col])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(m @ self.cent.T, axis=1)
+        mask = np.isin(cell, self.cells)
+        if not mask.any():
+            return _per_query_topk(np.empty(0, np.int64), np.empty(0, np.int64),
+                                   np.empty(0, np.float64), self.k)
+        sub, subcell = m[mask], cell[mask]
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)[mask]
+        cos = sub @ self.qm.T               # (n_sub, nq)
+        out_q, out_n, out_c = [], [], []
+        for j, qid in enumerate(self.qids):
+            hit = np.isin(subcell, self.probe[j])
+            if hit.any():
+                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+                out_n.append(ids[hit])
+                out_c.append(cos[hit, j])
+        if not out_q:
+            return _per_query_topk(np.empty(0, np.int64), np.empty(0, np.int64),
+                                   np.empty(0, np.float64), self.k)
+        return _per_query_topk(np.concatenate(out_q), np.concatenate(out_n),
+                               np.concatenate(out_c), self.k)
+
+
+def knn_ivf(ds, query_table: pa.Table, k: int = 5, n_centroids: int = 16,
+            n_probe: int = 4, vec_col: str = "embedding",
+            id_col: str = "vec_id", concurrency=None):
+    """IVF approximate top-k: (query_id, neighbor_id, cos).
+
+    The scale path next to knn_lsh: a coarse k-means index trained once on
+    a bounded sample, centroids broadcast via ray.put; every batch assigns
+    its vectors to cells vectorized and scores only cells probed by some
+    query (~n_probe/n_centroids of rows), emitting at most nq*k rows per
+    batch into the final per-query top-k. Recall vs brute force gated in
+    tests/test_ann.py."""
+    from .relational import broadcast
+
+    concurrency = concurrency or _pool()
+    cent = train_centroids(ds, vec_col, n_centroids)
+    qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    ref = broadcast({
+        "cent": cent, "qm": qm, "probe": probe,
+        "qids": query_table[id_col].to_numpy(zero_copy_only=False)})
+
+    scored = ds.map_batches(
+        IVFScorer,
+        fn_constructor_kwargs={"ref": ref, "vec_col": vec_col,
+                               "id_col": id_col, "k": k},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("cos", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 
 
 def knn_lsh(ds, query_table: pa.Table, k: int = 5, n_bits: int = 6,
@@ -129,7 +260,8 @@ def knn_lsh(ds, query_table: pa.Table, k: int = 5, n_bits: int = 6,
     scored = ds.map_batches(ProbedScorer,
                             fn_constructor_kwargs={"queries_ref": ref,
                                                    "n_bits": n_bits,
-                                                   "radius": radius},
+                                                   "radius": radius,
+                                                   "k": k},
                             batch_format="pyarrow", concurrency=concurrency)
 
     def topk(g: pa.Table) -> pa.Table:

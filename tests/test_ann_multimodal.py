@@ -53,6 +53,62 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session, sf_tiny):
                            if r["query_id"] == ids[qi]}
 
 
+def test_knn_ivf_recall_vs_bruteforce(ray_session, sf_tiny):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from stakgraph_ray.ops.ann import knn_ivf
+
+    emb = pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.slice(0, 5)
+    ds = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    approx = knn_ivf(ds, queries, k=5, n_centroids=8, n_probe=4).take_all()
+
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    recall_hits = total = 0
+    for qi in range(5):
+        cos = M @ M[qi]
+        order = np.lexsort((ids, -cos))[:5]
+        want = set(ids[order])
+        got = {r["neighbor_id"] for r in approx if r["query_id"] == ids[qi]}
+        recall_hits += len(got & want)
+        total += len(want)
+        # a query's own vector lands in its nearest cell, which is always
+        # probed first -> self always found
+        assert ids[qi] in got
+    recall = recall_hits / total
+    assert recall >= 0.6, f"recall@5 {recall}"
+    # per-query output is exactly k rows with cos descending
+    for qi in range(5):
+        rows = sorted((r for r in approx if r["query_id"] == ids[qi]),
+                      key=lambda r: -r["cos"])
+        assert len(rows) == 5
+
+
+def test_ivf_deterministic(ray_session, sf_tiny):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from stakgraph_ray.ops.ann import knn_ivf
+
+    emb = pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.slice(0, 3)
+
+    def run():
+        ds = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        rows = knn_ivf(ds, queries, k=3, n_centroids=8, n_probe=3).take_all()
+        return sorted((r["query_id"], r["neighbor_id"]) for r in rows)
+
+    assert run() == run()
+
+
 def test_fake_container_roundtrip():
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     assert (decode_payload(encode_image(img)) == img).all()
