@@ -200,6 +200,57 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized simhash64 over a whole Arrow string column: pyarrow
+    tokenize, md5-low-64 on DISTINCT tokens only (dictionary encode — the
+    token hash must stay md5 so the DuckDB oracle reproduces it), then the
+    ±1 bit accumulation as numpy reduceat per doc (8-bit chunks bound the
+    (tokens, bits) working set). Bit i of doc d is set iff
+    2 * count(tokens with bit i set) > count(tokens) — identical to the
+    scalar acc>0 rule. Matches simhash64 exactly (parity-tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(pc.cast(texts, pa.string()), "")
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    tok = pc.split_pattern(texts, " ")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    counts = np.diff(tok.offsets.to_numpy().astype(np.int64))
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    venc = tok.values.dictionary_encode()
+    if len(venc) == 0:
+        return out
+    dic = venc.dictionary.to_pylist()
+    dich = np.array([md5low64(s) if s else 0 for s in dic], dtype=np.uint64)
+    nonempty_dic = np.array([s != "" for s in dic], dtype=bool)
+    idx = venc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = nonempty_dic[idx]
+    H = dich[idx][keep]
+    doc = doc_of[keep]                  # monotonic: filter preserves order
+    if len(H) == 0:
+        return out
+    starts = np.concatenate(([0], np.flatnonzero(doc[1:] != doc[:-1]) + 1))
+    docs_with = doc[starts]
+    ntok = np.diff(np.concatenate((starts, [len(doc)])))
+    hbits = np.zeros(len(docs_with), dtype=np.uint64)
+    for lo in range(0, 64, 8):
+        shifts = np.arange(lo, lo + 8, dtype=np.uint64)
+        bits = ((H[:, None] >> shifts[None, :]) &
+                np.uint64(1)).astype(np.int32)      # (T, 8)
+        ones = np.add.reduceat(bits, starts, axis=0)  # (D, 8)
+        set_bits = (2 * ones) > ntok[:, None]
+        hbits |= (set_bits.astype(np.uint64) <<
+                  shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[docs_with] = hbits
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -319,12 +319,13 @@ class SimHashStage:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        hs = [simhash64(t or "") for t in texts]
+        from ..functions.minhash import simhash64_batch
+
+        hs = simhash64_batch(batch[self.text_col])
         return pa.table({
             "doc_id": pc.cast(batch[self.id_col], pa.int64()),
             "simhash": pa.array([f"{h:016x}" for h in hs], pa.string()),
-            "bucket": pa.array([h >> 48 for h in hs], pa.int64()),
+            "bucket": pa.array((hs >> np.uint64(48)).astype(np.int64)),
         })
 
 

@@ -7,6 +7,7 @@ import pyarrow as pa
 from stakgraph_ray.functions.minhash import (band_keys, estimate_jaccard,
                                              hamming64, minhash_batch,
                                              rolling_fingerprint, simhash64,
+                                             simhash64_batch,
                                              token_ngram_set, _perm_params,
                                              minhash_signature)
 from stakgraph_ray.ops.neardup import (embedding_pairs_in_group,
@@ -55,6 +56,24 @@ def test_simhash_properties():
     assert hamming64(simhash64(A), simhash64(A_NEAR)) < 12
     assert hamming64(simhash64(A), simhash64(B)) > 12
     assert simhash64("") == 0
+
+
+def test_simhash_batch_matches_scalar():
+    import random
+
+    texts = [A, A_NEAR, B, "", "a", "foo foo foo bar",
+             "unicode tökens ß ありがとう 你好", "  double  spaces  ",
+             "x " * 500 + "tail", None]
+    got = simhash64_batch(pa.array(texts, pa.string()))
+    want = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+    rng = random.Random(7)
+    vocab = ["tok%d" % i for i in range(50)] + ["ß", "é", ""]
+    rnd = [" ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+           for _ in range(200)]
+    got = simhash64_batch(pa.array(rnd, pa.string()))
+    want = np.array([simhash64(t) for t in rnd], dtype=np.uint64)
+    assert (got == want).all()
 
 
 def test_rolling_fingerprint_deterministic():
