@@ -30,6 +30,7 @@ def _catalog() -> dict[str, tuple]:
     from stakgraph_ray.pipelines.queries_dedup import DEDUP_QUERIES
     from stakgraph_ray.pipelines.queries_kg import KG_QUERIES
     from stakgraph_ray.pipelines.queries_rel import REL_QUERIES
+    from stakgraph_ray.pipelines.queries_llm import LLM_QUERIES
     from stakgraph_ray.pipelines.queries_probes import PROBE_QUERIES
     from stakgraph_ray.pipelines.queries_typed import TYPED_QUERIES
 
@@ -39,6 +40,7 @@ def _catalog() -> dict[str, tuple]:
     cat.update(DEDUP_QUERIES)
     cat.update(TYPED_QUERIES)
     cat.update(PROBE_QUERIES)
+    cat.update(LLM_QUERIES)
     return cat
 
 

@@ -1,0 +1,239 @@
+"""Training-data curation queries over the documents table: deterministic
+corpus splits, stratified sampling, n-gram statistics, the composed
+C4/Gopher-style cleaning pipeline, and token-budget subsetting. Each op is
+deterministic (md5-keyed) and carries an exact DuckDB oracle.
+
+These are the corpus-curation operators a 100-TB text pipeline runs between
+ingestion and training — the same operator families the KG build uses
+(pure maps, one-shuffle grouped aggregates, partitioned top-n, distributed
+prefix sum), applied to data curation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import default_num_blocks as _nb
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns,
+                           override_num_blocks=_nb())
+
+
+# ------------------------------------------------------- hash split
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split by md5(doc_id) bucket — pure map,
+    stable across runs and cluster sizes."""
+    from ..ops.sampling import hash_split
+
+    ds = _docs(sf_dir, ["doc_id"])
+    return hash_split(ds, "doc_id",
+                      [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+
+SQL_HASH_SPLIT = """
+with b as (
+  select doc_id,
+         cast(md5_number_lower(cast(doc_id as varchar)) % 10000 as bigint)
+           as bucket
+  from documents)
+select doc_id,
+       case when bucket < 8000 then 'train'
+            when bucket < 9000 then 'val'
+            else 'test' end as split,
+       bucket
+from b
+"""
+
+
+# ------------------------------------------------------- stratified sample
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 10-per-source sample (smallest md5(doc_id) rank per
+    group): one hash shuffle + vectorized in-partition top-n."""
+    from ..ops.sampling import stratified_sample
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return stratified_sample(ds, "source", 10, "doc_id")
+
+
+SQL_STRATIFIED = """
+select doc_id, source from documents
+qualify row_number() over (
+  partition by source
+  order by md5_number_lower(cast(doc_id as varchar)), doc_id) <= 10
+"""
+
+
+# ------------------------------------------------------- n-gram top-k
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus-wide top-20 bigrams (count desc, bigram asc): per-batch
+    vectorized pair-join + local count, one grouped-aggregate shuffle over
+    the bigram vocabulary, per-partition top-k so the final sort moves
+    k rows per block."""
+    from ..ops.partition import grouped_aggregate
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.large_string())
+        toks = pc.split_pattern(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
+            " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.large_string()),
+                             "n_part": pa.array([], pa.int64())})
+        # adjacent pairs within the same document: position i pairs with
+        # i+1 unless i+1 starts a new doc's token list
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        valid = np.ones(n - 1, dtype=bool)
+        starts = offs[1:-1]  # interior list starts
+        valid[starts[(starts > 0) & (starts < n)] - 1] = False
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1),
+            pa.scalar(" ", pa.large_string()))
+        pairs = pairs.filter(pa.array(valid))
+        g = pa.table({"bigram": pairs}).group_by(["bigram"]) \
+            .aggregate([("bigram", "count")])
+        return g.rename_columns(["bigram", "n_part"])
+
+    agg = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                            "bigram", [("n_part", "sum")], ["n"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by([("n", "descending"), ("bigram", "ascending")]) \
+                .slice(0, 20)
+
+    return agg.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["n", "bigram"], descending=[True, False]).limit(20)
+
+
+SQL_BIGRAM_TOPK = """
+with toks as (select string_split(text, ' ') as s from documents),
+pos as (select s, unnest(generate_series(1, len(s) - 1)) as i from toks)
+select s[i] || ' ' || s[i + 1] as bigram, count(*) as n
+from pos group by 1
+order by n desc, bigram
+limit 20
+"""
+
+
+# ------------------------------------------------------- cleaning pipeline
+
+def q_clean_corpus(sf_dir: str):
+    """The composed curation pipeline: language gate (stopword evidence) ->
+    quality gates (token count, stopword ratio) -> exact near-source dedup
+    (md5 first-wins). Pure map until ONE grouped-aggregate shuffle over the
+    content-hash vocabulary; no driver materialization."""
+    from ..ops.partition import grouped_aggregate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def gate_and_fingerprint(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = pc.cast(t["text"], pa.large_string())
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        toks = pc.split_pattern(text, " ")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(["the", "a"])) \
+            .to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        stops = np.bincount(parent, weights=is_stop.astype("float64"),
+                            minlength=n)
+        keep = (stops > 0) & (n_tokens >= 5) & (n_tokens <= 2000) & \
+               (stops / np.maximum(n_tokens, 1) <= 0.5)
+        kept = t.filter(pa.array(keep))
+        md5 = pa.array([hashlib.md5(x.encode()).hexdigest()
+                        for x in kept["text"].to_pylist()], pa.string())
+        return pa.table({
+            "text_md5": md5,
+            "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+            "n_copies": pa.array(np.ones(kept.num_rows, np.int64)),
+        })
+
+    partial = ds.map_batches(gate_and_fingerprint, batch_format="pyarrow")
+    # pre-combine per batch before the shuffle
+    partial = partial.map_batches(
+        lambda t: t.group_by(["text_md5"]).aggregate(
+            [("doc_id", "min"), ("n_tokens", "min"), ("n_copies", "sum")])
+        .rename_columns(["text_md5", "doc_id", "n_tokens", "n_copies"]),
+        batch_format="pyarrow")
+    agg = grouped_aggregate(partial, "text_md5",
+                            [("doc_id", "min"), ("n_tokens", "min"),
+                             ("n_copies", "sum")],
+                            ["doc_id", "n_tokens", "n_copies"])
+    return agg.map_batches(lambda t: t.drop_columns(["text_md5"]),
+                           batch_format="pyarrow")
+
+
+SQL_CLEAN_CORPUS = """
+with f as (
+  select doc_id, text,
+         len(string_split(text, ' ')) as n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x in ('the', 'a')))
+           as n_stop
+  from documents),
+g as (select * from f
+      where n_stop > 0 and n_tokens between 5 and 2000
+        and n_stop / cast(n_tokens as double) <= 0.5)
+select min(doc_id) as doc_id, min(n_tokens) as n_tokens,
+       count(*) as n_copies
+from g group by md5(text)
+"""
+
+
+# ------------------------------------------------------- token budget
+
+def q_token_budget(sf_dir: str):
+    """Deterministic token-budget subset: keep documents in doc_id order
+    while the inclusive running token total stays <= 10,000 — distributed
+    two-pass prefix sum (per-block partials, scalar offsets), driver holds
+    O(blocks) scalars."""
+    from ..ops.sampling import token_budget_subset
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.large_string())
+        toks = pc.split_pattern(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
+            " ")
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    return token_budget_subset(counted, "doc_id", "n_tokens", 10_000.0)
+
+
+SQL_TOKEN_BUDGET = """
+with t as (select doc_id, len(string_split(text, ' ')) as n_tokens
+           from documents)
+select doc_id, n_tokens from t
+qualify sum(n_tokens) over (order by doc_id) <= 10000
+"""
+
+
+LLM_QUERIES = {
+    "llm_hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "llm_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "llm_bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
+    "llm_clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+    "llm_token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+}
