@@ -464,16 +464,25 @@ def q_media_metadata(sf_dir: str):
     from ..stages.multimodal import synth_media_ds
 
     return synth_media_ds(sf_dir).map_batches(
-        lambda t: t.select(["media_id", "kind", "width", "height", "n_frames"]),
+        lambda t: t.select(["media_id", "kind", "width", "height", "n_frames",
+                            "n_samples", "sample_rate"]),
         batch_format="pyarrow")
 
 
 SQL_MEDIA_METADATA = """
 select doc_id as media_id,
-       case when doc_id % 10 = 0 then 'video' else 'image' end as kind,
+       case when doc_id % 10 = 0 then 'video'
+            when doc_id % 10 = 5 then 'audio'
+            else 'image' end as kind,
        cast(16 + (doc_id % 5) * 8 as int) as width,
        cast(16 + (doc_id % 7) * 8 as int) as height,
-       cast(case when doc_id % 10 = 0 then 4 else 1 end as int) as n_frames
+       cast(case when doc_id % 10 = 0 then 4
+                 when doc_id % 10 = 5 then 0
+                 else 1 end as int) as n_frames,
+       cast(case when doc_id % 10 = 5 then 2048 + (doc_id % 4) * 1024
+                 else 0 end as int) as n_samples,
+       cast(case when doc_id % 10 = 5 then 8000 + (doc_id % 3) * 4000
+                 else 0 end as int) as sample_rate
 from documents
 """
 

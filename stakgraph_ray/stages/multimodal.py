@@ -12,6 +12,8 @@ Synthetic container formats (little-endian):
   FAKEIMG: b"FAKEIMG0" + uint16 h + uint16 w + h*w grayscale bytes
   FAKEVID: b"FAKEVID0" + uint16 n_frames + uint16 h + uint16 w
            + n*h*w grayscale bytes
+  FAKEAUD: b"FAKEAUD0" + uint32 n_samples + uint16 sample_rate
+           + n int16 samples
 """
 
 from __future__ import annotations
@@ -25,14 +27,17 @@ import pyarrow as pa
 
 IMG_MAGIC = b"FAKEIMG0"
 VID_MAGIC = b"FAKEVID0"
+AUD_MAGIC = b"FAKEAUD0"
 
 MEDIA_SCHEMA = pa.schema([
     pa.field("media_id", pa.int64()),
-    pa.field("kind", pa.string()),            # "image" | "video"
+    pa.field("kind", pa.string()),            # "image" | "video" | "audio"
     pa.field("payload", pa.large_binary()),   # opaque container bytes
     pa.field("width", pa.int32()),            # typed metadata
     pa.field("height", pa.int32()),
     pa.field("n_frames", pa.int32()),
+    pa.field("n_samples", pa.int32()),        # audio-only (0 otherwise)
+    pa.field("sample_rate", pa.int32()),
 ])
 
 
@@ -46,9 +51,20 @@ def encode_video(frames: np.ndarray) -> bytes:
     return VID_MAGIC + struct.pack("<HHH", n, h, w) + frames.astype(np.uint8).tobytes()
 
 
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    n = len(samples)
+    return AUD_MAGIC + struct.pack("<IH", n, sample_rate) + \
+        samples.astype("<i2").tobytes()
+
+
 def decode_payload(payload: bytes) -> np.ndarray:
-    """-> (h, w) image or (n, h, w) video array. Synthetic containers decode
-    natively; real formats need codecs that aren't installed here."""
+    """-> (h, w) image, (n, h, w) video, or 1-D int16 audio waveform.
+    Synthetic containers decode natively; real formats need codecs that
+    aren't installed here."""
+    if payload.startswith(AUD_MAGIC):
+        n, _rate = struct.unpack_from("<IH", payload, len(AUD_MAGIC))
+        off = len(AUD_MAGIC) + 6
+        return np.frombuffer(payload, "<i2", n, off)
     if payload.startswith(IMG_MAGIC):
         h, w = struct.unpack_from("<HH", payload, len(IMG_MAGIC))
         off = len(IMG_MAGIC) + 4
@@ -73,6 +89,7 @@ def media_rows_batch(docs: pa.Table) -> pa.Table:
     map_batches — the media table is derived distributedly, never built on
     the driver (payload encoding is inherently per-row numpy)."""
     ids, kinds, payloads, ws, hs, nf = [], [], [], [], [], []
+    nsamp, srate = [], []
     for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         h = 16 + (doc_id % 7) * 8
         w = 16 + (doc_id % 5) * 8
@@ -84,11 +101,24 @@ def media_rows_batch(docs: pa.Table) -> pa.Table:
             payloads.append(encode_video(px))
             kinds.append("video")
             nf.append(n_frames)
+            nsamp.append(0)
+            srate.append(0)
+        elif doc_id % 10 == 5:  # every 10th (offset 5) is an audio clip
+            n = 2048 + (doc_id % 4) * 1024
+            rate = 8000 + (doc_id % 3) * 4000
+            wave = (np.resize(raw, n).astype(np.int16) - 128) * 256
+            payloads.append(encode_audio(wave, rate))
+            kinds.append("audio")
+            nf.append(0)
+            nsamp.append(n)
+            srate.append(rate)
         else:
             px = np.resize(raw, h * w).reshape(h, w)
             payloads.append(encode_image(px))
             kinds.append("image")
             nf.append(1)
+            nsamp.append(0)
+            srate.append(0)
         ids.append(doc_id)
         hs.append(h)
         ws.append(w)
@@ -99,6 +129,8 @@ def media_rows_batch(docs: pa.Table) -> pa.Table:
         "width": pa.array(ws, pa.int32()),
         "height": pa.array(hs, pa.int32()),
         "n_frames": pa.array(nf, pa.int32()),
+        "n_samples": pa.array(nsamp, pa.int32()),
+        "sample_rate": pa.array(srate, pa.int32()),
     })
 
 
@@ -129,14 +161,32 @@ def synth_media_table(sf_dir: str, n: int | None = None) -> pa.Table:
 class ImageFeatureStage:
     """Actor-pool stage: decode -> 8x8 mean-pool resize -> feature vector
     (mean, std, 16-bin histogram). Videos are frame-sampled (every 2nd
-    frame) and features averaged over sampled frames.
+    frame) and features averaged over sampled frames. Audio waveforms are
+    decimated (the resample analog), framed into 256-sample windows, and
+    summarized as [rms mean, rms std, zero-crossing rate] + an 8-bin
+    normalized energy histogram.
 
     Large binary payloads => callers should use a small batch_size; the
     stage itself is per-row numpy (decode is inherently per-payload)."""
 
-    def __init__(self, pool: int = 8, frame_step: int = 2):
+    def __init__(self, pool: int = 8, frame_step: int = 2,
+                 decimate: int = 2, win: int = 256):
         self.pool = pool
         self.frame_step = frame_step
+        self.decimate = decimate
+        self.win = win
+
+    def _audio_features(self, wave: np.ndarray) -> np.ndarray:
+        w = wave[::self.decimate].astype(np.float64)
+        n = (len(w) // self.win) * self.win
+        frames = w[:n].reshape(-1, self.win) if n else w.reshape(1, -1)
+        rms = np.sqrt((frames ** 2).mean(axis=1))
+        zcr = float((np.signbit(w[1:]) != np.signbit(w[:-1])).mean()) \
+            if len(w) > 1 else 0.0
+        hist, _ = np.histogram(rms, bins=8,
+                               range=(0.0, float(rms.max()) or 1.0))
+        hist = hist / max(len(rms), 1)
+        return np.concatenate(([rms.mean(), rms.std(), zcr], hist))
 
     def _features(self, img: np.ndarray) -> np.ndarray:
         p = self.pool
@@ -156,6 +206,8 @@ class ImageFeatureStage:
             if arr.ndim == 3:  # video: frame-sample then average
                 frames = arr[::self.frame_step]
                 f = np.mean([self._features(fr) for fr in frames], axis=0)
+            elif arr.ndim == 1:  # audio waveform
+                f = self._audio_features(arr)
             else:
                 f = self._features(arr)
             feats.append(f.astype(np.float32))

@@ -110,12 +110,31 @@ def test_ivf_deterministic(ray_session, sf_tiny):
 
 
 def test_fake_container_roundtrip():
+    from stakgraph_ray.stages.multimodal import encode_audio
+
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     assert (decode_payload(encode_image(img)) == img).all()
     vid = np.arange(2 * 8 * 4, dtype=np.uint8).reshape(2, 8, 4)
     assert (decode_payload(encode_video(vid)) == vid).all()
+    wav = (np.arange(1000) % 256 - 128).astype(np.int16) * 100
+    assert (decode_payload(encode_audio(wav, 16000)) == wav).all()
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_audio_feature_stage_unit():
+    from stakgraph_ray.stages.multimodal import encode_audio
+
+    # constant positive wave: rms == value, zero crossings == 0
+    wav = np.full(2048, 500, dtype=np.int16)
+    t = pa.table({"media_id": [1], "kind": ["audio"],
+                  "payload": pa.array([encode_audio(wav, 8000)],
+                                      pa.large_binary())})
+    f = ImageFeatureStage()(t).to_pylist()[0]["features"]
+    assert abs(f[0] - 500.0) < 1e-6    # rms mean
+    assert abs(f[1] - 0.0) < 1e-6      # rms std
+    assert abs(f[2] - 0.0) < 1e-6      # zcr
+    assert abs(sum(f[3:]) - 1.0) < 1e-6
 
 
 def test_feature_stage_unit():
@@ -134,7 +153,7 @@ def test_media_pipeline(ray_session, sf_tiny):
     tbl = synth_media_table(sf_tiny)
     assert len(out) == tbl.num_rows
     kinds = {r["kind"] for r in out}
-    assert kinds == {"image", "video"}
+    assert kinds == {"image", "video", "audio"}
     # deterministic across runs
     out2 = media_features(sf_tiny).take_all()
     a = sorted((r["media_id"], tuple(r["features"])) for r in out)
