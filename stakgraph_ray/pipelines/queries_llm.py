@@ -128,6 +128,93 @@ limit 20
 """
 
 
+# ------------------------------------------------------- decontamination
+
+def _shingle_table(t: pa.Table, k: int = 5) -> pa.Table:
+    """(doc_id, text) batch -> (doc_id, g) k-token shingles, vectorized:
+    one split, windows materialized as k aligned takes + an element-wise
+    join — no per-row Python. A document's text is one row, so all its
+    shingles land in one batch and an in-batch distinct is globally
+    distinct per (doc_id, g)."""
+    text = pc.cast(t["text"], pa.large_string())
+    toks = pc.split_pattern(
+        text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
+        " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offs)
+    wins = np.maximum(lens - (k - 1), 0)
+    total = int(wins.sum())
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "g": pa.array([], pa.large_string())})
+    if total == 0:
+        return empty
+    # start index of every window: per-doc arange + doc's flat offset
+    idx = np.arange(total, dtype=np.int64)
+    excl = np.concatenate(([0], np.cumsum(wins)[:-1]))
+    starts = idx - np.repeat(excl, wins) + np.repeat(offs[:-1], wins)
+    parts = [pc.take(flat, pa.array(starts + j, pa.int64()))
+             for j in range(k)]
+    sep = pa.scalar(" ", pa.large_string())
+    g = pc.binary_join_element_wise(*parts, sep)
+    doc_ids = pc.take(t["doc_id"], pa.array(
+        np.repeat(np.arange(len(lens), dtype=np.int64), wins), pa.int64()))
+    out = pa.table({"doc_id": pc.cast(doc_ids, pa.int64()), "g": g})
+    return out.group_by(["doc_id", "g"]).aggregate([]).select(["doc_id", "g"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/benchmark contamination scan: documents sharing >= 1 distinct
+    3-token shingle with the deterministic benchmark subset
+    (doc_id % 97 == 0), with the count of distinct shared shingles.
+    Both sides shingle in a pure map; overlap is ONE hash-partitioned join
+    on the shingle key (no broadcast of a corpus-scale shingle set), then a
+    grouped count — the shape n-gram decontamination needs at 100 TB."""
+    from ..ops.partition import distinct_hp, grouped_aggregate
+    from ..util import join_num_partitions
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sh = ds.map_batches(lambda t: _shingle_table(t, k=3),
+                        batch_format="pyarrow")
+
+    def _is_bench(t: pa.Table) -> pa.Array:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.array((ids % 97) == 0)
+
+    bench = sh.map_batches(
+        lambda t: t.filter(_is_bench(t)).select(["g"])
+                   .group_by(["g"]).aggregate([]),
+        batch_format="pyarrow")
+    bench = distinct_hp(bench, ["g"])
+    test = sh.map_batches(lambda t: t.filter(pc.invert(_is_bench(t))),
+                          batch_format="pyarrow")
+    hits = test.join(bench, join_type="inner",
+                     num_partitions=join_num_partitions(), on=("g",))
+    partial = hits.map_batches(
+        lambda t: t.group_by(["doc_id"]).aggregate([("g", "count")])
+                   .rename_columns(["doc_id", "n_part"]),
+        batch_format="pyarrow")
+    return grouped_aggregate(partial, "doc_id", [("n_part", "sum")],
+                             ["n_shared"])
+
+
+SQL_DECONTAMINATE = """
+with toks as (select doc_id, string_split(text, ' ') as s from documents),
+pos as (select doc_id, s, unnest(generate_series(1, len(s) - 2)) as i
+        from toks),
+sh as (select distinct doc_id,
+              s[i] || ' ' || s[i+1] || ' ' || s[i+2] as g
+       from pos),
+bsh as (select distinct g from sh where doc_id % 97 = 0)
+select t.doc_id, count(*) as n_shared
+from sh t join bsh using (g)
+where t.doc_id % 97 <> 0
+group by t.doc_id
+"""
+
+
 # ------------------------------------------------------- cleaning pipeline
 
 def q_clean_corpus(sf_dir: str):
@@ -235,5 +322,6 @@ LLM_QUERIES = {
     "llm_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "llm_bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "llm_clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+    "llm_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "llm_token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
 }
