@@ -305,6 +305,36 @@ def endpoint_match_join(requests_ds, endpoints: pa.Table, path_col: str = "path"
         batch_format="pyarrow", concurrency=concurrency)
 
 
+def hopping_window(ds, ts_col: str, width_s: int, hop_s: int,
+                   keys: list[str], aggs):
+    """Hopping (sliding) event-time windows: width ``width_s`` seconds
+    advancing every ``hop_s`` (width % hop == 0). Each row replicates into
+    its width/hop containing windows INSIDE the batch (vectorized epoch
+    arithmetic — the fan-out never touches the driver), then one grouped
+    aggregate on (window, *keys); window cardinality is time-range/hop,
+    low by construction."""
+    import numpy as np
+
+    k = width_s // hop_s
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        hop_us = hop_s * 1_000_000
+        h = (us // hop_us) * hop_us
+        n = len(us)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        win = np.repeat(h, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, n)
+        rep = batch.take(pa.array(idx, pa.int64()))
+        return rep.append_column(
+            "window", pc.cast(pa.array(win, pa.int64()), ts.type))
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    return ds.groupby(["window", *keys]).aggregate(*aggs)
+
+
 def tumbling_window(ds, ts_col: str, width: str, keys: list[str], aggs):
     """Tumbling event-time windows: truncate ts (vectorized), then a grouped
     aggregate on (window, *keys). ``width``: pyarrow round unit ("hour", "day")."""

@@ -369,6 +369,85 @@ group by 1, 2
 """
 
 
+def q_term_components(sf_dir: str, max_pairs: int = 2_000_000):
+    """Connected components of the undirected FOLLOWS term graph via
+    distributed min-label propagation (ops.neardup.label_propagation_clusters
+    — every step a co-group join + grouped min, nothing driver-sized).
+    Labels live in a 62-bit md5 space so the Ray int64 min and the DuckDB
+    UBIGINT min order identically; comp = min masked-hash in the component."""
+    from ..functions.minhash import md5low64
+    from ..ops.neardup import label_propagation_clusters
+    from ..ops.partition import cogroup_join_hp, distinct_hp
+
+    mask = (1 << 62) - 1
+
+    def _h(col) -> pa.Array:
+        return pa.array([md5low64(s) & mask for s in col.to_pylist()],
+                        pa.int64())
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow").materialize()
+    pairs = edges.map_batches(
+        lambda t: pa.table({"a": _h(t["a"]), "b": _h(t["b"])}),
+        batch_format="pyarrow")
+    def _flat(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    terms = distinct_hp(edges.map_batches(
+        lambda t: pa.table(
+            {"term": pa.concat_arrays([_flat(t["a"]), _flat(t["b"])])}),
+        batch_format="pyarrow"), ["term"])
+    ids = terms.map_batches(
+        lambda t: pa.table({"term": t["term"], "id": _h(t["term"])}),
+        batch_format="pyarrow")
+    # adaptive tail, mirroring minhash_lsh_clusters: the pair set is
+    # vocabulary-bounded (|terms|^2 worst case), so under the guard a
+    # driver union-find + broadcast assign replaces ~diameter keyed-shuffle
+    # rounds; above it the distributed label propagation runs.
+    pairs = pairs.materialize()
+    if pairs.count() <= max_pairs:
+        from ..ops.neardup import union_find
+        from ..ops.relational import broadcast, _resolve
+
+        roots = union_find([(p["a"], p["b"]) for p in pairs.take_all()])
+        ref = broadcast(roots)
+
+        def assign(t: pa.Table) -> pa.Table:
+            r = _resolve(ref)
+            ids_np = t["id"].to_numpy(zero_copy_only=False)
+            comp = [r.get(int(i), int(i)) for i in ids_np]
+            return pa.table({"term": t["term"],
+                             "comp": pa.array(comp, pa.int64())})
+
+        return ids.map_batches(assign, batch_format="pyarrow")
+
+    labels = label_propagation_clusters(ids, "id", pairs)
+    labels = labels.map_batches(
+        lambda t: pa.table({"id": t["doc_id"], "comp": t["cluster_id"]}),
+        batch_format="pyarrow")
+    out = cogroup_join_hp(
+        ids, labels, "id",
+        pa.schema([("id", pa.int64()), ("term", pa.string())]),
+        pa.schema([("id", pa.int64()), ("comp", pa.int64())]))
+    return out.map_batches(lambda t: t.select(["term", "comp"]),
+                           batch_format="pyarrow")
+
+
+SQL_TERM_COMPONENTS = _FOLLOWS_CTE.replace("with ", "with recursive ", 1) + """
+, e as (select a, b from p union select b, a from p),
+n as (select a as t from p union select b from p),
+reach as (
+  select t as node, t as r from n
+  union
+  select x.node, e.b as r from reach x join e on e.a = x.r
+),
+h as (select node, cast(md5_number_lower(r) % 4611686018427387904 as bigint)
+             as hr
+      from reach)
+select node as term, min(hr) as comp from h group by node
+"""
+
+
 def q_term_degrees(sf_dir: str):
     """In/out degree per term over the FOLLOWS graph (degree enrichment,
     cf. mcp/src/importance/detector.ts)."""
@@ -523,6 +602,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_reachable_from_spark": (q_reachable_from_spark, SQL_REACHABLE),
     "kg_two_hop": (q_two_hop, SQL_TWO_HOP),
     "kg_term_degrees": (q_term_degrees, SQL_TERM_DEGREES),
+    "kg_term_components": (q_term_components, SQL_TERM_COMPONENTS),
     "kg_host_coverage": (q_host_coverage, SQL_HOST_COVERAGE),
     "kg_term_pagerank": (q_term_pagerank, None),
     "kg_extract_text": (q_extract_text, SQL_EXTRACT_TEXT),

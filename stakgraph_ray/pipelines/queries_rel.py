@@ -341,6 +341,32 @@ from events group by 1, 2
 """
 
 
+def q_hopping_event_stats(sf_dir: str):
+    """Hopping 2h-wide / 1h-hop event-time windows per event_type (each
+    event lands in 2 windows; fan-out is vectorized in-batch)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.relational import hopping_window
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = hopping_window(ds, "ts", 7200, 3600, ["event_type"],
+                         [Count(alias_name="n"),
+                          Sum("value", alias_name="sum_value")])
+    return out.map_batches(lambda t: _round_cols(t, {"sum_value": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_HOPPING = """
+with w as (
+  select unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - interval 1 hour]) as window,
+         event_type, value
+  from events)
+select "window", event_type, count(*) as n, round(sum(value), 2) as sum_value
+from w group by 1, 2
+"""
+
+
 # ------------------------------------------------------------ text analysis
 
 def q_token_stats(sf_dir: str):
@@ -619,6 +645,7 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_running_value": (q_running_value, SQL_RUNNING),
     "rel_user_sessions": (q_user_sessions, SQL_SESSIONS),
     "rel_hourly_event_stats": (q_hourly_event_stats, SQL_HOURLY),
+    "rel_hopping_event_stats": (q_hopping_event_stats, SQL_HOPPING),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
     "txt_exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
