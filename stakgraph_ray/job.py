@@ -40,10 +40,15 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        # no explicit address: RAY_ADDRESS wins (the cluster address under
+        # `ray job submit`; "local" in this sandbox where it is preset),
+        # falling back to a local instance — passing address="local" here
+        # would boot a fresh single-node Ray ON the head node and ignore
+        # the submitted-to cluster entirely.
         kw = {"include_dashboard": False}
         if args.num_cpus:
             kw["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kw)
+        ray.init(**kw)
 
     from .sources.pages import read_pages
     from .stages.materialize import build_graph_materialized

@@ -313,15 +313,16 @@ def hopping_window(ds, ts_col: str, width_s: int, hop_s: int,
     arithmetic — the fan-out never touches the driver), then one grouped
     aggregate on (window, *keys); window cardinality is time-range/hop,
     low by construction."""
-    import numpy as np
-
     k = width_s // hop_s
+    _PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
     def assign(batch: pa.Table) -> pa.Table:
         ts = batch[ts_col]
         ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
         us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
-        hop_us = hop_s * 1_000_000
+        # epoch scale follows the column's own unit — a hardcoded 1e6 would
+        # silently collapse timestamp[s]/[ms]/[ns] columns into one window
+        hop_us = hop_s * _PER_S[ts.type.unit]
         h = (us // hop_us) * hop_us
         n = len(us)
         idx = np.repeat(np.arange(n, dtype=np.int64), k)

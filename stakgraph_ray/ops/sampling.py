@@ -47,8 +47,11 @@ def hash_split(ds, key_col: str, splits: list[tuple[str, float]],
     for name, frac in splits:
         acc += frac
         bounds.append((name, int(round(acc * modulus))))
-    if bounds:
-        bounds[-1] = (bounds[-1][0], modulus)  # close float drift
+    # snap the last bound over float drift ONLY when the fractions cover the
+    # whole corpus — a partial spec ([("sample", 0.01)]) must leave the
+    # remaining buckets unassigned (split = null), not absorb them
+    if bounds and abs(acc - 1.0) < 1e-9:
+        bounds[-1] = (bounds[-1][0], modulus)
 
     def assign(t: pa.Table) -> pa.Table:
         b = hash_key_column(t[key_col], modulus).to_numpy(zero_copy_only=False)
@@ -74,8 +77,14 @@ def _run_positions(t: pa.Table, keys: list[str]) -> np.ndarray:
     for k in keys:
         col = t[k]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-        change[1:] |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        a, b = col.slice(1), col.slice(0, n - 1)
+        # nulls compare EQUAL to each other (SQL partition-by semantics:
+        # NULL keys form one group); a null-vs-value boundary is a change
+        neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(
+            zero_copy_only=False)
+        null_a = pc.is_null(a).to_numpy(zero_copy_only=False)
+        null_b = pc.is_null(b).to_numpy(zero_copy_only=False)
+        change[1:] |= neq | (null_a != null_b)
     idx = np.arange(n, dtype=np.int64)
     starts = np.where(change, idx, 0)
     return idx - np.maximum.accumulate(starts)

@@ -24,6 +24,18 @@ def _docs(sf_dir: str, columns):
                            override_num_blocks=_nb())
 
 
+def _tokens(t: pa.Table, col: str = "text") -> pa.LargeListArray:
+    """Whitespace tokens of a string column as one flat LargeListArray —
+    the single tokenization used by every curation query (must stay
+    consistent with the oracles' ``string_split(text, ' ')``)."""
+    text = pc.cast(t[col], pa.large_string())
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
+
+
 # ------------------------------------------------------- hash split
 
 def q_hash_split(sf_dir: str):
@@ -82,12 +94,7 @@ def q_bigram_topk(sf_dir: str):
     ds = _docs(sf_dir, ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        text = pc.cast(t["text"], pa.large_string())
-        toks = pc.split_pattern(
-            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
-            " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
+        toks = _tokens(t)
         flat = toks.values
         n = len(flat)
         if n < 2:
@@ -136,12 +143,7 @@ def _shingle_table(t: pa.Table, k: int = 5) -> pa.Table:
     join — no per-row Python. A document's text is one row, so all its
     shingles land in one batch and an in-batch distinct is globally
     distinct per (doc_id, g)."""
-    text = pc.cast(t["text"], pa.large_string())
-    toks = pc.split_pattern(
-        text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
-        " ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+    toks = _tokens(t)
     flat = toks.values
     offs = toks.offsets.to_numpy().astype(np.int64)
     lens = np.diff(offs)
@@ -176,8 +178,10 @@ def q_decontaminate(sf_dir: str):
     from ..util import join_num_partitions
 
     ds = _docs(sf_dir, ["doc_id", "text"])
+    # pin the shingle set: both branches below consume it, and a lazy
+    # branch point would re-run the read + shingling once per branch
     sh = ds.map_batches(lambda t: _shingle_table(t, k=3),
-                        batch_format="pyarrow")
+                        batch_format="pyarrow").materialize()
 
     def _is_bench(t: pa.Table) -> pa.Array:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -229,9 +233,7 @@ def q_clean_corpus(sf_dir: str):
     def gate_and_fingerprint(t: pa.Table) -> pa.Table:
         import hashlib
 
-        text = pc.cast(t["text"], pa.large_string())
-        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
-        toks = pc.split_pattern(text, " ")
+        toks = _tokens(t)
         n_tokens = pc.cast(pc.list_value_length(toks), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
@@ -296,10 +298,7 @@ def q_token_budget(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def count_tokens(t: pa.Table) -> pa.Table:
-        text = pc.cast(t["text"], pa.large_string())
-        toks = pc.split_pattern(
-            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
-            " ")
+        toks = _tokens(t)
         return pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
             "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),

@@ -178,6 +178,8 @@ class ImageFeatureStage:
 
     def _audio_features(self, wave: np.ndarray) -> np.ndarray:
         w = wave[::self.decimate].astype(np.float64)
+        if len(w) == 0:  # empty clip: defined zero vector, not NaN stats
+            return np.zeros(3 + 8)
         n = (len(w) // self.win) * self.win
         frames = w[:n].reshape(-1, self.win) if n else w.reshape(1, -1)
         rms = np.sqrt((frames ** 2).mean(axis=1))
