@@ -149,16 +149,25 @@ def minhash_batch(texts: list[str], n_perms: int = 64, k: int = 3) -> np.ndarray
 
 
 def band_keys(signatures: np.ndarray, n_bands: int) -> np.ndarray:
-    """(n_rows, n_bands) uint32 band hashes (crc32 of each band's bytes)."""
+    """(n_rows, n_bands) uint32 band hashes — vectorized xor-multiply mix
+    over the band's minhash values (the loop is rows_per_band wide, i.e.
+    ~4 iterations, each a whole-matrix numpy op; the previous per-row
+    per-band crc32 Python loop dominated the signature stage at corpus
+    scale). Any deterministic function of band CONTENT works here: equal
+    bands always collide, so LSH recall is unchanged, and spurious
+    collisions are verified away by the signature-similarity check."""
     n_rows, n_perms = signatures.shape
     assert n_perms % n_bands == 0
     rpb = n_perms // n_bands
-    out = np.empty((n_rows, n_bands), dtype=np.uint32)
-    for i in range(n_rows):
-        row = signatures[i]
-        for bnd in range(n_bands):
-            out[i, bnd] = zlib.crc32(row[bnd * rpb:(bnd + 1) * rpb].tobytes())
-    return out
+    s = signatures.astype(np.uint64).reshape(n_rows, n_bands, rpb)
+    mult = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+    acc = np.full((n_rows, n_bands), np.uint64(0x243F6A8885A308D3))
+    with np.errstate(over="ignore"):
+        for j in range(rpb):
+            acc = (acc ^ s[:, :, j]) * mult
+        acc ^= acc >> np.uint64(33)
+        acc *= mult
+    return (acc >> np.uint64(32)).astype(np.uint32)
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -172,15 +181,23 @@ from functools import lru_cache as _lru_cache
 import hashlib as _hashlib
 
 
+def _md5low64_raw(s: str) -> int:
+    """Uncached kernel — for callers whose inputs are near-unique (rolling
+    char windows, per-row ids), where an LRU insert per call is pure
+    overhead and evicts the genuinely repeated token entries."""
+    return int.from_bytes(_hashlib.md5(s.encode("utf-8")).digest()[8:16],
+                          "little")
+
+
 @_lru_cache(maxsize=1 << 20)
 def md5low64(s: str) -> int:
     """Upper-half-little-endian 64 bits of md5 — the exact value DuckDB's
     ``md5_number_lower`` computes, so SimHash / fingerprints built on it are
-    SQL-reproducible oracle-side. Memoized: web-corpus token/window sets are
+    SQL-reproducible oracle-side. Memoized: web-corpus TOKEN sets are
     heavily repeated (closed-ish vocabulary), so per-distinct-string cost
-    amortizes to a dict hit inside long-lived worker processes."""
-    return int.from_bytes(_hashlib.md5(s.encode("utf-8")).digest()[8:16],
-                          "little")
+    amortizes to a dict hit inside long-lived worker processes. Near-unique
+    inputs should call ``_md5low64_raw`` instead of thrashing this cache."""
+    return _md5low64_raw(s)
 
 
 def simhash64(text: str) -> int:
@@ -261,5 +278,6 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     md5-low-64 keeps it DuckDB-reproducible)."""
     t = text or ""
     if len(t) <= window:
-        return md5low64(t)
-    return min(md5low64(t[i:i + window]) for i in range(len(t) - window + 1))
+        return _md5low64_raw(t)
+    return min(_md5low64_raw(t[i:i + window])
+               for i in range(len(t) - window + 1))

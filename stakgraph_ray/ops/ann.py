@@ -51,8 +51,11 @@ class BucketAssigner:
         self.planes = _hyperplanes(dim, n_bits)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # map stages can emit empty blocks
+            return t.append_column("bucket", pa.array([], pa.int64()))
         m = _vecs_of(t[self.vec_col])
-        return t.append_column("bucket", pa.array(bucket_of(m, self.planes)))
+        return t.append_column(
+            "bucket", pa.array(bucket_of(m, self.planes), pa.int64()))
 
 
 class ProbedScorer:
@@ -173,6 +176,9 @@ class IVFScorer:
         self.cells = np.unique(self.probe)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # map stages can emit empty blocks
+            return _per_query_topk(np.empty(0, np.int64), np.empty(0, np.int64),
+                                   np.empty(0, np.float64), self.k)
         m = _vecs_of(t[self.vec_col])
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cell = np.argmax(m @ self.cent.T, axis=1)

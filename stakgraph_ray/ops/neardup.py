@@ -142,11 +142,12 @@ def _pairs_in_partition(t: pa.Table, threshold: float, id_type,
     if not out_a:
         return empty
     # local dedup: the same pair often collides in several bands of one
-    # partition; np.unique here is free compared to shipping duplicates
-    pairs = np.unique(np.stack([np.asarray(out_a), np.asarray(out_b)],
-                               axis=1), axis=0)
-    return pa.table({"a": pa.array(pairs[:, 0]).cast(id_type),
-                     "b": pa.array(pairs[:, 1]).cast(id_type)})
+    # partition; dedup via an Arrow group_by, which (unlike
+    # np.unique(axis=0)) also works for STRING ids — the canonicalization
+    # large-vocabulary path calls this with id_type=pa.string()
+    dup = pa.table({"a": pa.array(list(out_a)).cast(id_type),
+                    "b": pa.array(list(out_b)).cast(id_type)})
+    return dup.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
 
 
 def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -265,6 +266,13 @@ def label_propagation_clusters(ds, id_col: str, pairs_ds,
         if changed == 0:
             break
         labels = labels.materialize()
+    else:
+        # a silent non-fixpoint would return WRONG cluster labels (chain
+        # components longer than max_iters keep distinct labels at the two
+        # ends) on exactly the above-guard runs nobody can eyeball
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            f"(component diameter exceeds max_iters; raise max_iters)")
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["id"], "cluster_id": t["label"]}),
         batch_format="pyarrow")

@@ -159,22 +159,26 @@ def first_per_group(ds, group_keys, order_by, descending=False,
 def running_sum(ds, group_key: str, order_keys, value_col: str,
                 out_col: str = "running", num_partitions=None):
     """Per-key running sum in event order: one keyed shuffle, vectorized
-    segmented cumsum per partition (global cumsum minus per-run base —
-    no per-group Python, no pandas round trip)."""
+    segmented cumsum per partition (pandas grouped cumsum over integer run
+    codes — single C pass with ONE accumulator per group, so each group's
+    sum adds exactly its own values in order, matching the SQL window sum
+    bit-for-bit; the earlier global-cumsum-minus-base trick folded the
+    preceding groups' totals into the arithmetic and drifted 1 ulp)."""
     from .partition import partitioned_apply
 
     order_keys = [order_keys] if isinstance(order_keys, str) else list(order_keys)
     sort_spec = [(group_key, "ascending")] + [(k, "ascending") for k in order_keys]
 
     def cum(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         t = t.sort_by(sort_spec)
         n = t.num_rows
         starts = np.flatnonzero(_key_change_mask(t, [group_key]))
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        cs = np.cumsum(v)
-        base = np.where(starts > 0, cs[starts - 1], 0.0)
         counts = np.diff(np.concatenate((starts, [n])))
-        out = cs - np.repeat(base, counts)
+        codes = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        out = pd.Series(v).groupby(codes).cumsum().to_numpy()
         return t.append_column(out_col, pa.array(out, pa.float64()))
 
     return partitioned_apply(ds, group_key, cum, num_partitions)

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.minhash import md5low64
+from ..functions.minhash import _md5low64_raw as md5low64  # ids are near-unique: uncached kernel
 
 
 def hash_key_column(arr, modulus: int = 10_000) -> pa.Array:

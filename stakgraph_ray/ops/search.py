@@ -131,6 +131,9 @@ def vector_topk(emb_ds, id_col: str, vec_col: str, qvec,
     def score(t: pa.Table, _ref=ref) -> pa.Table:
         from .relational import _resolve
 
+        if t.num_rows == 0:  # map stages can emit empty blocks
+            return pa.table({id_col: t[id_col],
+                             "cos": pa.array([], pa.float64())})
         qv = _resolve(_ref)
         col = t[vec_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

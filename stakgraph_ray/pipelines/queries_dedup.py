@@ -87,11 +87,15 @@ def q_token_jaccard_pairs(sf_dir: str):
     pairs = ds.groupby("source").map_groups(
         lambda g: token_jaccard_pairs_in_group(g, "doc_id", "text", 0.8),
         batch_format="pyarrow")
-    return pairs.map_batches(
-        lambda t: t.set_column(t.column_names.index("jaccard"), "jaccard",
-                               pc.round(t["jaccard"], 4,
-                                        round_mode="half_towards_infinity")),
-        batch_format="pyarrow")
+    from ..util import round_half_away
+
+    def _r4(t: pa.Table, col: str) -> pa.Table:
+        x = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        return t.set_column(t.column_names.index(col), col,
+                            pa.array(round_half_away(x, 4), pa.float64()))
+
+    return pairs.map_batches(lambda t: _r4(t, "jaccard"),
+                             batch_format="pyarrow")
 
 
 SQL_TOKEN_JACCARD = """
@@ -339,12 +343,10 @@ def q_hybrid_search(sf_dir: str):
         hits["doc_id"].to_pylist(),
         pc.list_value_length(pc.split_pattern(
             pc.cast(hits["text"], pa.large_string()), " ")).to_pylist()))
-    import math
+    from ..util import round_half_away
 
-    # half-away-from-zero to match DuckDB round() (python round is half-even
-    # and diverges at exact .5 boundaries like 0.0140625)
     def r6(x: float) -> float:
-        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+        return round_half_away(x, 6)
 
     items = [{"doc_id": i, "score": r6(s),
               "token_count": counts.get(i, 0)} for i, s in fused]
@@ -399,11 +401,14 @@ def q_node_embedding_ann(sf_dir: str):
                               pa.list_(pa.float32())),
     })
     out = knn_lsh(embedded.select_columns(["vec_id", "embedding"]), qt, k=5)
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("cos"), "cos",
-                               pc.round(t["cos"], 4,
-                                        round_mode="half_towards_infinity")),
-        batch_format="pyarrow")
+    from ..util import round_half_away
+
+    def _r4(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["cos"], pa.float64()).to_numpy(zero_copy_only=False)
+        return t.set_column(t.column_names.index("cos"), "cos",
+                            pa.array(round_half_away(x, 4), pa.float64()))
+
+    return out.map_batches(_r4, batch_format="pyarrow")
 
 
 def q_fulltext_topk(sf_dir: str):

@@ -133,8 +133,11 @@ def q_mention_edges(sf_dir: str):
         ["confidence", "weight"])
 
     def final(t: pa.Table) -> pa.Table:
-        conf = pc.round(pc.cast(t["confidence"], pa.float64()), 2,
-                        round_mode="half_towards_infinity")
+        from ..util import round_half_away
+
+        conf = pa.array(round_half_away(
+            pc.cast(t["confidence"], pa.float64())
+              .to_numpy(zero_copy_only=False), 2), pa.float64())
         import numpy as np
 
         from .kg import strategy_from_confidence
@@ -171,8 +174,11 @@ def q_mention_edges_sharded(sf_dir: str):
 
         from .kg import strategy_from_confidence
 
-        conf = pc.round(pc.cast(t["confidence"], pa.float64()), 2,
-                        round_mode="half_towards_infinity")
+        from ..util import round_half_away
+
+        conf = pa.array(round_half_away(
+            pc.cast(t["confidence"], pa.float64())
+              .to_numpy(zero_copy_only=False), 2), pa.float64())
         strat = strategy_from_confidence(
             t["confidence"].to_numpy(zero_copy_only=False))
         return pa.table({
@@ -493,10 +499,11 @@ def q_host_coverage(sf_dir: str):
                                    Sum("n_pages", alias_name="n_pages"))
 
     def finish(t: pa.Table) -> pa.Table:
-        pct = pc.round(pc.multiply(pc.divide(pc.cast(t["n_ok"], pa.float64()),
-                                             pc.cast(t["n_pages"], pa.float64())),
-                                   pa.scalar(100.0)), 2,
-                       round_mode="half_towards_infinity")
+        from ..util import round_half_away
+
+        ok = pc.cast(t["n_ok"], pa.float64()).to_numpy(zero_copy_only=False)
+        npg = pc.cast(t["n_pages"], pa.float64()).to_numpy(zero_copy_only=False)
+        pct = pa.array(round_half_away(ok / npg * 100.0, 2), pa.float64())
         return pa.table({"host": t["host"], "n_pages": t["n_pages"],
                          "n_ok": t["n_ok"], "pct_extracted": pct})
 
@@ -523,10 +530,18 @@ def q_term_pagerank(sf_dir: str):
         lambda t: pa.table({"src_key": t["a"], "dst_key": t["b"]}),
         batch_format="pyarrow")
     ranks = pagerank(edges, iterations=10)
-    return ranks.map_batches(
-        lambda t: pa.table({"node_key": t["node_key"],
-                            "rank": pc.round(pc.cast(t["rank"], pa.float64()), 6)}),
-        batch_format="pyarrow")
+
+    def _r(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+
+        x = pc.cast(t["rank"], pa.float64()).to_numpy(zero_copy_only=False)
+        # DuckDB-round kernel, NOT pc.round (half-to-even + inexact
+        # multiply) — this query carries a SQL oracle that rounds to 6
+        return pa.table({"node_key": t["node_key"],
+                         "rank": pa.array(round_half_away(x, 6),
+                                          pa.float64())})
+
+    return ranks.map_batches(_r, batch_format="pyarrow")
 
 
 def q_reachable_from_spark(sf_dir: str):

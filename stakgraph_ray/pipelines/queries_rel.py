@@ -26,18 +26,13 @@ def _read(sf_dir: str, table: str, columns=None, **kw):
 
 
 def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
-    # DuckDB round() on DOUBLE: half away from zero, then a correctly-
-    # rounded DIVISION by 10^nd. pc.round instead multiplies by the inexact
-    # constant 10^-nd, which can land 1 ulp off DuckDB's result (observed on
-    # money sums), so compute sign * floor(|x|*10^nd + 0.5) / 10^nd with a
-    # true division.
-    import numpy as np
+    # see util.round_half_away — the one DuckDB-round-compatible kernel
+    from ..util import round_half_away
 
     for c, nd in cols.items():
         x = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
-        scale = 10.0 ** nd
-        r = np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
-        t = t.set_column(t.column_names.index(c), c, pa.array(r, pa.float64()))
+        t = t.set_column(t.column_names.index(c), c,
+                         pa.array(round_half_away(x, nd), pa.float64()))
     return t
 
 
@@ -379,10 +374,12 @@ def q_token_stats(sf_dir: str):
         toks = pc.split_pattern(text, " ")
         n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
         n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-        avg_len = pc.round(pc.divide(
-            pc.cast(pc.subtract(pc.add(n_chars, pa.scalar(1, pa.int64())), n_tokens), pa.float64()),
-            pc.cast(n_tokens, pa.float64())), 4,
-            round_mode="half_towards_infinity")
+        from ..util import round_half_away
+
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype("float64")
+        nc = n_chars.to_numpy(zero_copy_only=False).astype("float64")
+        avg_len = pa.array(round_half_away((nc + 1 - nt) / nt, 4),
+                           pa.float64())
         return pa.table({"doc_id": t["doc_id"], "n_tokens": n_tokens,
                          "n_chars": n_chars, "avg_token_len": avg_len})
 
@@ -415,8 +412,10 @@ def q_quality_scores(sf_dir: str):
         n = t.num_rows
         stops = np.bincount(parent, weights=is_stop.astype("float64"), minlength=n)
         total = np.bincount(parent, minlength=n)
-        ratio = pc.round(pa.array(stops / np.maximum(total, 1), pa.float64()), 4,
-                         round_mode="half_towards_infinity")
+        from ..util import round_half_away
+
+        ratio = pa.array(round_half_away(stops / np.maximum(total, 1), 4),
+                         pa.float64())
         return pa.table({"doc_id": t["doc_id"], "stop_ratio": ratio})
 
     return ds.map_batches(score, batch_format="pyarrow")

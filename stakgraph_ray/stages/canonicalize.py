@@ -69,6 +69,11 @@ def _roots_driver_side(names: list[str], threshold: float) -> dict[str, str]:
     sigs = np.stack([minhash_signature(char_shingle_hashes(nm, 3), a, b)
                      for nm in names])
     bands = band_keys(sigs, 16)
+    # compare the SAME uint8-truncated signatures the distributed path
+    # ships (ops/neardup.py sig8 transport) — full-width comparison here
+    # would make the small-vocab and sharded paths merge differently on
+    # threshold-boundary pairs, breaking the documented path parity
+    sigs = sigs.astype(np.uint8)
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(len(names)):
         for bnd in range(16):

@@ -48,18 +48,23 @@ def build_dict_shards(d: dict, P: int):
     lists of ray.put refs (plain dicts when Ray is down, for tests)."""
     from ..ops.relational import broadcast
 
+    # priority order mirrors the broadcast Cascade exactly: a stopword key
+    # is dropped even if also canonical (TermLinker filters stop_mask after
+    # resolution), and exact beats alias (Cascade checks exact first) —
+    # entries are added highest-priority first and setdefault keeps the
+    # first, so a key in several namespaces resolves identically here
     surface_entries: list[tuple[str, tuple]] = []
+    for s in sorted(d["stopwords"]):
+        surface_entries.append((s, ("stop", s)))
     for c in sorted(d["canonical"]):
         surface_entries.append((c, ("exact", c)))
     for a, c in sorted(d["aliases"].items()):
         surface_entries.append((a, ("alias", c)))
-    for s in sorted(d["stopwords"]):
-        surface_entries.append((s, ("stop", s)))
     keys = [k for k, _ in surface_entries]
     shard_ids = _hash_keys(keys, P)
     surface_shards: list[dict] = [{} for _ in range(P)]
     for (k, v), p in zip(surface_entries, shard_ids):
-        surface_shards[int(p)][k] = v
+        surface_shards[int(p)].setdefault(k, v)
 
     norm_keys, norm_vals = [], []
     for c in sorted(d["canonical"]):
@@ -69,7 +74,10 @@ def build_dict_shards(d: dict, P: int):
     norm_ids = _hash_keys(norm_keys, P)
     norm_shards: list[dict] = [{} for _ in range(P)]
     for k, v, p in zip(norm_keys, norm_vals, norm_ids):
-        norm_shards[int(p)].setdefault(k, v)  # first canonical wins
+        # LAST canonical (sorted order) wins, mirroring Cascade's
+        # {_norm(c): c for c in sorted(canonical)} dict-comprehension
+        # overwrite — both paths must pick the same canonical on collision
+        norm_shards[int(p)][k] = v
     return ([broadcast(s) for s in surface_shards],
             [broadcast(s) for s in norm_shards])
 

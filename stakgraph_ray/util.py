@@ -64,3 +64,17 @@ def fixed_pool(frac: float = 1.0, cap: int = 64, reserve: int = 2) -> int:
     except Exception:
         pass
     return 4
+
+
+def round_half_away(x, nd: int):
+    """DuckDB ``round()`` on DOUBLE: half away from zero, then a correctly
+    rounded true DIVISION by 10^nd. ``pc.round`` instead multiplies by the
+    inexact constant 10^-nd (and defaults to half-to-even), which can land
+    1 ulp off DuckDB's result — every oracle-facing rounding must go
+    through this one kernel. Accepts scalars or arrays; returns float64."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** nd
+    out = np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+    return float(out) if out.ndim == 0 else out
