@@ -358,9 +358,15 @@ def q_two_hop(sf_dir: str):
         lambda t: t.select(["a", "b"]), batch_format="pyarrow").materialize()
     right = edges.map_batches(
         lambda t: pa.table({"b": t["a"], "c": t["b"]}), batch_format="pyarrow")
-    from ..util import join_num_partitions
-    paths = edges.join(right, join_type="inner",
-                       num_partitions=join_num_partitions(), on=("b",))
+    # task-based co-group join (one keyed shuffle + per-partition pyarrow
+    # join) instead of Dataset.join: no per-partition aggregator ACTORS to
+    # spin up, which dominates wall time in long-lived sessions
+    from ..ops.partition import cogroup_join_hp
+
+    paths = cogroup_join_hp(
+        edges, right, "b",
+        pa.schema([("b", pa.string()), ("a", pa.string())]),
+        pa.schema([("b", pa.string()), ("c", pa.string())]))
     partial = paths.map_batches(
         lambda t: t.group_by(["a", "c"]).aggregate([("b", "count")])
                    .rename_columns(["a", "c", "n_part"]),

@@ -175,7 +175,6 @@ def q_decontaminate(sf_dir: str):
     on the shingle key (no broadcast of a corpus-scale shingle set), then a
     grouped count — the shape n-gram decontamination needs at 100 TB."""
     from ..ops.partition import distinct_hp, grouped_aggregate
-    from ..util import join_num_partitions
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     # pin the shingle set: both branches below consume it, and a lazy
@@ -194,8 +193,14 @@ def q_decontaminate(sf_dir: str):
     bench = distinct_hp(bench, ["g"])
     test = sh.map_batches(lambda t: t.filter(pc.invert(_is_bench(t))),
                           batch_format="pyarrow")
-    hits = test.join(bench, join_type="inner",
-                     num_partitions=join_num_partitions(), on=("g",))
+    # distributed semi-join (one keyed shuffle, task-based — no join-actor
+    # spin-up); bench shingles are distinct so match multiplicity == 1
+    from ..ops.partition import membership_filter_hp
+
+    hits = membership_filter_hp(
+        test, bench, "g", keep=True,
+        payload_schema=pa.schema([("doc_id", pa.int64()),
+                                  ("g", pa.large_string())]))
     partial = hits.map_batches(
         lambda t: t.group_by(["doc_id"]).aggregate([("g", "count")])
                    .rename_columns(["doc_id", "n_part"]),
