@@ -336,6 +336,30 @@ from events group by 1, 2
 """
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of lineitem extended price via the distributed
+    two-pass quantile (histogram partials -> candidate-bin refinement;
+    driver holds O(bins) counts, never the column — the scale-correct
+    replacement for np.quantile(take_all()))."""
+    from ..ops.quantile import distributed_quantile
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    ds = ds.materialize()  # three quantile passes share one scan
+    vals = {name: round_half_away(
+                distributed_quantile(ds, "l_extendedprice", q), 4)
+            for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))}
+    return pa.table({k: pa.array([v], pa.float64()) for k, v in vals.items()})
+
+
+SQL_PRICE_QUANTILES = """
+select round(quantile_cont(l_extendedprice, 0.5), 4) as p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) as p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) as p99
+from lineitem
+"""
+
+
 def q_hopping_event_stats(sf_dir: str):
     """Hopping 2h-wide / 1h-hop event-time windows per event_type (each
     event lands in 2 windows; fan-out is vectorized in-batch)."""
@@ -645,6 +669,7 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_user_sessions": (q_user_sessions, SQL_SESSIONS),
     "rel_hourly_event_stats": (q_hourly_event_stats, SQL_HOURLY),
     "rel_hopping_event_stats": (q_hopping_event_stats, SQL_HOPPING),
+    "rel_price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
     "txt_exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
