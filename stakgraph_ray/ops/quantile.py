@@ -5,12 +5,19 @@ materializes every value on the driver): two bounded passes —
 
   1. per-batch fixed-width histogram partials -> grouped sum -> the driver
      sees at most ``bins`` (bin, count) rows;
-  2. the two order statistics straddling the target rank live in (at most
-     two) known bins; collect ONLY those bins' values (expected n/bins,
-     guarded) and interpolate exactly like ``np.quantile(..., 'linear')``.
+  2. the two order statistics straddling each target rank live in (at most
+     two) known bins; collect ONLY those bins' values (expected n/bins per
+     bin, guarded) and interpolate exactly like ``np.quantile(..., 'linear')``.
 
-Driver memory is bounded by ``bins`` + the candidate-bin occupancy guard,
-independent of dataset size.
+All requested quantiles share ONE stats pass, ONE histogram pass and ONE
+candidate-gather pass. Driver memory is bounded by ``bins`` + the
+candidate-bin occupancy guard, independent of dataset size.
+
+``grouped_quantile`` is the keyed variant (quantile_cont ... GROUP BY):
+one hash shuffle co-locates each group, then a single vectorized
+sort + segmented-interpolation pass per partition — the same
+rows-of-a-group-fit-one-partition contract as running_sum/sessionize.
+For a single giant group use ``distributed_quantiles``.
 """
 
 from __future__ import annotations
@@ -20,10 +27,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def distributed_quantile(ds, col: str, q: float, bins: int = 4096,
-                         candidate_cap: int = 2_000_000) -> float:
-    """Exact linear-interpolation quantile of ``ds[col]`` (np.quantile
-    semantics) without materializing the column on the driver."""
+def distributed_quantiles(ds, col: str, qs: list[float], bins: int = 4096,
+                          candidate_cap: int = 2_000_000) -> list[float]:
+    """Exact linear-interpolation quantiles of ``ds[col]`` (np.quantile
+    semantics) without materializing the column on the driver. All ``qs``
+    share the stats/histogram/candidate executions."""
     from ray.data.aggregate import Count, Max, Min
 
     vals = ds.map_batches(lambda t: pa.table({col: pc.cast(t[col], pa.float64())}),
@@ -33,9 +41,9 @@ def distributed_quantile(ds, col: str, q: float, bins: int = 4096,
                            Count(alias_name="n"))
     lo, hi, n = stats["lo"], stats["hi"], stats["n"]
     if n == 0:
-        return 0.0
+        return [0.0 for _ in qs]
     if lo == hi:
-        return float(lo)
+        return [float(lo) for _ in qs]
 
     width = (hi - lo) / bins
 
@@ -57,18 +65,23 @@ def distributed_quantile(ds, col: str, q: float, bins: int = 4096,
         counts[r["bin"]] = r["cnt"]
     cum = np.cumsum(counts)
 
-    h = (n - 1) * q
-    k = int(np.floor(h))
-    need = sorted({k, min(k + 1, n - 1)})
-    # bins containing the needed order statistics (0-indexed ranks)
+    # ranks needed across ALL quantiles -> one candidate-bin set
+    need: set[int] = set()
+    for q in qs:
+        k = int(np.floor((n - 1) * q))
+        need.update((k, min(k + 1, n - 1)))
     cand_bins = sorted({int(np.searchsorted(cum, rank + 1)) for rank in need})
     n_cand = int(counts[cand_bins].sum())
     if n_cand > candidate_cap:
-        # pathological concentration: every value in the bin is within
-        # `width` of the answer — return the bin midpoint (documented
-        # approximation; error <= width)
-        b = cand_bins[0]
-        return float(lo + (b + 0.5) * width)
+        # pathological concentration: every value in a bin is within `width`
+        # of its answer — return bin midpoints (documented approximation;
+        # error <= width per quantile)
+        out = []
+        for q in qs:
+            k = int(np.floor((n - 1) * q))
+            b = int(np.searchsorted(cum, k + 1))
+            out.append(float(lo + (b + 0.5) * width))
+        return out
 
     bset = pa.array(cand_bins, pa.int64())
 
@@ -79,15 +92,67 @@ def distributed_quantile(ds, col: str, q: float, bins: int = 4096,
 
     cand = np.sort(np.array(
         [r[col] for r in vals.map_batches(in_bins, batch_format="pyarrow").take_all()]))
+    cand_bin_of = np.clip(((cand - lo) / width).astype(np.int64), 0, bins - 1)
 
     def order_stat(rank: int) -> float:
         b = int(np.searchsorted(cum, rank + 1))
         below = cum[b - 1] if b > 0 else 0  # values in earlier bins
         # rank within the candidate pool: offset by candidates from earlier
         # candidate bins only
-        offset = sum(int(counts[cb]) for cb in cand_bins if cb < b)
+        offset = int(np.searchsorted(cand_bin_of, b))
         return float(cand[offset + (rank - below)])
 
-    v_k = order_stat(k)
-    v_k1 = order_stat(min(k + 1, n - 1))
-    return v_k + (h - k) * (v_k1 - v_k)
+    out = []
+    for q in qs:
+        h = (n - 1) * q
+        k = int(np.floor(h))
+        v_k = order_stat(k)
+        v_k1 = order_stat(min(k + 1, n - 1))
+        out.append(v_k + (h - k) * (v_k1 - v_k))
+    return out
+
+
+def distributed_quantile(ds, col: str, q: float, bins: int = 4096,
+                         candidate_cap: int = 2_000_000) -> float:
+    return distributed_quantiles(ds, col, [q], bins, candidate_cap)[0]
+
+
+def grouped_quantile(ds, keys, col: str, qs: list[float],
+                     out_names: list[str], num_partitions: int | None = None):
+    """Exact per-group linear-interpolation quantiles (DuckDB
+    ``quantile_cont(col, q) GROUP BY keys`` semantics): one keyed shuffle,
+    then per partition a single vectorized sort + segmented gather —
+    positions ``start + (cnt-1)*q`` interpolated with one take per bound,
+    no per-group Python. Output: one row per group, [*keys, *out_names]."""
+    from .partition import partitioned_apply
+    from .relational import _key_change_mask
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_spec = [(k, "ascending") for k in keys] + [(col, "ascending")]
+
+    def gq(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        starts = np.flatnonzero(_key_change_mask(t, keys))
+        cols: dict[str, object] = {}
+        head = pa.array(starts, pa.int64())
+        for k in keys:
+            cols[k] = pc.take(t[k], head)
+        if n == 0:
+            for name in out_names:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        counts = np.diff(np.concatenate((starts, [n])))
+        v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        for q, name in zip(qs, out_names):
+            pos = starts + (counts - 1) * q
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(np.ceil(pos).astype(np.int64), starts + counts - 1)
+            frac = pos - lo
+            # same FP expression as the global path / DuckDB quantile_cont
+            # (lower + frac*(upper-lower)); the algebraic twin
+            # v_lo*(1-frac)+v_hi*frac can drift 1 ulp
+            cols[name] = pa.array(v[lo] + frac * (v[hi] - v[lo]), pa.float64())
+        return pa.table(cols)
+
+    return partitioned_apply(ds, keys, gq, num_partitions)

@@ -212,6 +212,101 @@ def sessionize(ds, group_key: str, ts_col: str, gap_seconds: float,
     return partitioned_apply(ds, group_key, sess, num_partitions)
 
 
+def _norm_order_by(order_by) -> list[tuple[str, str]]:
+    if isinstance(order_by, str):
+        return [(order_by, "ascending")]
+    return [(o, "ascending") if isinstance(o, str) else tuple(o)
+            for o in order_by]
+
+
+def _rank_arrays(t: pa.Table, keys: list[str], rank_cols: list[str]):
+    """(row_number, rank, dense_rank) int64 arrays for ``t`` pre-sorted by
+    keys + order columns. Fully vectorized: run-boundary masks + segmented
+    index arithmetic — no per-group Python."""
+    n = t.num_rows
+    idx = np.arange(n, dtype=np.int64)
+    key_mask = _key_change_mask(t, keys)
+    run_mask = key_mask | _key_change_mask(t, rank_cols)
+    last_g = np.maximum.accumulate(np.where(key_mask, idx, -1))
+    last_r = np.maximum.accumulate(np.where(run_mask, idx, -1))
+    rn = idx - last_g + 1
+    rnk = last_r - last_g + 1
+    runs = np.cumsum(run_mask)           # global dense run counter
+    drnk = runs - runs[last_g] + 1 if n else runs
+    return rn, rnk, drnk
+
+
+def window_rank(ds, group_keys, order_by, rank_cols=None,
+                out_row_number="rn", out_rank=None, out_dense_rank=None,
+                num_partitions=None):
+    """SQL window ranking per group: row_number() (and optionally rank() /
+    dense_rank()) over (partition by keys order by order_by). One keyed
+    shuffle, then a vectorized sort + segmented-index pass per partition
+    (same contract as running_sum: a group's rows co-locate in one hash
+    partition). ``order_by`` may include deterministic tiebreak columns;
+    ``rank_cols`` (default: all order columns) is the tie-detection subset —
+    rank()/dense_rank() over fewer columns than the physical sort, exactly
+    like SQL's ORDER BY inside the window."""
+    from .partition import partitioned_apply
+
+    keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    order_by = _norm_order_by(order_by)
+    rank_cols = list(rank_cols) if rank_cols else [c for c, _ in order_by]
+    sort_spec = [(k, "ascending") for k in keys] + order_by
+
+    def rank_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        rn, rnk, drnk = _rank_arrays(t, keys, rank_cols)
+        t = t.append_column(out_row_number, pa.array(rn, pa.int64()))
+        if out_rank:
+            t = t.append_column(out_rank, pa.array(rnk, pa.int64()))
+        if out_dense_rank:
+            t = t.append_column(out_dense_rank, pa.array(drnk, pa.int64()))
+        return t
+
+    return partitioned_apply(ds, keys, rank_fn, num_partitions)
+
+
+def window_lag(ds, group_keys, order_by, value_col: str,
+               out_col: str = "prev", num_partitions=None):
+    """lag(value_col, 1) over (partition by keys order by order_by): one
+    keyed shuffle, vectorized shifted take per partition; null at each
+    group's first row (SQL default). Values are copied, not recomputed, so
+    the output is bit-identical to the input column."""
+    from .partition import partitioned_apply
+
+    keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    order_by = _norm_order_by(order_by)
+    sort_spec = [(k, "ascending") for k in keys] + order_by
+
+    def lag_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        key_mask = _key_change_mask(t, keys)
+        idx = np.arange(n, dtype=np.int64) - 1
+        shifted = pc.take(
+            t[value_col].combine_chunks() if isinstance(t[value_col], pa.ChunkedArray)
+            else t[value_col],
+            pa.array(idx, pa.int64(), mask=key_mask))  # masked -> null
+        return t.append_column(out_col, shifted)
+
+    return partitioned_apply(ds, keys, lag_fn, num_partitions)
+
+
+def top_n_per_group(ds, group_keys, order_by, n: int, num_partitions=None,
+                    out_row_number="rn"):
+    """Top-n rows per group (generalizes first_per_group's top-1): window
+    row_number + filter ≤ n, all inside the partition — only n rows per
+    group survive the shuffle boundary."""
+    ranked = window_rank(ds, group_keys, order_by,
+                         out_row_number=out_row_number,
+                         num_partitions=num_partitions)
+    lim = pa.scalar(n, pa.int64())
+    return ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t[out_row_number], lim)),
+        batch_format="pyarrow")
+
+
 class AsofJoiner:
     """Per-batch pandas merge_asof against a broadcast (sorted) right side.
 

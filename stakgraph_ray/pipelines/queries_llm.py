@@ -321,6 +321,181 @@ qualify sum(n_tokens) over (order by doc_id) <= 10000
 """
 
 
+# ------------------------------------------------------- bigram PMI
+
+def q_bigram_pmi(sf_dir: str):
+    """Pointwise mutual information of the corpus's top-20 bigrams:
+    collocation scoring, the association-strength analog of the reference's
+    term-weighting. Three bounded stages — (1) the bigram-count shuffle
+    (same partial as llm_bigram_topk) keeps only the top-20 driver-side
+    (k rows per partition cross the final sort), (2) unigram counts are
+    computed ONLY for the ≤40 words those bigrams mention (per-batch is_in
+    filter + low-card combiner — never a vocab-scale exchange), (3) corpus
+    token/pair totals are two scalar count partials. The ≤20-row PMI table
+    is assembled on the driver with math.log (glibc libm, the same ln DuckDB
+    binds), so values match the oracle bit-for-bit before rounding."""
+    import math
+
+    from ..ops.partition import grouped_aggregate, low_card_aggregate
+    from ..util import round_half_away
+
+    ds = _docs(sf_dir, ["text"]).materialize()  # 3 consumers share one scan
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        flat = toks.values
+        n = len(flat)
+        empty = pa.table({"w1": pa.array([], pa.large_string()),
+                          "w2": pa.array([], pa.large_string()),
+                          "n_part": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        valid = np.ones(n - 1, dtype=bool)
+        starts = offs[1:-1]
+        valid[starts[(starts > 0) & (starts < n)] - 1] = False
+        vmask = pa.array(valid)
+        g = pa.table({"w1": flat.slice(0, n - 1).filter(vmask),
+                      "w2": flat.slice(1, n - 1).filter(vmask)}) \
+            .group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return g.rename_columns(["w1", "w2", "n_part"])
+
+    agg = grouped_aggregate(ds.map_batches(bigram_partial, batch_format="pyarrow"),
+                            ["w1", "w2"], [("n_part", "sum")], ["n"])
+    top = pa.Table.from_pylist(
+        agg.map_batches(
+            lambda t: t.sort_by([("n", "descending"), ("w1", "ascending"),
+                                 ("w2", "ascending")]).slice(0, 20),
+            batch_format="pyarrow")
+        .sort(["n", "w1", "w2"], descending=[True, False, False]).limit(20)
+        .take_all())
+
+    words = sorted(set(top["w1"].to_pylist()) | set(top["w2"].to_pylist()))
+    wset = pa.array(words, pa.large_string())
+
+    def totals(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values
+        kept = flat.filter(pc.is_in(flat, value_set=wset))
+        g = pa.table({"w": kept}).group_by(["w"]).aggregate([("w", "count")])
+        # totals ride along as a sentinel key ("" is never a split token
+        # of interest — it is excluded from `words` membership by is_in)
+        return pa.table({
+            "w": pa.concat_arrays([g["w"].combine_chunks(),
+                                   pa.array(["\x00uni", "\x00big"], pa.large_string())]),
+            "c": pa.concat_arrays([pc.cast(g["w_count"], pa.int64()).combine_chunks(),
+                                   pa.array([int(lens.sum()),
+                                             int(np.maximum(lens - 1, 0).sum())],
+                                            pa.int64())]),
+        })
+
+    counts = {r["w"]: r["c"]
+              for r in low_card_aggregate(
+                  ds.map_batches(totals, batch_format="pyarrow"),
+                  "w", [("c", "sum")], ["c"]).take_all()}
+    n_uni = float(counts["\x00uni"])
+    n_big = float(counts["\x00big"])
+
+    rows = sorted(zip(top["w1"].to_pylist(), top["w2"].to_pylist(),
+                      top["n"].to_pylist()), key=lambda r: (-r[2], r[0], r[1]))
+    pmi = [round_half_away(
+               math.log((float(n) * n_uni * n_uni) /
+                        (float(counts[w1]) * float(counts[w2]) * n_big)), 4)
+           for w1, w2, n in rows]
+    return pa.table({
+        "bigram": pa.array([f"{w1} {w2}" for w1, w2, _ in rows], pa.string()),
+        "n": pa.array([n for _, _, n in rows], pa.int64()),
+        "pmi": pa.array(pmi, pa.float64()),
+    })
+
+
+SQL_BIGRAM_PMI = """
+with toks as (select string_split(text, ' ') as s from documents),
+n_uni as (select cast(sum(len(s)) as double) as c from toks),
+n_big as (select cast(sum(greatest(len(s) - 1, 0)) as double) as c from toks),
+pos as (select s, unnest(generate_series(1, len(s) - 1)) as i from toks),
+big as (select s[i] as w1, s[i + 1] as w2 from pos),
+topb as (select w1, w2, count(*) as n from big group by 1, 2
+         order by n desc, w1, w2 limit 20),
+uc as (select w, cast(count(*) as double) as c
+       from (select unnest(s) as w from toks)
+       where w in (select w1 from topb union select w2 from topb)
+       group by w)
+select t.w1 || ' ' || t.w2 as bigram, t.n,
+       round(ln((cast(t.n as double) * nu.c * nu.c) / (u1.c * u2.c * nb.c)),
+             4) as pmi
+from topb t
+join uc u1 on t.w1 = u1.w
+join uc u2 on t.w2 = u2.w
+cross join n_uni nu cross join n_big nb
+order by t.n desc, bigram
+"""
+
+
+# ------------------------------------------------------- URL curation gate
+
+def q_url_filter(sf_dir: str):
+    """URL/domain curation gate over the pages corpus: domain-blocklist
+    drop (the blocklist is a small driver artifact broadcast into the
+    filter — here derived deterministically as the two lexicographically
+    smallest hosts so the oracle can reproduce it), minimum-content gate
+    (≥ 60 text chars) and language gate (en only). Pure vectorized map —
+    the shape of a C4-style URL/domain cleaning pass."""
+    import pyarrow.parquet as pq
+
+    from ..sources.pages import read_pages
+
+    blocked = sorted(set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        ["source"].to_pylist()))[:2]
+    bset = pa.array([f"{s}.example.org" for s in blocked], pa.large_string())
+
+    from ..functions.textutils import host_of_url_column
+
+    ds = read_pages(sf_dir)
+
+    def gate(t: pa.Table) -> pa.Table:
+        host = pc.cast(host_of_url_column(
+            t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray)
+            else t["url"]), pa.large_string())
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.invert(pc.is_in(host, value_set=bset)),
+                    pc.greater_equal(n_chars, pa.scalar(60, pa.int64()))),
+            pc.equal(t["lang"], pa.scalar("en")))
+        if isinstance(keep, pa.ChunkedArray):
+            keep = keep.combine_chunks()
+        kept = t.filter(keep)
+        host_k = host.filter(keep)
+        return pa.table({
+            "url": pc.cast(kept["url"], pa.string()),
+            "host": pc.cast(host_k, pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(kept["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def _sql_url_filter() -> str:
+    from .queries_kg import URL_SQL
+
+    return f"""
+with b as (select source || '.example.org' as host
+           from (select distinct source from documents
+                 order by source limit 2)),
+p as (select {URL_SQL} as url, source || '.example.org' as host,
+             length(text) as n_chars, lang
+      from documents)
+select url, host, n_chars from p
+where host not in (select host from b)
+  and n_chars >= 60 and lang = 'en'
+"""
+
+
+SQL_URL_FILTER = _sql_url_filter()
+
+
 LLM_QUERIES = {
     "llm_hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "llm_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
@@ -328,4 +503,6 @@ LLM_QUERIES = {
     "llm_clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "llm_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "llm_token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    "llm_bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "llm_url_filter": (q_url_filter, SQL_URL_FILTER),
 }

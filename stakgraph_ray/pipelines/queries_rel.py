@@ -341,15 +341,14 @@ def q_price_quantiles(sf_dir: str):
     two-pass quantile (histogram partials -> candidate-bin refinement;
     driver holds O(bins) counts, never the column — the scale-correct
     replacement for np.quantile(take_all()))."""
-    from ..ops.quantile import distributed_quantile
+    from ..ops.quantile import distributed_quantiles
     from ..util import round_half_away
 
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
-    ds = ds.materialize()  # three quantile passes share one scan
-    vals = {name: round_half_away(
-                distributed_quantile(ds, "l_extendedprice", q), 4)
-            for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))}
-    return pa.table({k: pa.array([v], pa.float64()) for k, v in vals.items()})
+    p50, p90, p99 = distributed_quantiles(ds, "l_extendedprice",
+                                          [0.5, 0.9, 0.99])
+    return pa.table({name: pa.array([round_half_away(v, 4)], pa.float64())
+                     for name, v in (("p50", p50), ("p90", p90), ("p99", p99))})
 
 
 SQL_PRICE_QUANTILES = """
@@ -357,6 +356,111 @@ select round(quantile_cont(l_extendedprice, 0.5), 4) as p50,
        round(quantile_cont(l_extendedprice, 0.9), 4) as p90,
        round(quantile_cont(l_extendedprice, 0.99), 4) as p99
 from lineitem
+"""
+
+
+def q_order_rank_in_customer(sf_dir: str):
+    """SQL window ranking family (row_number / rank / dense_rank per
+    partition): orders ranked by price within each customer — one keyed
+    shuffle + vectorized segmented-index pass (the reference sorts child
+    lists per parent when materializing, btreemap_graph.rs:542-563)."""
+    from ..ops.relational import window_rank
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = window_rank(ds, "o_custkey",
+                      [("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")],
+                      rank_cols=["o_totalprice"],
+                      out_row_number="rn", out_rank="rnk",
+                      out_dense_rank="drnk")
+    return out.map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "rn", "rnk", "drnk"]),
+        batch_format="pyarrow")
+
+
+SQL_ORDER_RANK = """
+select o_custkey, o_orderkey,
+       row_number() over (partition by o_custkey
+                          order by o_totalprice desc, o_orderkey) as rn,
+       rank() over (partition by o_custkey
+                    order by o_totalprice desc) as rnk,
+       dense_rank() over (partition by o_custkey
+                          order by o_totalprice desc) as drnk
+from orders
+"""
+
+
+def q_prev_order_price(sf_dir: str):
+    """lag() window op: each order carries the customer's previous order
+    price in date order (null on the first). Values are copied, not
+    recomputed — bit-identical to the source column."""
+    from ..ops.relational import window_lag
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = window_lag(ds, "o_custkey",
+                     [("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+                     "o_totalprice", out_col="prev_price")
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "prev_price"]),
+        batch_format="pyarrow")
+
+
+SQL_PREV_ORDER_PRICE = """
+select o_orderkey, o_custkey,
+       lag(o_totalprice) over (partition by o_custkey
+                               order by o_orderdate, o_orderkey) as prev_price
+from orders
+"""
+
+
+def q_top3_orders_per_customer(sf_dir: str):
+    """Top-n per group (generalizes the argmax/top-1 family): only n rows
+    per group survive the partition boundary."""
+    from ..ops.relational import top_n_per_group
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = top_n_per_group(ds, "o_custkey",
+                          [("o_totalprice", "descending"),
+                           ("o_orderkey", "ascending")], 3)
+    return out.map_batches(
+        lambda t: _round_cols(
+            t.select(["o_custkey", "o_orderkey", "o_totalprice", "rn"]),
+            {"o_totalprice": 2}),
+        batch_format="pyarrow")
+
+
+SQL_TOP3_ORDERS = """
+select o_custkey, o_orderkey, round(o_totalprice, 2) as o_totalprice,
+       row_number() over (partition by o_custkey
+                          order by o_totalprice desc, o_orderkey) as rn
+from orders
+qualify rn <= 3
+"""
+
+
+def q_nation_balance_quantiles(sf_dir: str):
+    """Per-group exact quantiles (quantile_cont ... GROUP BY): one keyed
+    shuffle + a single vectorized segmented-interpolation pass per
+    partition — no per-group Python, no driver materialization."""
+    from ..ops.quantile import grouped_quantile
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    out = grouped_quantile(ds, "c_nationkey", "c_acctbal",
+                           [0.25, 0.5, 0.9], ["p25", "p50", "p90"])
+    return out.map_batches(
+        lambda t: _round_cols(t, {"p25": 4, "p50": 4, "p90": 4}),
+        batch_format="pyarrow")
+
+
+SQL_NATION_BALANCE_QUANTILES = """
+select c_nationkey,
+       round(quantile_cont(c_acctbal, 0.25), 4) as p25,
+       round(quantile_cont(c_acctbal, 0.5), 4) as p50,
+       round(quantile_cont(c_acctbal, 0.9), 4) as p90
+from customer group by c_nationkey
 """
 
 
@@ -670,6 +774,11 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_hourly_event_stats": (q_hourly_event_stats, SQL_HOURLY),
     "rel_hopping_event_stats": (q_hopping_event_stats, SQL_HOPPING),
     "rel_price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
+    "rel_order_rank_in_customer": (q_order_rank_in_customer, SQL_ORDER_RANK),
+    "rel_prev_order_price": (q_prev_order_price, SQL_PREV_ORDER_PRICE),
+    "rel_top3_orders_per_customer": (q_top3_orders_per_customer, SQL_TOP3_ORDERS),
+    "rel_nation_balance_quantiles": (q_nation_balance_quantiles,
+                                     SQL_NATION_BALANCE_QUANTILES),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
     "txt_exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),

@@ -1,0 +1,118 @@
+"""Unit gates for the SQL-window family (window_rank / window_lag /
+top_n_per_group) and the grouped exact quantile — each compared against a
+pandas/numpy brute force on adversarial inputs (ties, single-row groups,
+null-free floats)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from stakgraph_ray.ops.quantile import grouped_quantile
+from stakgraph_ray.ops.relational import top_n_per_group, window_lag, window_rank
+
+
+def _orders():
+    rng = np.random.RandomState(7)
+    n = 500
+    # duplicate prices on purpose: rank()/dense_rank() must differ from
+    # row_number() inside ties
+    return pa.table({
+        "cust": pa.array(rng.randint(0, 37, n), pa.int64()),
+        "okey": pa.array(np.arange(n), pa.int64()),
+        "price": pa.array(rng.randint(0, 25, n).astype("float64")),
+    })
+
+
+def test_window_rank_matches_pandas(ray_session):
+    import ray.data as rd
+
+    t = _orders()
+    got = window_rank(rd.from_arrow(t), "cust",
+                      [("price", "descending"), ("okey", "ascending")],
+                      rank_cols=["price"], out_row_number="rn",
+                      out_rank="rnk", out_dense_rank="drnk") \
+        .to_pandas().sort_values("okey").reset_index(drop=True)
+    df = t.to_pandas()
+    g = df.sort_values(["cust", "price", "okey"],
+                       ascending=[True, False, True]).groupby("cust")
+    df["rn"] = g.cumcount().sort_index() + 1
+    df["rnk"] = df.groupby("cust")["price"].rank("min", ascending=False).astype(int)
+    df["drnk"] = df.groupby("cust")["price"].rank("dense", ascending=False).astype(int)
+    df = df.sort_values("okey").reset_index(drop=True)
+    assert got.rn.tolist() == df.rn.tolist()
+    assert got.rnk.tolist() == df.rnk.tolist()
+    assert got.drnk.tolist() == df.drnk.tolist()
+
+
+def test_window_lag_null_at_group_start(ray_session):
+    import ray.data as rd
+
+    t = _orders()
+    got = window_lag(rd.from_arrow(t), "cust", [("okey", "ascending")],
+                     "price", out_col="prev") \
+        .to_pandas().sort_values("okey").reset_index(drop=True)
+    df = t.to_pandas().sort_values(["cust", "okey"])
+    df["prev"] = df.groupby("cust")["price"].shift(1)
+    df = df.sort_values("okey").reset_index(drop=True)
+    assert ((got.prev.isna() & df.prev.isna()) | (got.prev == df.prev)).all()
+    # exactly one null per group (the group's first row)
+    assert got.prev.isna().sum() == df.cust.nunique()
+
+
+def test_top_n_per_group_matches_pandas(ray_session):
+    import ray.data as rd
+
+    t = _orders()
+    got = top_n_per_group(rd.from_arrow(t), "cust",
+                          [("price", "descending"), ("okey", "ascending")], 3) \
+        .to_pandas()
+    df = t.to_pandas()
+    want = df.sort_values(["price", "okey"], ascending=[False, True]) \
+        .groupby("cust").head(3)
+    assert sorted(got.okey.tolist()) == sorted(want.okey.tolist())
+    assert (got.groupby("cust").size() <= 3).all()
+    assert set(got.rn.unique()) <= {1, 2, 3}
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 11, 400), pa.int64()),
+        "v": pa.array(rng.randn(400)),
+    })
+    got = grouped_quantile(rd.from_arrow(t), "k", "v", [0.25, 0.5, 0.9],
+                           ["p25", "p50", "p90"]) \
+        .to_pandas().set_index("k").sort_index()
+    df = t.to_pandas()
+    for k, grp in df.groupby("k"):
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            # 1-ulp tolerance: numpy's _lerp switches interpolation side at
+            # t>=0.5; the op pins the DuckDB quantile_cont expression
+            # (lower + frac*(upper-lower)) instead
+            assert abs(got.loc[k, col] - np.quantile(grp.v.to_numpy(), q)) \
+                < 1e-12, (k, q)
+
+
+def test_grouped_quantile_single_row_groups(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([5.0, -1.0, 2.5])})
+    got = grouped_quantile(rd.from_arrow(t), "k", "v", [0.5], ["p50"]) \
+        .to_pandas().set_index("k").sort_index()
+    assert got.p50.tolist() == [5.0, -1.0, 2.5]
+
+
+def test_distributed_quantiles_shared_pass_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.quantile import distributed_quantiles
+
+    rng = np.random.RandomState(11)
+    v = rng.lognormal(0, 2, 5000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)}))
+    got = distributed_quantiles(ds, "v", [0.1, 0.5, 0.99])
+    want = [np.quantile(v, q) for q in (0.1, 0.5, 0.99)]
+    assert np.allclose(got, want, rtol=1e-12, atol=0), (got, want)
