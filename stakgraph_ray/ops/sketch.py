@@ -1,0 +1,79 @@
+"""HyperLogLog approximate distinct count — the cardinality sketch for
+corpus-scale columns where an exact ``distinct`` would be an all-to-all
+shuffle over the full key vocabulary.
+
+Shape: each batch folds its values into a 2^p-register sketch (vectorized
+hash -> register index / leading-zero rank, ``np.maximum.at``), so ONE
+pure-map pass emits O(blocks) fixed-size register rows; the driver merges
+them with an elementwise max (register arrays are mergeable — the same
+property that lets a 256-node cluster combine per-node sketches without
+moving rows). Standard error ~1.04/sqrt(2^p) (~1.6% at p=12).
+
+Deterministic: the hash is pandas' 64-bit siphash with a fixed key, so the
+estimate is reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ilog2_u64(x: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(x)) for uint64 x > 0 (split in 32-bit halves so the
+    float64 log2 never sees >2^53 and stays exact)."""
+    hi = (x >> np.uint64(32)).astype(np.float64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    return np.where(hi > 0,
+                    32 + np.floor(np.log2(np.maximum(hi, 1))),
+                    np.floor(np.log2(np.maximum(lo, 1)))).astype(np.int64)
+
+
+def hll_batch_registers(values: np.ndarray, p: int) -> np.ndarray:
+    """Fold one batch of values into a fresh 2^p uint8 register array."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return reg
+    h = pd.util.hash_array(values)  # deterministic 64-bit siphash
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    # rank = leading zeros + 1. The (64-p)-bit window was shifted into the
+    # top of the 64-bit word, so for w != 0 the leading-zero count is
+    # 63 - floor(log2(w)) and rho = 64 - floor(log2(w)); an all-zero window
+    # gives the saturated rank 64 - p + 1.
+    rho = np.where(w == 0, 64 - p + 1, 64 - _ilog2_u64(w)).astype(np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with the small-range (linear counting)
+    correction; 64-bit hashes need no large-range correction."""
+    m = float(len(reg))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.sum(reg == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate ``count(distinct col)`` of a Dataset column. One map
+    pass; driver state = O(blocks) sketches of 2^p bytes each."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        vals = c.to_numpy(zero_copy_only=False)
+        reg = hll_batch_registers(vals, p)
+        return pa.table({"reg": pa.array([reg], pa.list_(pa.uint8(), len(reg)))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    m = 1 << p
+    merged = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        merged = np.maximum(merged, np.asarray(r["reg"], dtype=np.uint8))
+    return hll_estimate(merged)

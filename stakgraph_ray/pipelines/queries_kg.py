@@ -617,7 +617,68 @@ where {NOT_SKIP_SQL}
 """
 
 
+def q_term_triangles(sf_dir: str):
+    """Triangle count of the undirected FOLLOWS term graph — the classic
+    clustering-coefficient building block (one step past kg_two_hop's
+    wedge join). Canonical orientation makes it a pure dataflow: every
+    triangle x<y<z is counted exactly once as wedge (x<y, y<z) + closing
+    edge (x,z); wedge = ONE co-group join on the middle vertex, closure =
+    ONE keyed membership filter on the (x,z) composite key. All tables are
+    vocabulary-bounded; nothing touches the driver but the final count."""
+    from ..ops.partition import cogroup_join_hp, distinct_hp, membership_filter_hp
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t["a"], t["b"])
+        v = pc.max_element_wise(t["a"], t["b"])
+        keep = pc.not_equal(u, v)
+        return pa.table({"u": pc.cast(u, pa.string()),
+                         "v": pc.cast(v, pa.string())}).filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep)
+
+    und = distinct_hp(edges.map_batches(orient, batch_format="pyarrow"),
+                      ["u", "v"]).materialize()  # wedge sides + closure probe
+
+    left = und.map_batches(lambda t: pa.table({"y": t["v"], "x": t["u"]}),
+                           batch_format="pyarrow")
+    right = und.map_batches(lambda t: pa.table({"y": t["u"], "z": t["v"]}),
+                            batch_format="pyarrow")
+    wedges = cogroup_join_hp(
+        left, right, "y",
+        pa.schema([("y", pa.string()), ("x", pa.string())]),
+        pa.schema([("y", pa.string()), ("z", pa.string())]))
+
+    def wedge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(
+            t["x"], t["z"], pa.scalar("\x1f"))})
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(
+            t["u"], t["v"], pa.scalar("\x1f"))})
+
+    closed = membership_filter_hp(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"),
+        und.map_batches(edge_key, batch_format="pyarrow"),
+        "k", keep=True,
+        payload_schema=pa.schema([("k", pa.string())]))
+    n = closed.count()
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+SQL_TERM_TRIANGLES = _FOLLOWS_CTE + """
+, e as (select distinct least(a, b) as u, greatest(a, b) as v
+        from p where a <> b)
+select cast(count(*) as bigint) as n_triangles
+from e e1
+join e e2 on e1.v = e2.u
+join e e3 on e3.u = e1.u and e3.v = e2.v
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_term_triangles": (q_term_triangles, SQL_TERM_TRIANGLES),
     "kg_epilogue_pages": (q_epilogue_pages, SQL_EPILOGUE_PAGES),
     "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
     "kg_reachable_from_spark": (q_reachable_from_spark, SQL_REACHABLE),

@@ -433,6 +433,84 @@ order by t.n desc, bigram
 """
 
 
+# ------------------------------------------------------- TF-IDF
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document — the classic corpus-weighting op
+    (the relevance analog of the reference's fulltext scoring,
+    mcp/src/graph/neo4j.ts:349-369). Shape: one tokenize map emits the
+    (doc_id, term, tf) table (a document is one row, so in-batch counts are
+    globally exact); df is ONE vocab-keyed grouped aggregate over that
+    table; tf⋈df is a co-group hash join on the term key (vocab-scale, not
+    corpus-scale); ranking is the window top-n — only 5 rows per doc
+    survive its partition. N comes from parquet metadata (no scan)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.partition import cogroup_join_hp, grouped_aggregate
+    from ..ops.relational import top_n_per_group
+
+    n_docs = float(pq.ParquetFile(f"{sf_dir}/documents.parquet")
+                   .metadata.num_rows)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        flat = toks.values
+        parent = pc.list_parent_indices(toks)
+        doc = pc.take(t["doc_id"], parent)
+        g = pa.table({"doc_id": pc.cast(doc, pa.int64()),
+                      "term": pc.cast(flat, pa.string())}) \
+            .group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df = grouped_aggregate(tf, "term", [("tf", "count")], ["df"])
+    joined = cogroup_join_hp(
+        tf, df, "term",
+        pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
+                   ("tf", pa.int64())]),
+        pa.schema([("term", pa.string()), ("df", pa.int64())]))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = pc.cast(t["tf"], pa.float64()).to_numpy(zero_copy_only=False)
+        df_v = pc.cast(t["df"], pa.float64()).to_numpy(zero_copy_only=False)
+        # same expression order as the oracle: tf * ln(N / df)
+        return t.append_column("tfidf", pa.array(tf_v * np.log(n_docs / df_v),
+                                                 pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = top_n_per_group(scored, "doc_id",
+                          [("tfidf", "descending"), ("term", "ascending")], 5)
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+
+        v = t["tfidf"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "term": t["term"], "tf": t["tf"],
+            "df": t["df"],
+            "tfidf": pa.array(round_half_away(v, 4), pa.float64()),
+            "rn": t["rn"],
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TFIDF = """
+with toks as (select doc_id, unnest(string_split(text, ' ')) as term
+              from documents),
+tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+df as (select term, cast(count(*) as bigint) as df from tf group by term),
+n as (select cast(count(*) as double) as n from documents)
+select doc_id, term, tf, df,
+       round(tf * ln(n.n / df), 4) as tfidf,
+       row_number() over (partition by doc_id
+                          order by tf * ln(n.n / df) desc, term) as rn
+from tf join df using (term) cross join n
+qualify rn <= 5
+"""
+
+
 # ------------------------------------------------------- URL curation gate
 
 def q_url_filter(sf_dir: str):
@@ -505,4 +583,5 @@ LLM_QUERIES = {
     "llm_token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "llm_bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "llm_url_filter": (q_url_filter, SQL_URL_FILTER),
+    "llm_tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
 }

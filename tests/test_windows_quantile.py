@@ -116,3 +116,32 @@ def test_distributed_quantiles_shared_pass_matches_numpy(ray_session):
     got = distributed_quantiles(ds, "v", [0.1, 0.5, 0.99])
     want = [np.quantile(v, q) for q in (0.1, 0.5, 0.99)]
     assert np.allclose(got, want, rtol=1e-12, atol=0), (got, want)
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import (approx_distinct,
+                                          hll_batch_registers, hll_estimate)
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 50_000, 200_000)  # ~49k distinct after collisions
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    est = approx_distinct(ds, "x", p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # mergeability: max of two half-sketches == sketch of the union
+    a, b = vals[:100_000], vals[100_000:]
+    merged = np.maximum(hll_batch_registers(a, 12), hll_batch_registers(b, 12))
+    assert hll_estimate(merged) == hll_estimate(hll_batch_registers(vals, 12))
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import approx_distinct
+
+    ds = rd.from_arrow(pa.table({"x": pa.array(np.arange(100) % 17)}))
+    est = approx_distinct(ds, "x", p=12)
+    assert abs(est - 17) < 1.0, est  # linear-counting regime is near-exact
