@@ -404,6 +404,77 @@ def endpoint_match_join(requests_ds, endpoints: pa.Table, path_col: str = "path"
         batch_format="pyarrow", concurrency=concurrency)
 
 
+class IntervalJoiner:
+    """Per-batch interval containment join against a broadcast intervals
+    table: rows pair where keys match and ``lo <= ts < hi``. Intervals may
+    overlap (an event matches every containing interval). The small side is
+    resolved once per actor and pre-grouped per key into numpy bound
+    arrays; each batch does one vectorized containment matrix per key
+    present (events_in_key x intervals_of_key), so the work is proportional
+    to candidate pairs, never corpus x intervals."""
+
+    def __init__(self, intervals_ref, key_col, ts_col, lo_col, hi_col,
+                 carry_cols):
+        iv = _resolve(intervals_ref)
+        self.key_col, self.ts_col = key_col, ts_col
+        self.carry_cols = list(carry_cols)
+        self.by_key: dict = {}
+        keys = iv[key_col].to_pylist()
+        lo = pc.cast(iv[lo_col], pa.int64()).to_numpy(zero_copy_only=False)
+        hi = pc.cast(iv[hi_col], pa.int64()).to_numpy(zero_copy_only=False)
+        carry = {c: iv[c] for c in self.carry_cols}
+        for i, k in enumerate(keys):
+            self.by_key.setdefault(k, []).append(i)
+        self.by_key = {k: (lo[ix], hi[ix], ix)
+                       for k, ix in ((k, np.array(v, np.int64))
+                                     for k, v in self.by_key.items())}
+        self.carry = carry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = pc.cast(batch[self.ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch[self.key_col].to_pylist()
+        ev_parts, iv_parts = [], []
+        k_arr = np.array(keys, dtype=object)
+        for k in set(keys):
+            bounds = self.by_key.get(k)
+            if bounds is None:
+                continue
+            lo, hi, ix = bounds
+            ev_idx = np.flatnonzero(k_arr == k)
+            m = (ts[ev_idx, None] >= lo[None, :]) & (ts[ev_idx, None] < hi[None, :])
+            e_i, i_i = np.nonzero(m)
+            if len(e_i):
+                ev_parts.append(ev_idx[e_i])
+                iv_parts.append(ix[i_i])
+        if not ev_parts:
+            cols = {c: batch[c].slice(0, 0) for c in batch.column_names}
+            for c in self.carry_cols:
+                cols[c] = self.carry[c].slice(0, 0)
+            return pa.table(cols)
+        ev_all = np.concatenate(ev_parts)
+        iv_all = np.concatenate(iv_parts)
+        out = batch.take(pa.array(ev_all, pa.int64()))
+        for c in self.carry_cols:
+            out = out.append_column(
+                c, pc.take(self.carry[c], pa.array(iv_all, pa.int64())))
+        return out
+
+
+def interval_join(ds, intervals: pa.Table, key_col: str, ts_col: str,
+                  lo_col: str, hi_col: str, carry_cols, concurrency=None):
+    """Range/interval join: ds rows ⋈ broadcast intervals on key equality +
+    ``lo <= ts < hi``. ``carry_cols``: interval columns to attach."""
+    concurrency = concurrency or _pool()
+    ref = broadcast(intervals)
+    return ds.map_batches(
+        IntervalJoiner,
+        fn_constructor_kwargs={"intervals_ref": ref, "key_col": key_col,
+                               "ts_col": ts_col, "lo_col": lo_col,
+                               "hi_col": hi_col, "carry_cols": carry_cols},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 def hopping_window(ds, ts_col: str, width_s: int, hop_s: int,
                    keys: list[str], aggs):
     """Hopping (sliding) event-time windows: width ``width_s`` seconds

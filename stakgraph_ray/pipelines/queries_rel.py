@@ -490,6 +490,88 @@ from w group by 1, 2
 """
 
 
+def q_promo_events(sf_dir: str):
+    """Interval/range join: events ⋈ overlapping promo windows on event_type
+    + ts containment. The windows (10 per type, 60h wide every 48h — the
+    12h overlaps make some events match TWO intervals) are a small driver
+    artifact broadcast once; matching is a vectorized per-key containment
+    matrix inside map_batches — the distributed range-join shape Ray Data
+    has no native operator for."""
+    from ..ops.dedup import distinct
+    from ..ops.relational import interval_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    types = sorted(r["event_type"]
+                   for r in distinct(ds.select_columns(["event_type"]),
+                                     ["event_type"]).take_all())
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    h_us = 3_600_000_000
+    iv = pa.table({
+        "event_type": pa.array([t for t in types for _ in range(10)], pa.string()),
+        "promo_id": pa.array([i for _ in types for i in range(10)], pa.int64()),
+        "lo": pa.array(np.array([base + i * 48 * h_us for _ in types
+                                 for i in range(10)]).astype("datetime64[us]")),
+        "hi": pa.array(np.array([base + (i * 48 + 60) * h_us for _ in types
+                                 for i in range(10)]).astype("datetime64[us]")),
+    })
+    out = interval_join(ds, iv, "event_type", "ts", "lo", "hi", ["promo_id"])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "promo_id"]),
+        batch_format="pyarrow")
+
+
+SQL_PROMO_EVENTS = """
+with iv as (
+  select t.event_type, i.i as promo_id,
+         timestamp '2024-01-01 00:00:00' + i.i * (interval 48 hour) as lo,
+         timestamp '2024-01-01 00:00:00' + i.i * (interval 48 hour)
+           + interval 60 hour as hi
+  from (select distinct event_type from events) t
+  cross join (select unnest(generate_series(0, 9)) as i) i)
+select e.event_id, e.event_type, iv.promo_id
+from events e
+join iv on e.event_type = iv.event_type and e.ts >= iv.lo and e.ts < iv.hi
+"""
+
+
+def q_event_weekday_pivot(sf_dir: str):
+    """Pivot/crosstab: per event_type, event counts spread across 7 fixed
+    weekday columns — indicator columns per batch, then the low-cardinality
+    combiner aggregate (at most G rows per block cross the driver merge,
+    no shuffle)."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # 1970-01-01 was a Thursday; DuckDB dayofweek: 0=Sunday..6=Saturday
+        dow = ((us // 86_400_000_000) + 4) % 7
+        cols = {"event_type": t["event_type"]}
+        for d in range(7):
+            cols[f"dow{d}"] = pa.array((dow == d).astype(np.int64))
+        return pa.table(cols)
+
+    return low_card_aggregate(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        "event_type", [(f"dow{d}", "sum") for d in range(7)],
+        [f"dow{d}" for d in range(7)])
+
+
+SQL_EVENT_WEEKDAY_PIVOT = """
+select event_type,
+       sum(case when dayofweek(ts) = 0 then 1 else 0 end) as dow0,
+       sum(case when dayofweek(ts) = 1 then 1 else 0 end) as dow1,
+       sum(case when dayofweek(ts) = 2 then 1 else 0 end) as dow2,
+       sum(case when dayofweek(ts) = 3 then 1 else 0 end) as dow3,
+       sum(case when dayofweek(ts) = 4 then 1 else 0 end) as dow4,
+       sum(case when dayofweek(ts) = 5 then 1 else 0 end) as dow5,
+       sum(case when dayofweek(ts) = 6 then 1 else 0 end) as dow6
+from events group by event_type
+"""
+
+
 # ------------------------------------------------------------ text analysis
 
 def q_token_stats(sf_dir: str):
@@ -779,6 +861,8 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_top3_orders_per_customer": (q_top3_orders_per_customer, SQL_TOP3_ORDERS),
     "rel_nation_balance_quantiles": (q_nation_balance_quantiles,
                                      SQL_NATION_BALANCE_QUANTILES),
+    "rel_promo_events": (q_promo_events, SQL_PROMO_EVENTS),
+    "rel_event_weekday_pivot": (q_event_weekday_pivot, SQL_EVENT_WEEKDAY_PIVOT),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
     "txt_exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),

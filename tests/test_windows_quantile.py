@@ -145,3 +145,25 @@ def test_hll_small_range_linear_counting(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array(np.arange(100) % 17)}))
     est = approx_distinct(ds, "x", p=12)
     assert abs(est - 17) < 1.0, est  # linear-counting regime is near-exact
+
+
+def test_interval_join_overlaps_and_misses(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.relational import interval_join
+
+    ts = np.array([5, 15, 25, 99], dtype="datetime64[s]").astype("datetime64[us]")
+    ev = pa.table({"eid": pa.array([0, 1, 2, 3], pa.int64()),
+                   "k": pa.array(["a", "a", "b", "a"]),
+                   "ts": pa.array(ts)})
+    iv = pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "pid": pa.array([0, 1, 0], pa.int64()),
+        "lo": pa.array(np.array([0, 10, 20], dtype="datetime64[s]").astype("datetime64[us]")),
+        "hi": pa.array(np.array([20, 30, 30], dtype="datetime64[s]").astype("datetime64[us]")),
+    })
+    got = interval_join(rd.from_arrow(ev), iv, "k", "ts", "lo", "hi",
+                        ["pid"]).to_pandas().sort_values(["eid", "pid"])
+    pairs = list(zip(got.eid.tolist(), got.pid.tolist()))
+    # eid=1 (ts=15, key a) sits in BOTH overlapping a-intervals; eid=3 in none
+    assert pairs == [(0, 0), (1, 0), (1, 1), (2, 0)]
