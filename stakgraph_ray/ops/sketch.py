@@ -60,6 +60,54 @@ def hll_estimate(reg: np.ndarray) -> float:
     return float(e)
 
 
+def cms_batch_counts(values: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """Fold one batch of values into a fresh (depth, width) int64 count-min
+    sketch. Row hashes are independent fixed-key siphashes, so sketches are
+    deterministic and merge by elementwise SUM."""
+    cms = np.zeros((depth, width), dtype=np.int64)
+    if len(values) == 0:
+        return cms
+    for d in range(depth):
+        h = pd.util.hash_array(np.asarray(values), hash_key=f"cms-row-{d:08d}")
+        np.add.at(cms[d], (h % np.uint64(width)).astype(np.int64), 1)
+    return cms
+
+
+def cms_estimate(cms: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates (count-min: min over rows; never
+    underestimates, overestimates by <= 2N/width w.h.p. per row)."""
+    depth, width = cms.shape
+    est = np.full(len(probes), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(np.asarray(probes), hash_key=f"cms-row-{d:08d}")
+        est = np.minimum(est, cms[d][(h % np.uint64(width)).astype(np.int64)])
+    return est
+
+
+def cms_frequencies(ds, col: str, probes, width: int = 8192,
+                    depth: int = 4) -> dict:
+    """Approximate frequencies of ``probes`` in a Dataset column via one
+    map pass emitting O(blocks) mergeable sketches; the driver sums them
+    (depth x width ints, independent of dataset size) and reads off the
+    probe estimates."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        cms = cms_batch_counts(c.to_numpy(zero_copy_only=False), width, depth)
+        return pa.table({"cms": pa.array([cms.ravel()],
+                                         pa.list_(pa.int64(), depth * width))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        merged += np.asarray(r["cms"], dtype=np.int64)
+    merged = merged.reshape(depth, width)
+    probes_np = np.asarray(probes)
+    est = cms_estimate(merged, probes_np)
+    return {p: int(e) for p, e in zip(probes, est)}
+
+
 def approx_distinct(ds, col: str, p: int = 12) -> float:
     """Approximate ``count(distinct col)`` of a Dataset column. One map
     pass; driver state = O(blocks) sketches of 2^p bytes each."""

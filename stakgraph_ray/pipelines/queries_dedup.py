@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from ..util import pool_size as _pool
 
-from ..util import default_num_blocks as _nb
+from ..util import adaptive_num_blocks as _anb
 
 import numpy as np
 import pyarrow as pa
@@ -136,7 +136,7 @@ def q_simhash_fingerprints(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                         override_num_blocks=_nb())
+                         override_num_blocks=_anb(f"{sf_dir}/documents.parquet"))
     return ds.map_batches(SimHashStage,
                           fn_constructor_kwargs={"id_col": "doc_id",
                                                  "text_col": "text"},
@@ -175,7 +175,7 @@ def q_doc_fingerprints(sf_dir: str):
     from ..functions.minhash import rolling_fingerprint
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                         override_num_blocks=_nb())
+                         override_num_blocks=_anb(f"{sf_dir}/documents.parquet"))
 
     def fp(t: pa.Table) -> pa.Table:
         vals = [rolling_fingerprint(x or "") for x in t["text"].to_pylist()]
@@ -201,7 +201,7 @@ def q_langid(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                         override_num_blocks=_nb())
+                         override_num_blocks=_anb(f"{sf_dir}/documents.parquet"))
 
     def guess(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(pc.cast(t["text"], pa.large_string()), " ")
@@ -276,7 +276,7 @@ def q_knn_lsh(sf_dir: str):
                         columns=["vec_id", "embedding"])
     queries = emb.slice(0, 5)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"], override_num_blocks=_nb())
+                         columns=["vec_id", "embedding"], override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
     return knn_lsh(ds, queries, k=5)
 
 
@@ -294,7 +294,7 @@ def q_knn_ivf(sf_dir: str):
                         columns=["vec_id", "embedding"])
     queries = emb.slice(0, 5)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"], override_num_blocks=_nb())
+                         columns=["vec_id", "embedding"], override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
     return knn_ivf(ds, queries, k=5, n_centroids=16, n_probe=6)
 
 
@@ -320,7 +320,7 @@ def q_hybrid_search(sf_dir: str):
                               vector_topk)
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"], override_num_blocks=_nb())
+                           columns=["doc_id", "text"], override_num_blocks=_anb(f"{sf_dir}/documents.parquet"))
     ft = fulltext_topk(docs, "doc_id", "text",
                        ["spark", "join", "window"], k=50)
 
@@ -330,7 +330,7 @@ def q_hybrid_search(sf_dir: str):
                       filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"],
-                          override_num_blocks=_nb())
+                          override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
     vec = vector_topk(emb, "vec_id", "embedding", q, k=50)
 
     fused = rrf_fuse(ft, vec, limit=25)  # driver fuses top-k lists only
@@ -421,7 +421,7 @@ def q_fulltext_topk(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"],
-                           override_num_blocks=_nb())
+                           override_num_blocks=_anb(f"{sf_dir}/documents.parquet"))
     top = fulltext_topk(docs, "doc_id", "text",
                         ["spark", "join", "window"], k=50)
     return pa.table({
@@ -566,11 +566,12 @@ def q_hll_distinct(sf_dir: str):
     import ray.data as rd
 
     from ..ops.sketch import approx_distinct
-    from ..util import default_num_blocks
+    from ..util import adaptive_num_blocks
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_extendedprice"],
-                         override_num_blocks=default_num_blocks())
+                         override_num_blocks=adaptive_num_blocks(
+                             f"{sf_dir}/lineitem.parquet"))
     est = approx_distinct(ds, "l_extendedprice", p=12)
     return pa.table({"approx_distinct_prices": pa.array([round(est)],
                                                         pa.int64())})
@@ -590,14 +591,45 @@ def q_hll_distinct(sf_dir: str):
     import ray.data as rd
 
     from ..ops.sketch import approx_distinct
-    from ..util import default_num_blocks
+    from ..util import adaptive_num_blocks
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_extendedprice"],
-                         override_num_blocks=default_num_blocks())
+                         override_num_blocks=adaptive_num_blocks(
+                             f"{sf_dir}/lineitem.parquet"))
     est = approx_distinct(ds, "l_extendedprice", p=12)
     return pa.table({"approx_distinct_prices": pa.array([round(est)],
                                                         pa.int64())})
 
 
 DEDUP_QUERIES["agg_hll_distinct"] = (q_hll_distinct, None)
+
+
+def q_cms_token_freq(sf_dir: str):
+    """Count-min-sketch frequency estimates for a fixed token probe set
+    over the documents corpus: one tokenize map emits O(blocks) mergeable
+    (depth x width) sketches, the driver sums them — the heavy-hitter
+    companion of the HLL sketch (never underestimates; one-sided error
+    bound gated in pytest). Deterministic fixed-key hashing keeps the
+    rows-only driver check stable."""
+    import ray.data as rd
+
+    from ..ops.sketch import cms_frequencies
+    from ..util import adaptive_num_blocks
+    from .queries_llm import _tokens
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"],
+                         override_num_blocks=adaptive_num_blocks(path))
+    toks = ds.map_batches(
+        lambda t: pa.table({"tok": pc.cast(pc.list_flatten(_tokens(t)),
+                                           pa.string())}),
+        batch_format="pyarrow")
+    probes = ["the", "a", "spark", "join", "window"]
+    freqs = cms_frequencies(toks, "tok", probes)
+    return pa.table({"token": pa.array(probes, pa.string()),
+                     "est_count": pa.array([freqs[p] for p in probes],
+                                           pa.int64())})
+
+
+DEDUP_QUERIES["agg_cms_token_freq"] = (q_cms_token_freq, None)

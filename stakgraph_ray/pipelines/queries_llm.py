@@ -14,14 +14,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import default_num_blocks as _nb
+from ..util import adaptive_num_blocks as _anb
 
 
 def _docs(sf_dir: str, columns):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns,
-                           override_num_blocks=_nb())
+    path = f"{sf_dir}/documents.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=_anb(path))
 
 
 def _tokens(t: pa.Table, col: str = "text") -> pa.LargeListArray:

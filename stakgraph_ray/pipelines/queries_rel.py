@@ -19,10 +19,11 @@ from ..ops.relational import (anti_join, broadcast_join, first_per_group,
 def _read(sf_dir: str, table: str, columns=None, **kw):
     import ray.data as rd
 
-    from ..util import default_num_blocks
+    from ..util import adaptive_num_blocks
 
-    kw.setdefault("override_num_blocks", default_num_blocks())
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+    path = f"{sf_dir}/{table}.parquet"
+    kw.setdefault("override_num_blocks", adaptive_num_blocks(path))
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:

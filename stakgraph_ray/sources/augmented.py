@@ -14,7 +14,7 @@ Expected clusters/pairs are therefore derivable in SQL by construction.
 
 from __future__ import annotations
 
-from ..util import default_num_blocks as _nb
+from ..util import adaptive_num_blocks as _anb
 
 import numpy as np
 import pyarrow as pa
@@ -48,13 +48,25 @@ def mutate_documents_batch(batch: pa.Table) -> pa.Table:
 
 
 def documents_with_neardups(sf_dir: str):
-    """(doc_id, text) Dataset: originals + deterministic near-dup mutants."""
+    """(doc_id, text) Dataset: originals + deterministic near-dup mutants.
+
+    Mutants are appended INSIDE each batch (one read, one map) — a
+    ``ds.union(ds.map_batches(...))`` re-reads the corpus and doubles the
+    block count with tiny mutant blocks, and at these block sizes task
+    scheduling dominates the wall clock (same pathology the pages
+    replicate path documents)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                         override_num_blocks=_nb())
-    mutants = ds.map_batches(mutate_documents_batch, batch_format="pyarrow")
-    return ds.union(mutants)
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"],
+                         override_num_blocks=_anb(path))
+
+    def augment(batch: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "text": pc.cast(batch["text"], pa.string())})
+        return pa.concat_tables([base, mutate_documents_batch(batch)])
+
+    return ds.map_batches(augment, batch_format="pyarrow")
 
 
 def jitter_embeddings_batch(batch: pa.Table) -> pa.Table:
@@ -78,8 +90,20 @@ def jitter_embeddings_batch(batch: pa.Table) -> pa.Table:
 
 
 def embeddings_with_neardups(sf_dir: str):
+    """Originals + jittered twins, appended in-batch (see
+    documents_with_neardups for why not union)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=_nb())
-    twins = ds.map_batches(jitter_embeddings_batch, batch_format="pyarrow")
-    return ds.union(twins)
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(path, override_num_blocks=_anb(path))
+
+    def augment(batch: pa.Table) -> pa.Table:
+        twins = jitter_embeddings_batch(batch)
+        base = pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "embedding": pc.cast(batch["embedding"], pa.list_(pa.float32())),
+            "label": pc.cast(batch["label"], pa.int32()),
+        })
+        return pa.concat_tables([base, twins.cast(base.schema)])
+
+    return ds.map_batches(augment, batch_format="pyarrow")

@@ -167,3 +167,32 @@ def test_interval_join_overlaps_and_misses(ray_session):
     pairs = list(zip(got.eid.tolist(), got.pid.tolist()))
     # eid=1 (ts=15, key a) sits in BOTH overlapping a-intervals; eid=3 in none
     assert pairs == [(0, 0), (1, 0), (1, 1), (2, 0)]
+
+
+def test_cms_one_sided_and_mergeable(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import (cms_batch_counts, cms_estimate,
+                                          cms_frequencies)
+
+    rng = np.random.RandomState(9)
+    # zipf-ish: few heavy tokens + a long tail
+    vals = np.array([f"tok{i}" for i in rng.zipf(1.5, 30_000) if i < 5000],
+                    dtype=object)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals.tolist(), pa.string())}))
+    probes = [f"tok{i}" for i in range(1, 20)]
+    est = cms_frequencies(ds, "x", probes, width=8192, depth=4)
+    exact = pd.Series(vals).value_counts()
+    n = len(vals)
+    for p in probes:
+        true = int(exact.get(p, 0))
+        assert est[p] >= true, p                      # CMS never undercounts
+        assert est[p] <= true + 2 * n // 8192 + 1, p  # one-sided bound
+
+    # mergeability: sum of two half-sketches == sketch of the whole
+    a, b = vals[: n // 2], vals[n // 2:]
+    merged = cms_batch_counts(a, 1024, 3) + cms_batch_counts(b, 1024, 3)
+    whole = cms_batch_counts(vals, 1024, 3)
+    assert (merged == whole).all()
+    probe_arr = np.array(probes, dtype=object)
+    assert (cms_estimate(merged, probe_arr) == cms_estimate(whole, probe_arr)).all()
