@@ -285,3 +285,35 @@ def export_graph_partitioned(workdir: str, out_dir: str) -> dict:
             c[key] = c.get(key, 0) + frag.count_rows()
         counts[table] = c
     return counts
+
+
+def export_graph_jsonl(workdir: str, out_dir: str) -> dict:
+    """JSONL graph sink — the reference's line-delimited export surface
+    (/root/reference/standalone & mcp stream node/edge JSON objects per
+    line): streams the built node/edge checkpoints through Ray's JSON
+    datasink, one object per line, sharded one file per block. Returns
+    row counts; ``read_graph_jsonl`` is the matching source."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..util import default_num_blocks
+
+    counts: dict[str, int] = {}
+    for table in ("nodes", "edges"):
+        src = os.path.join(workdir, table)
+        dst = os.path.join(out_dir, table)
+        shutil.rmtree(dst, ignore_errors=True)
+        ds = rd.read_parquet(src, override_num_blocks=default_num_blocks())
+        ds.write_json(dst)
+        counts[table] = ds.count()
+    return counts
+
+
+def read_graph_jsonl(out_dir: str) -> dict:
+    """JSONL graph source: {'nodes': Dataset, 'edges': Dataset} from an
+    export_graph_jsonl directory."""
+    import ray.data as rd
+
+    return {table: rd.read_json(os.path.join(out_dir, table))
+            for table in ("nodes", "edges")}

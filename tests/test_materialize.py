@@ -86,3 +86,22 @@ def test_export_graph_partitioned(built, tmp_path):
         f"select count(*) from read_parquet('{WORKDIR}/edges/*.parquet')"
     ).fetchone()[0]
     assert total == flat_e == sum(counts["edges"].values())
+
+
+def test_export_graph_jsonl_roundtrip(built, tmp_path):
+    from stakgraph_ray.stages.materialize import (export_graph_jsonl,
+                                                  read_graph_jsonl)
+
+    out = str(tmp_path / "jsonl")
+    counts = export_graph_jsonl(WORKDIR, out)
+    back = read_graph_jsonl(out)
+    assert back["nodes"].count() == counts["nodes"] > 0
+    assert back["edges"].count() == counts["edges"] > 0
+    # node keys survive the JSONL roundtrip exactly
+    import duckdb
+
+    con = duckdb.connect()
+    want = {r[0] for r in con.sql(
+        f"select node_key from read_parquet('{WORKDIR}/nodes/*.parquet')").fetchall()}
+    got = {r["node_key"] for r in back["nodes"].take_all()}
+    assert got == want
