@@ -312,7 +312,9 @@ def export_graph_jsonl(workdir: str, out_dir: str) -> dict:
 
 def read_graph_jsonl(out_dir: str) -> dict:
     """JSONL graph source: {'nodes': Dataset, 'edges': Dataset} from an
-    export_graph_jsonl directory."""
+    export_graph_jsonl directory. JSON has one number type, so integer
+    columns (weight, start/end) may read back widened to double — keys and
+    row identity are exact; cast on read if downstream needs int64."""
     import ray.data as rd
 
     return {table: rd.read_json(os.path.join(out_dir, table))
