@@ -34,8 +34,12 @@ def distributed_quantiles(ds, col: str, qs: list[float], bins: int = 4096,
     share the stats/histogram/candidate executions."""
     from ray.data.aggregate import Count, Max, Min
 
-    vals = ds.map_batches(lambda t: pa.table({col: pc.cast(t[col], pa.float64())}),
-                          batch_format="pyarrow")
+    # drop nulls at the cast (quantile_cont ignores them); a null would
+    # otherwise cast to NaN, bin-index to garbage via NaN.astype(int64) and
+    # corrupt both the histogram and the candidate sort
+    vals = ds.map_batches(
+        lambda t: pa.table({col: pc.drop_null(pc.cast(t[col], pa.float64()))}),
+        batch_format="pyarrow")
     vals = vals.materialize()  # reused: stats pass + histogram + refinement
     stats = vals.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"),
                            Count(alias_name="n"))
@@ -131,6 +135,10 @@ def grouped_quantile(ds, keys, col: str, qs: list[float],
     sort_spec = [(k, "ascending") for k in keys] + [(col, "ascending")]
 
     def gq(t: pa.Table) -> pa.Table:
+        # quantile_cont ignores null values; a group whose values are ALL
+        # null disappears from the output (SQL would keep it with a null
+        # quantile — the one documented deviation)
+        t = t.filter(pc.is_valid(t[col]))
         t = t.sort_by(sort_spec)
         n = t.num_rows
         starts = np.flatnonzero(_key_change_mask(t, keys))

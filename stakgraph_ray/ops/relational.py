@@ -413,6 +413,18 @@ class IntervalJoiner:
     present (events_in_key x intervals_of_key), so the work is proportional
     to candidate pairs, never corpus x intervals."""
 
+    @staticmethod
+    def _ticks_us(col) -> np.ndarray:
+        """Timestamp ticks normalized to microseconds regardless of the
+        column's own unit (the hopping_window unit lesson: raw
+        pc.cast(ts, int64) is in the COLUMN's unit, so mixed-unit event and
+        interval columns would compare 1000x off)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
     def __init__(self, intervals_ref, key_col, ts_col, lo_col, hi_col,
                  carry_cols):
         iv = _resolve(intervals_ref)
@@ -420,8 +432,8 @@ class IntervalJoiner:
         self.carry_cols = list(carry_cols)
         self.by_key: dict = {}
         keys = iv[key_col].to_pylist()
-        lo = pc.cast(iv[lo_col], pa.int64()).to_numpy(zero_copy_only=False)
-        hi = pc.cast(iv[hi_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lo = self._ticks_us(iv[lo_col])
+        hi = self._ticks_us(iv[hi_col])
         carry = {c: iv[c] for c in self.carry_cols}
         for i, k in enumerate(keys):
             self.by_key.setdefault(k, []).append(i)
@@ -431,17 +443,28 @@ class IntervalJoiner:
         self.carry = carry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ts = pc.cast(batch[self.ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        ts = self._ticks_us(batch[self.ts_col])
         keys = batch[self.key_col].to_pylist()
         ev_parts, iv_parts = [], []
-        k_arr = np.array(keys, dtype=object)
-        for k in set(keys):
-            bounds = self.by_key.get(k)
+        # one factorize + stable sort groups all rows per key in one pass
+        # (a per-key equality rescan would be O(rows x distinct_keys))
+        codes, uniques = pd.factorize(np.array(keys, dtype=object))
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        bounds_idx = np.flatnonzero(
+            np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])
+        bounds_idx = np.r_[bounds_idx, len(sorted_codes)]
+        for s, e in zip(bounds_idx[:-1], bounds_idx[1:]):
+            code = sorted_codes[s]
+            if code < 0:
+                continue  # null keys match nothing
+            bounds = self.by_key.get(uniques[code])
             if bounds is None:
                 continue
             lo, hi, ix = bounds
-            ev_idx = np.flatnonzero(k_arr == k)
+            ev_idx = order[s:e]
             m = (ts[ev_idx, None] >= lo[None, :]) & (ts[ev_idx, None] < hi[None, :])
             e_i, i_i = np.nonzero(m)
             if len(e_i):

@@ -60,15 +60,40 @@ def hll_estimate(reg: np.ndarray) -> float:
     return float(e)
 
 
+def _splitmix64(h: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — derives an independent
+    hash family per seed from ONE base hash. (pd.util.hash_array silently
+    IGNORES hash_key for numeric dtypes, so seeding through it would
+    collapse every depth row to the same function on numeric columns.)"""
+    x = h ^ np.uint64(seed)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+_CMS_SEEDS = [0x243F6A8885A308D3, 0x13198A2E03707344,
+              0xA4093822299F31D0, 0x082EFA98EC4E6C89,
+              0x452821E638D01377, 0xBE5466CF34E90C6C]
+
+
+def _cms_rows(values: np.ndarray, depth: int) -> list[np.ndarray]:
+    base = pd.util.hash_array(np.asarray(values))
+    return [_splitmix64(base, _CMS_SEEDS[d % len(_CMS_SEEDS)] + d)
+            for d in range(depth)]
+
+
 def cms_batch_counts(values: np.ndarray, width: int, depth: int) -> np.ndarray:
     """Fold one batch of values into a fresh (depth, width) int64 count-min
-    sketch. Row hashes are independent fixed-key siphashes, so sketches are
-    deterministic and merge by elementwise SUM."""
+    sketch. Depth rows use independent splitmix64-derived hash families
+    over one deterministic base hash; sketches merge by elementwise SUM."""
     cms = np.zeros((depth, width), dtype=np.int64)
     if len(values) == 0:
         return cms
-    for d in range(depth):
-        h = pd.util.hash_array(np.asarray(values), hash_key=f"cms-row-{d:08d}")
+    for d, h in enumerate(_cms_rows(values, depth)):
         np.add.at(cms[d], (h % np.uint64(width)).astype(np.int64), 1)
     return cms
 
@@ -78,8 +103,7 @@ def cms_estimate(cms: np.ndarray, probes: np.ndarray) -> np.ndarray:
     underestimates, overestimates by <= 2N/width w.h.p. per row)."""
     depth, width = cms.shape
     est = np.full(len(probes), np.iinfo(np.int64).max, dtype=np.int64)
-    for d in range(depth):
-        h = pd.util.hash_array(np.asarray(probes), hash_key=f"cms-row-{d:08d}")
+    for d, h in enumerate(_cms_rows(probes, depth)):
         est = np.minimum(est, cms[d][(h % np.uint64(width)).astype(np.int64)])
     return est
 

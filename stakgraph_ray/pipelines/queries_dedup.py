@@ -580,31 +580,6 @@ def q_hll_distinct(sf_dir: str):
 DEDUP_QUERIES["agg_hll_distinct"] = (q_hll_distinct, None)
 
 
-def q_hll_distinct(sf_dir: str):
-    """Approximate distinct prices over lineitem via the HyperLogLog sketch
-    (ops/sketch.py): one pure-map pass emitting O(blocks) mergeable
-    register rows — the cardinality analog of the MinHash family, for
-    columns where exact distinct would be a vocabulary-scale shuffle.
-    Deterministic (fixed-key siphash), so the rows-only driver check is
-    stable; the accuracy gate (<5% vs exact at p=12) is a pytest
-    (tests/test_windows_quantile.py)."""
-    import ray.data as rd
-
-    from ..ops.sketch import approx_distinct
-    from ..util import adaptive_num_blocks
-
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_extendedprice"],
-                         override_num_blocks=adaptive_num_blocks(
-                             f"{sf_dir}/lineitem.parquet"))
-    est = approx_distinct(ds, "l_extendedprice", p=12)
-    return pa.table({"approx_distinct_prices": pa.array([round(est)],
-                                                        pa.int64())})
-
-
-DEDUP_QUERIES["agg_hll_distinct"] = (q_hll_distinct, None)
-
-
 def q_cms_token_freq(sf_dir: str):
     """Count-min-sketch frequency estimates for a fixed token probe set
     over the documents corpus: one tokenize map emits O(blocks) mergeable

@@ -376,7 +376,10 @@ def q_bigram_pmi(sf_dir: str):
 
     def totals(t: pa.Table) -> pa.Table:
         toks = _tokens(t)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # fill_null BEFORE astype: a null text row's NaN length would
+        # astype(int64) into INT64_MIN and poison the corpus totals
+        lens = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         flat = toks.values
         kept = flat.filter(pc.is_in(flat, value_set=wset))
         g = pa.table({"w": kept}).group_by(["w"]).aggregate([("w", "count")])
@@ -473,11 +476,17 @@ def q_tfidf_top_terms(sf_dir: str):
         pa.schema([("term", pa.string()), ("df", pa.int64())]))
 
     def score(t: pa.Table) -> pa.Table:
+        import math
+
         tf_v = pc.cast(t["tf"], pa.float64()).to_numpy(zero_copy_only=False)
         df_v = pc.cast(t["df"], pa.float64()).to_numpy(zero_copy_only=False)
-        # same expression order as the oracle: tf * ln(N / df)
-        return t.append_column("tfidf", pa.array(tf_v * np.log(n_docs / df_v),
-                                                 pa.float64()))
+        # same expression as the oracle: tf * ln(N / df). ln via math.log
+        # over the (few) distinct df values — glibc libm, the ln DuckDB
+        # binds; np.log's SIMD path drifts 1 ulp on ~20% of inputs, enough
+        # to flip a rounded 4th decimal or swap an rn=5/rn=6 rank
+        u, inv = np.unique(df_v, return_inverse=True)
+        ln_u = np.array([math.log(n_docs / x) for x in u], dtype=np.float64)
+        return t.append_column("tfidf", pa.array(tf_v * ln_u[inv], pa.float64()))
 
     scored = joined.map_batches(score, batch_format="pyarrow")
     top = top_n_per_group(scored, "doc_id",

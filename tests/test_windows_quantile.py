@@ -196,3 +196,57 @@ def test_cms_one_sided_and_mergeable(ray_session):
     assert (merged == whole).all()
     probe_arr = np.array(probes, dtype=object)
     assert (cms_estimate(merged, probe_arr) == cms_estimate(whole, probe_arr)).all()
+
+
+def test_cms_depth_rows_independent_on_numeric_values():
+    from stakgraph_ray.ops.sketch import cms_batch_counts
+
+    vals = np.arange(1000, dtype=np.int64)
+    cms = cms_batch_counts(vals, 256, 4)
+    # pandas hash_array ignores hash_key on numeric dtypes; the splitmix64
+    # per-depth families must NOT collapse to one function
+    for d in range(1, 4):
+        assert not (cms[0] == cms[d]).all(), d
+
+
+def test_interval_join_mixed_timestamp_units(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.relational import interval_join
+
+    # events in SECONDS, intervals in MICROSECONDS — ticks must normalize
+    ev = pa.table({"eid": pa.array([0, 1], pa.int64()),
+                   "k": pa.array(["a", "a"]),
+                   "ts": pa.array(np.array([5, 50], dtype="datetime64[s]"))})
+    iv = pa.table({
+        "k": pa.array(["a"]),
+        "pid": pa.array([7], pa.int64()),
+        "lo": pa.array(np.array([0], dtype="datetime64[s]").astype("datetime64[us]")),
+        "hi": pa.array(np.array([10], dtype="datetime64[s]").astype("datetime64[us]")),
+    })
+    got = interval_join(rd.from_arrow(ev), iv, "k", "ts", "lo", "hi",
+                        ["pid"]).to_pandas()
+    assert got.eid.tolist() == [0] and got.pid.tolist() == [7]
+
+
+def test_quantiles_ignore_nulls(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.quantile import (distributed_quantiles,
+                                            grouped_quantile)
+
+    rng = np.random.RandomState(2)
+    v = rng.randn(300)
+    vals = pa.array(
+        [None if i % 7 == 0 else float(v[i]) for i in range(300)], pa.float64())
+    t = pa.table({"k": pa.array([i % 3 for i in range(300)], pa.int64()),
+                  "v": vals})
+    clean = np.array([v[i] for i in range(300) if i % 7 != 0])
+    got = distributed_quantiles(rd.from_arrow(t), "v", [0.5])
+    assert abs(got[0] - np.quantile(clean, 0.5)) < 1e-12
+    gq = grouped_quantile(rd.from_arrow(t), "k", "v", [0.5], ["p50"]) \
+        .to_pandas().set_index("k").sort_index()
+    for k in range(3):
+        want = np.quantile(np.array([v[i] for i in range(300)
+                                     if i % 7 != 0 and i % 3 == k]), 0.5)
+        assert abs(gq.loc[k, "p50"] - want) < 1e-12, k
