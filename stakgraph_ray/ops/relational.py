@@ -293,6 +293,86 @@ def window_lag(ds, group_keys, order_by, value_col: str,
     return partitioned_apply(ds, keys, lag_fn, num_partitions)
 
 
+def window_lead(ds, group_keys, order_by, value_col: str,
+                out_col: str = "next", num_partitions=None):
+    """lead(value_col, 1) over (partition by keys order by order_by):
+    mirror of window_lag — null on each group's LAST row."""
+    from .partition import partitioned_apply
+
+    keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    order_by = _norm_order_by(order_by)
+    sort_spec = [(k, "ascending") for k in keys] + order_by
+
+    def lead_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        key_mask = _key_change_mask(t, keys)
+        # row i is its group's last row iff row i+1 starts a new group
+        last_mask = np.concatenate((key_mask[1:], [True])) if n else key_mask
+        idx = np.arange(n, dtype=np.int64) + 1
+        shifted = pc.take(
+            t[value_col].combine_chunks() if isinstance(t[value_col], pa.ChunkedArray)
+            else t[value_col],
+            pa.array(np.minimum(idx, max(n - 1, 0)), pa.int64(), mask=last_mask))
+        return t.append_column(out_col, shifted)
+
+    return partitioned_apply(ds, keys, lead_fn, num_partitions)
+
+
+def window_dist(ds, group_keys, order_by, rank_cols=None, ntile: int | None = None,
+                out_percent_rank=None, out_cume_dist=None, out_ntile=None,
+                num_partitions=None):
+    """Distribution window functions per group: percent_rank()
+    ((rank-1)/(n-1), 0 for single-row groups), cume_dist()
+    (rows-with-order-value-<=-current / n) and ntile(k) (SQL semantics:
+    earlier buckets take the remainder rows). One keyed shuffle +
+    vectorized segmented-index arithmetic; the ratios are small-integer
+    divisions in double, so they match SQL bit-for-bit."""
+    from .partition import partitioned_apply
+
+    keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    order_by = _norm_order_by(order_by)
+    rank_cols = list(rank_cols) if rank_cols else [c for c, _ in order_by]
+    sort_spec = [(k, "ascending") for k in keys] + order_by
+
+    def dist_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        idx = np.arange(n, dtype=np.int64)
+        key_mask = _key_change_mask(t, keys)
+        run_mask = key_mask | _key_change_mask(t, rank_cols)
+        last_g = np.maximum.accumulate(np.where(key_mask, idx, -1))
+        last_r = np.maximum.accumulate(np.where(run_mask, idx, -1))
+        starts = np.flatnonzero(key_mask)
+        counts = np.diff(np.concatenate((starts, [n])))
+        cnt = np.repeat(counts, counts)            # group size per row
+        g_end = np.repeat(starts + counts, counts)  # one past group end
+        if out_percent_rank:
+            rnk = last_r - last_g + 1
+            pr = np.where(cnt > 1, (rnk - 1) / np.maximum(cnt - 1, 1), 0.0)
+            t = t.append_column(out_percent_rank, pa.array(pr, pa.float64()))
+        if out_cume_dist:
+            # end of the current tie run = next run start (clamped to group end)
+            run_starts = np.flatnonzero(run_mask)
+            run_counts = np.diff(np.concatenate((run_starts, [n])))
+            next_run = np.repeat(
+                np.concatenate((run_starts[1:], [n])), run_counts)
+            run_end = np.minimum(next_run, g_end)
+            cd = (run_end - last_g) / cnt
+            t = t.append_column(out_cume_dist, pa.array(cd, pa.float64()))
+        if out_ntile and ntile:
+            r0 = idx - last_g
+            q, rem = cnt // ntile, cnt % ntile
+            thresh = rem * (q + 1)
+            tile = np.where(
+                r0 < thresh, r0 // np.maximum(q + 1, 1) + 1,
+                rem + (r0 - thresh) // np.maximum(q, 1) + 1)
+            t = t.append_column(out_ntile, pa.array(tile.astype(np.int64)))
+        return t
+
+    return partitioned_apply(ds, keys, dist_fn, num_partitions)
+
+
 def top_n_per_group(ds, group_keys, order_by, n: int, num_partitions=None,
                     out_row_number="rn"):
     """Top-n rows per group (generalizes first_per_group's top-1): window

@@ -149,3 +149,37 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for r in rows:
         merged = np.maximum(merged, np.asarray(r["reg"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def grouped_approx_distinct(ds, key: str, col: str, p: int = 12) -> dict:
+    """Approximate ``count(distinct col) GROUP BY key`` for LOW-cardinality
+    keys (status/type dimensions): each batch emits one (key, registers)
+    row per key present (vectorized factorize + per-group fold), the driver
+    merges G x blocks register rows with elementwise max — the grouped
+    composition of the HLL sketch. For corpus-cardinality keys use exact
+    distinct_hp instead (per-group sketches would not fit the driver)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        vals = c.to_numpy(zero_copy_only=False)
+        keys_np = np.array(t[key].to_pylist(), dtype=object)
+        codes, uniques = pd.factorize(keys_np)
+        out_keys, out_regs = [], []
+        for gi, k in enumerate(uniques):
+            reg = hll_batch_registers(vals[codes == gi], p)
+            out_keys.append(k)
+            out_regs.append(reg)
+        m = 1 << p
+        return pa.table({
+            key: pa.array(out_keys),
+            "reg": pa.array(out_regs, pa.list_(pa.uint8(), m)),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict = {}
+    for r in rows:
+        reg = np.asarray(r["reg"], dtype=np.uint8)
+        k = r[key]
+        merged[k] = np.maximum(merged[k], reg) if k in merged else reg
+    return {k: hll_estimate(reg) for k, reg in merged.items()}

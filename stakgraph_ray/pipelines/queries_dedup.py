@@ -608,3 +608,26 @@ def q_cms_token_freq(sf_dir: str):
 
 
 DEDUP_QUERIES["agg_cms_token_freq"] = (q_cms_token_freq, None)
+
+
+def q_hll_distinct_by_type(sf_dir: str):
+    """Grouped HLL: approximate distinct users per event_type (the sketch
+    composed with a low-cardinality group-by — per-batch per-group register
+    rows, driver merges G x blocks sketches). Deterministic; accuracy gated
+    in pytest alongside the global sketch."""
+    import ray.data as rd
+
+    from ..ops.sketch import grouped_approx_distinct
+    from ..util import adaptive_num_blocks
+
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "user_id"],
+                         override_num_blocks=adaptive_num_blocks(path))
+    est = grouped_approx_distinct(ds, "event_type", "user_id", p=12)
+    keys = sorted(est)
+    return pa.table({"event_type": pa.array(keys, pa.string()),
+                     "approx_distinct_users": pa.array(
+                         [int(round(est[k])) for k in keys], pa.int64())})
+
+
+DEDUP_QUERIES["agg_hll_distinct_by_type"] = (q_hll_distinct_by_type, None)

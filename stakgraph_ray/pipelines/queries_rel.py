@@ -442,6 +442,42 @@ qualify rn <= 3
 """
 
 
+def q_order_window_dist(sf_dir: str):
+    """Distribution window functions per customer (percent_rank, cume_dist,
+    ntile(4)) plus lead() — the rest of the SQL window family. The ratios
+    are small-integer divisions in double, so they match the oracle
+    bit-for-bit; ntile follows SQL's earlier-buckets-take-remainder rule."""
+    from ..ops.relational import window_dist, window_lead
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    order = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    out = window_dist(ds, "o_custkey", order, rank_cols=["o_totalprice"],
+                      ntile=4, out_percent_rank="pr", out_cume_dist="cd",
+                      out_ntile="quartile")
+    out = window_lead(out, "o_custkey", order, "o_totalprice",
+                      out_col="next_price")
+    return out.map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "pr", "cd",
+                            "quartile", "next_price"]),
+        batch_format="pyarrow")
+
+
+SQL_ORDER_WINDOW_DIST = """
+select o_custkey, o_orderkey,
+       percent_rank() over (partition by o_custkey
+                            order by o_totalprice desc) as pr,
+       cume_dist() over (partition by o_custkey
+                         order by o_totalprice desc) as cd,
+       ntile(4) over (partition by o_custkey
+                      order by o_totalprice desc, o_orderkey) as quartile,
+       lead(o_totalprice) over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey)
+         as next_price
+from orders
+"""
+
+
 def q_nation_balance_quantiles(sf_dir: str):
     """Per-group exact quantiles (quantile_cont ... GROUP BY): one keyed
     shuffle + a single vectorized segmented-interpolation pass per
@@ -863,6 +899,7 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_nation_balance_quantiles": (q_nation_balance_quantiles,
                                      SQL_NATION_BALANCE_QUANTILES),
     "rel_promo_events": (q_promo_events, SQL_PROMO_EVENTS),
+    "rel_order_window_dist": (q_order_window_dist, SQL_ORDER_WINDOW_DIST),
     "rel_event_weekday_pivot": (q_event_weekday_pivot, SQL_EVENT_WEEKDAY_PIVOT),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),

@@ -250,3 +250,49 @@ def test_quantiles_ignore_nulls(ray_session):
         want = np.quantile(np.array([v[i] for i in range(300)
                                      if i % 7 != 0 and i % 3 == k]), 0.5)
         assert abs(gq.loc[k, "p50"] - want) < 1e-12, k
+
+
+def test_window_dist_and_lead_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from stakgraph_ray.ops.relational import window_dist, window_lead
+
+    t = _orders()  # heavy ties by construction
+    order = [("price", "descending"), ("okey", "ascending")]
+    out = window_dist(rd.from_arrow(t), "cust", order, rank_cols=["price"],
+                      ntile=3, out_percent_rank="pr", out_cume_dist="cd",
+                      out_ntile="tercile")
+    out = window_lead(out, "cust", order, "price", out_col="nxt")
+    got = out.to_pandas().sort_values("okey").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql("""
+      select okey,
+             percent_rank() over (partition by cust order by price desc) as pr,
+             cume_dist() over (partition by cust order by price desc) as cd,
+             ntile(3) over (partition by cust order by price desc, okey) as tercile,
+             lead(price) over (partition by cust order by price desc, okey) as nxt
+      from t order by okey""").df()
+    assert (got.pr == want.pr).all()
+    assert (got.cd == want.cd).all()
+    assert got.tercile.tolist() == want.tercile.tolist()
+    assert ((got.nxt.isna() & want.nxt.isna()) | (got.nxt == want.nxt)).all()
+
+
+def test_grouped_hll_accuracy(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import grouped_approx_distinct
+
+    rng = np.random.RandomState(13)
+    n = 60_000
+    t = pa.table({
+        "k": pa.array([f"g{i % 4}" for i in range(n)]),
+        "v": pa.array(rng.randint(0, 8000, n), pa.int64()),
+    })
+    est = grouped_approx_distinct(rd.from_arrow(t), "k", "v", p=12)
+    df = t.to_pandas()
+    for k, grp in df.groupby("k"):
+        exact = grp.v.nunique()
+        assert abs(est[k] - exact) / exact < 0.05, (k, est[k], exact)
