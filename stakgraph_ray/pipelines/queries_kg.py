@@ -677,8 +677,131 @@ join e e3 on e3.u = e1.u and e3.v = e2.v
 """
 
 
+def q_term_link_prediction(sf_dir: str):
+    """Common-neighbors link prediction over the undirected FOLLOWS term
+    graph — the KG-completion op: for non-adjacent term pairs, Jaccard of
+    neighbor sets = |N(a)∩N(b)| / (deg a + deg b - |∩|); top 20 predicted
+    links. Shape: symmetrized adjacency -> ONE co-group join on the shared
+    neighbor (two-hop a<b pairs + grouped count) -> two vocab-keyed degree
+    joins -> membership anti-filter against existing edges -> per-partition
+    top-k into the global 20-row sort. The Jaccard is one small-integer
+    division in double, bit-exact vs SQL."""
+    from ..ops.partition import (cogroup_join_hp, distinct_hp,
+                                 grouped_aggregate, membership_filter_hp)
+    from ..ops.search import partial_topk
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t["a"], t["b"])
+        v = pc.max_element_wise(t["a"], t["b"])
+        keep = pc.not_equal(u, v)
+        return pa.table({"u": pc.cast(u, pa.string()),
+                         "v": pc.cast(v, pa.string())}).filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep)
+
+    und = distinct_hp(edges.map_batches(orient, batch_format="pyarrow"),
+                      ["u", "v"]).materialize()
+
+    def _flat(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    sym = und.map_batches(
+        lambda t: pa.table({"y": pa.concat_arrays([_flat(t["u"]), _flat(t["v"])]),
+                            "n": pa.concat_arrays([_flat(t["v"]), _flat(t["u"])])}),
+        batch_format="pyarrow").materialize()  # pair join + degree count
+
+    left = sym.map_batches(lambda t: pa.table({"y": t["y"], "a": t["n"]}),
+                           batch_format="pyarrow")
+    right = sym.map_batches(lambda t: pa.table({"y": t["y"], "b": t["n"]}),
+                            batch_format="pyarrow")
+    pairs = cogroup_join_hp(
+        left, right, "y",
+        pa.schema([("y", pa.string()), ("a", pa.string())]),
+        pa.schema([("y", pa.string()), ("b", pa.string())]))
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.less(t["a"], t["b"])), batch_format="pyarrow")
+    inter = grouped_aggregate(pairs, ["a", "b"], [("y", "count")], ["cn"])
+
+    deg = grouped_aggregate(sym, "y", [("n", "count")], ["d"])
+    j1 = cogroup_join_hp(
+        inter.map_batches(lambda t: t.select(["a", "b", "cn"]),
+                          batch_format="pyarrow"),
+        deg.map_batches(lambda t: pa.table({"a": t["y"], "da": t["d"]}),
+                        batch_format="pyarrow"),
+        "a",
+        pa.schema([("a", pa.string()), ("b", pa.string()), ("cn", pa.int64())]),
+        pa.schema([("a", pa.string()), ("da", pa.int64())]))
+    j2 = cogroup_join_hp(
+        j1, deg.map_batches(lambda t: pa.table({"b": t["y"], "db": t["d"]}),
+                            batch_format="pyarrow"),
+        "b",
+        pa.schema([("b", pa.string()), ("a", pa.string()), ("cn", pa.int64()),
+                   ("da", pa.int64())]),
+        pa.schema([("b", pa.string()), ("db", pa.int64())]))
+
+    def score(t: pa.Table) -> pa.Table:
+        cn = pc.cast(t["cn"], pa.float64())
+        un = pc.subtract(pc.cast(pc.add(t["da"], t["db"]), pa.float64()), cn)
+        return pa.table({
+            "k": pc.binary_join_element_wise(
+                pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()),
+                pa.scalar("\x1f")),
+            "a": t["a"], "b": t["b"],
+            "cn": pc.cast(t["cn"], pa.int64()),
+            "jaccard": pc.divide(cn, un),
+        })
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    non_adjacent = membership_filter_hp(
+        scored,
+        und.map_batches(lambda t: pa.table({"k": pc.binary_join_element_wise(
+            pc.cast(t["u"], pa.string()), pc.cast(t["v"], pa.string()),
+            pa.scalar("\x1f"))}), batch_format="pyarrow"),
+        "k", keep=False,
+        payload_schema=pa.schema([("k", pa.string()), ("a", pa.string()),
+                                  ("b", pa.string()), ("cn", pa.int64()),
+                                  ("jaccard", pa.float64())]))
+    out = non_adjacent.map_batches(
+        lambda t: t.select(["a", "b", "cn", "jaccard"])
+                   .sort_by([("jaccard", "descending"), ("a", "ascending"),
+                             ("b", "ascending")]).slice(0, 20),
+        batch_format="pyarrow")
+    # final 20-row merge on the driver with a PINNED schema: a dense graph
+    # can make the prediction set empty, and Ray's schema-less empty blocks
+    # would otherwise drop the column names from the result
+    schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                        ("cn", pa.int64()), ("jaccard", pa.float64())])
+    tbl = pa.Table.from_pylist(out.take_all(), schema=schema)
+    return tbl.sort_by([("jaccard", "descending"), ("a", "ascending"),
+                        ("b", "ascending")]).slice(0, 20)
+
+
+SQL_TERM_LINK_PREDICTION = _FOLLOWS_CTE + """
+, e as (select distinct least(a, b) as u, greatest(a, b) as v
+        from p where a <> b),
+sym as (select u as y, v as n from e union all select v as y, u as n from e),
+inter as (select s1.n as a, s2.n as b, count(*) as cn
+          from sym s1 join sym s2 on s1.y = s2.y and s1.n < s2.n
+          group by 1, 2),
+deg as (select y as node, count(*) as d from sym group by y)
+select i.a, i.b, i.cn,
+       cast(i.cn as double) /
+         (cast(da.d + db.d as double) - cast(i.cn as double)) as jaccard
+from inter i
+join deg da on i.a = da.node
+join deg db on i.b = db.node
+where not exists (select 1 from e where e.u = i.a and e.v = i.b)
+order by jaccard desc, i.a, i.b
+limit 20
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_term_triangles": (q_term_triangles, SQL_TERM_TRIANGLES),
+    "kg_term_link_prediction": (q_term_link_prediction,
+                                SQL_TERM_LINK_PREDICTION),
     "kg_epilogue_pages": (q_epilogue_pages, SQL_EPILOGUE_PAGES),
     "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
     "kg_reachable_from_spark": (q_reachable_from_spark, SQL_REACHABLE),
