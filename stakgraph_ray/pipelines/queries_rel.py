@@ -609,6 +609,69 @@ from events group by event_type
 """
 
 
+def q_funnel_conversion(sf_dir: str):
+    """Funnel analysis over the event log: of the users who ever 'click',
+    how many 'purchase' strictly AFTER their first click (first-touch
+    attribution). One filtered read (two event types), one keyed min
+    aggregate per (user, step), then a vectorized per-partition compare —
+    the ordered-log analytics shape on top of the same hash-partitioned
+    machinery as sessionize."""
+    from ..ops.partition import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def steps(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        return t.filter(keep)
+
+    firsts = grouped_aggregate(
+        ds.map_batches(steps, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("ts", "min")], ["first_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_click = pc.equal(t["event_type"], "click").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t["first_ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        df = pd.DataFrame({"uid": uid, "click": np.where(is_click, ts, np.nan),
+                           "buy": np.where(~is_click, ts, np.nan)})
+        g = df.groupby("uid").min()
+        clickers = g["click"].notna()
+        converted = clickers & g["buy"].notna() & (g["buy"] > g["click"])
+        return pa.table({"n_clickers": pa.array([int(clickers.sum())], pa.int64()),
+                         "n_converted": pa.array([int(converted.sum())], pa.int64())})
+
+    # each user's two step rows share a partition (hash on user_id), so the
+    # per-partition compare is exact; the per-partition scalar pairs then
+    # sum on the driver
+    from ..ops.partition import partitioned_apply
+
+    parts = partitioned_apply(firsts, "user_id", partial)
+    rows = parts.take_all()
+    return pa.table({
+        "n_clickers": pa.array([sum(r["n_clickers"] for r in rows)], pa.int64()),
+        "n_converted": pa.array([sum(r["n_converted"] for r in rows)], pa.int64()),
+    })
+
+
+SQL_FUNNEL = """
+with f as (
+  select user_id,
+         min(case when event_type = 'click' then ts end) as first_click,
+         min(case when event_type = 'purchase' then ts end) as first_buy
+  from events
+  where event_type in ('click', 'purchase')
+  group by user_id)
+select cast(count(*) filter (first_click is not null) as bigint) as n_clickers,
+       cast(count(*) filter (first_click is not null and first_buy > first_click)
+            as bigint) as n_converted
+from f
+"""
+
+
 # ------------------------------------------------------------ text analysis
 
 def q_token_stats(sf_dir: str):
@@ -900,6 +963,7 @@ REL_QUERIES: dict[str, tuple] = {
                                      SQL_NATION_BALANCE_QUANTILES),
     "rel_promo_events": (q_promo_events, SQL_PROMO_EVENTS),
     "rel_order_window_dist": (q_order_window_dist, SQL_ORDER_WINDOW_DIST),
+    "rel_funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "rel_event_weekday_pivot": (q_event_weekday_pivot, SQL_EVENT_WEEKDAY_PIVOT),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
