@@ -321,13 +321,16 @@ def window_lead(ds, group_keys, order_by, value_col: str,
 
 def window_dist(ds, group_keys, order_by, rank_cols=None, ntile: int | None = None,
                 out_percent_rank=None, out_cume_dist=None, out_ntile=None,
+                lead_col: str | None = None, out_lead: str = "next",
                 num_partitions=None):
     """Distribution window functions per group: percent_rank()
     ((rank-1)/(n-1), 0 for single-row groups), cume_dist()
     (rows-with-order-value-<=-current / n) and ntile(k) (SQL semantics:
     earlier buckets take the remainder rows). One keyed shuffle +
     vectorized segmented-index arithmetic; the ratios are small-integer
-    divisions in double, so they match SQL bit-for-bit."""
+    divisions in double, so they match SQL bit-for-bit. ``lead_col`` rides
+    along in the same sorted pass (lead(col,1), null on a group's last
+    row) so a query needing both never pays a second shuffle."""
     from .partition import partitioned_apply
 
     keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
@@ -338,6 +341,16 @@ def window_dist(ds, group_keys, order_by, rank_cols=None, ntile: int | None = No
     def dist_fn(t: pa.Table) -> pa.Table:
         t = t.sort_by(sort_spec)
         n = t.num_rows
+        if n == 0:
+            if out_percent_rank:
+                t = t.append_column(out_percent_rank, pa.array([], pa.float64()))
+            if out_cume_dist:
+                t = t.append_column(out_cume_dist, pa.array([], pa.float64()))
+            if out_ntile and ntile:
+                t = t.append_column(out_ntile, pa.array([], pa.int64()))
+            if lead_col:
+                t = t.append_column(out_lead, t[lead_col])
+            return t
         idx = np.arange(n, dtype=np.int64)
         key_mask = _key_change_mask(t, keys)
         run_mask = key_mask | _key_change_mask(t, rank_cols)
@@ -368,6 +381,14 @@ def window_dist(ds, group_keys, order_by, rank_cols=None, ntile: int | None = No
                 r0 < thresh, r0 // np.maximum(q + 1, 1) + 1,
                 rem + (r0 - thresh) // np.maximum(q, 1) + 1)
             t = t.append_column(out_ntile, pa.array(tile.astype(np.int64)))
+        if lead_col:
+            last_mask = np.concatenate((key_mask[1:], [True]))
+            nxt = pc.take(
+                t[lead_col].combine_chunks()
+                if isinstance(t[lead_col], pa.ChunkedArray) else t[lead_col],
+                pa.array(np.minimum(idx + 1, n - 1), pa.int64(),
+                         mask=last_mask))
+            t = t.append_column(out_lead, nxt)
         return t
 
     return partitioned_apply(ds, keys, dist_fn, num_partitions)

@@ -164,11 +164,13 @@ def grouped_approx_distinct(ds, key: str, col: str, p: int = 12) -> dict:
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         vals = c.to_numpy(zero_copy_only=False)
         keys_np = np.array(t[key].to_pylist(), dtype=object)
-        codes, uniques = pd.factorize(keys_np)
+        # null keys form ONE group (SQL GROUP BY semantics — the repo-wide
+        # convention); the default sentinel would silently drop those rows
+        codes, uniques = pd.factorize(keys_np, use_na_sentinel=False)
         out_keys, out_regs = [], []
         for gi, k in enumerate(uniques):
             reg = hll_batch_registers(vals[codes == gi], p)
-            out_keys.append(k)
+            out_keys.append(None if (k is None or k != k) else k)
             out_regs.append(reg)
         m = 1 << p
         return pa.table({

@@ -624,7 +624,7 @@ def q_hll_distinct_by_type(sf_dir: str):
     ds = rd.read_parquet(path, columns=["event_type", "user_id"],
                          override_num_blocks=adaptive_num_blocks(path))
     est = grouped_approx_distinct(ds, "event_type", "user_id", p=12)
-    keys = sorted(est)
+    keys = sorted(est, key=lambda k: (k is None, k))  # null group sorts last
     return pa.table({"event_type": pa.array(keys, pa.string()),
                      "approx_distinct_users": pa.array(
                          [int(round(est[k])) for k in keys], pa.int64())})

@@ -688,7 +688,6 @@ def q_term_link_prediction(sf_dir: str):
     division in double, bit-exact vs SQL."""
     from ..ops.partition import (cogroup_join_hp, distinct_hp,
                                  grouped_aggregate, membership_filter_hp)
-    from ..ops.search import partial_topk
 
     edges = _follows_edges_ds(sf_dir).map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow")

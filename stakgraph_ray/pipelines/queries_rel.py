@@ -447,16 +447,15 @@ def q_order_window_dist(sf_dir: str):
     ntile(4)) plus lead() — the rest of the SQL window family. The ratios
     are small-integer divisions in double, so they match the oracle
     bit-for-bit; ntile follows SQL's earlier-buckets-take-remainder rule."""
-    from ..ops.relational import window_dist, window_lead
+    from ..ops.relational import window_dist
 
     ds = _read(sf_dir, "orders",
                columns=["o_custkey", "o_orderkey", "o_totalprice"])
     order = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
     out = window_dist(ds, "o_custkey", order, rank_cols=["o_totalprice"],
                       ntile=4, out_percent_rank="pr", out_cume_dist="cd",
-                      out_ntile="quartile")
-    out = window_lead(out, "o_custkey", order, "o_totalprice",
-                      out_col="next_price")
+                      out_ntile="quartile",
+                      lead_col="o_totalprice", out_lead="next_price")
     return out.map_batches(
         lambda t: t.select(["o_custkey", "o_orderkey", "pr", "cd",
                             "quartile", "next_price"]),
@@ -612,11 +611,12 @@ from events group by event_type
 def q_funnel_conversion(sf_dir: str):
     """Funnel analysis over the event log: of the users who ever 'click',
     how many 'purchase' strictly AFTER their first click (first-touch
-    attribution). One filtered read (two event types), one keyed min
-    aggregate per (user, step), then a vectorized per-partition compare —
-    the ordered-log analytics shape on top of the same hash-partitioned
-    machinery as sessionize."""
-    from ..ops.partition import grouped_aggregate
+    attribution). One filtered read (two event types) into ONE keyed
+    shuffle on user_id; the per-partition pass computes each user's
+    first-click / first-purchase mins and the compare together (a separate
+    (user, step) aggregate first would pay a second exchange for nothing —
+    it hashes on a key the next stage immediately re-partitions away)."""
+    from ..ops.partition import partitioned_apply
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
 
@@ -625,13 +625,9 @@ def q_funnel_conversion(sf_dir: str):
         keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
         return t.filter(keep)
 
-    firsts = grouped_aggregate(
-        ds.map_batches(steps, batch_format="pyarrow"),
-        ["user_id", "event_type"], [("ts", "min")], ["first_ts"])
-
     def partial(t: pa.Table) -> pa.Table:
         is_click = pc.equal(t["event_type"], "click").to_numpy(zero_copy_only=False)
-        ts = pc.cast(pc.cast(t["first_ts"], pa.timestamp("us")), pa.int64()) \
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         import pandas as pd
@@ -644,12 +640,11 @@ def q_funnel_conversion(sf_dir: str):
         return pa.table({"n_clickers": pa.array([int(clickers.sum())], pa.int64()),
                          "n_converted": pa.array([int(converted.sum())], pa.int64())})
 
-    # each user's two step rows share a partition (hash on user_id), so the
-    # per-partition compare is exact; the per-partition scalar pairs then
-    # sum on the driver
-    from ..ops.partition import partitioned_apply
-
-    parts = partitioned_apply(firsts, "user_id", partial)
+    # each user's step rows share a partition (hash on user_id), so the
+    # per-partition mins + compare are exact; the per-partition scalar
+    # pairs then sum on the driver
+    parts = partitioned_apply(ds.map_batches(steps, batch_format="pyarrow"),
+                              "user_id", partial)
     rows = parts.take_all()
     return pa.table({
         "n_clickers": pa.array([sum(r["n_clickers"] for r in rows)], pa.int64()),

@@ -296,3 +296,32 @@ def test_grouped_hll_accuracy(ray_session):
     for k, grp in df.groupby("k"):
         exact = grp.v.nunique()
         assert abs(est[k] - exact) / exact < 0.05, (k, est[k], exact)
+
+
+def test_grouped_hll_null_key_is_one_group(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import grouped_approx_distinct
+
+    t = pa.table({"k": pa.array(["a", None, "a", None, "b"]),
+                  "v": pa.array([1, 2, 3, 2, 9], pa.int64())})
+    est = grouped_approx_distinct(rd.from_arrow(t), "k", "v", p=12)
+    # null keys form ONE group (SQL GROUP BY), never silently dropped
+    assert set(est) == {"a", "b", None}
+    assert round(est[None]) == 1 and round(est["a"]) == 2
+
+
+def test_window_dist_fused_lead_matches_separate(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.relational import window_dist, window_lead
+
+    t = _orders()
+    order = [("price", "descending"), ("okey", "ascending")]
+    fused = window_dist(rd.from_arrow(t), "cust", order,
+                        rank_cols=["price"], lead_col="price", out_lead="nxt") \
+        .to_pandas().sort_values("okey").reset_index(drop=True)
+    sep = window_lead(rd.from_arrow(t), "cust", order, "price",
+                      out_col="nxt").to_pandas() \
+        .sort_values("okey").reset_index(drop=True)
+    assert ((fused.nxt.isna() & sep.nxt.isna()) | (fused.nxt == sep.nxt)).all()
