@@ -76,6 +76,99 @@ from lineitem group by l_returnflag, l_linestatus
 """
 
 
+def q_pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP — the OLAP multi-level total: (flag, status) cells,
+    per-flag subtotals, grand total, distinguished by null level columns.
+    Each level is one per-batch combiner aggregate (no shuffle — the levels
+    reuse the same partials shape), unioned with null-filled keys; at any
+    scale the output is bounded by the dimension cardinality."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"]) \
+        .materialize()  # three level aggregates share one scan
+
+    spec = [("l_quantity", "sum"), (None, "count_all")]
+    names = ["sum_qty", "n_rows"]
+    cells = low_card_aggregate(ds, ["l_returnflag", "l_linestatus"], spec, names)
+    flags = low_card_aggregate(ds, "l_returnflag", spec, names)
+    total = low_card_aggregate(
+        ds.map_batches(lambda t: t.append_column(
+            "_all", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow"),
+        "_all", spec, names)
+
+    def lvl_cells(t: pa.Table) -> pa.Table:
+        return _round_cols(t, {"sum_qty": 2})
+
+    def lvl_flags(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_qty": 2})
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": pa.nulls(t.num_rows, pa.string()),
+                         "sum_qty": t["sum_qty"], "n_rows": t["n_rows"]})
+
+    def lvl_total(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_qty": 2})
+        return pa.table({"l_returnflag": pa.nulls(t.num_rows, pa.string()),
+                         "l_linestatus": pa.nulls(t.num_rows, pa.string()),
+                         "sum_qty": t["sum_qty"], "n_rows": t["n_rows"]})
+
+    return cells.map_batches(lvl_cells, batch_format="pyarrow").union(
+        flags.map_batches(lvl_flags, batch_format="pyarrow"),
+        total.map_batches(lvl_total, batch_format="pyarrow"))
+
+
+SQL_PRICING_ROLLUP = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty, count(*) as n_rows
+from lineitem
+group by rollup(l_returnflag, l_linestatus)
+"""
+
+
+def q_nation_balance_stats(sf_dir: str):
+    """Grouped variance/stddev via the sum/sum-of-squares combiner (one
+    pure-map pass, no shuffle): avg and stddev_samp per nation. The
+    two-pass textbook formula is fine here because the oracle comparison is
+    at 4 decimals (DuckDB's Welford accumulation differs only in low-order
+    bits at this scale)."""
+    from ..ops.partition import low_card_aggregate
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("sq", pc.multiply(t["c_acctbal"],
+                                                    t["c_acctbal"])),
+        batch_format="pyarrow")
+    agg = low_card_aggregate(ds, "c_nationkey",
+                             [(None, "count_all"), ("c_acctbal", "sum"),
+                              ("sq", "sum")], ["n", "s", "ss"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64()).to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        ss = t["ss"].to_numpy(zero_copy_only=False)
+        avg = s / n
+        var = (ss - s * s / n) / np.maximum(n - 1, 1)
+        return pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "n_customers": t["n"],
+            "avg_acctbal": pa.array(round_half_away(avg, 4), pa.float64()),
+            "std_acctbal": pa.array(round_half_away(np.sqrt(np.maximum(var, 0)), 4),
+                                    pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NATION_BALANCE_STATS = """
+select c_nationkey, count(*) as n_customers,
+       round(avg(c_acctbal), 4) as avg_acctbal,
+       round(stddev_samp(c_acctbal), 4) as std_acctbal
+from customer group by c_nationkey
+"""
+
+
 def q_region_rollup(sf_dir: str):
     """Broadcast dimension joins (customer ⋈ nation ⋈ region) + rollup."""
     from ..ops.partition import low_card_aggregate
@@ -959,6 +1052,9 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_promo_events": (q_promo_events, SQL_PROMO_EVENTS),
     "rel_order_window_dist": (q_order_window_dist, SQL_ORDER_WINDOW_DIST),
     "rel_funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
+    "rel_pricing_rollup": (q_pricing_rollup, SQL_PRICING_ROLLUP),
+    "rel_nation_balance_stats": (q_nation_balance_stats,
+                                 SQL_NATION_BALANCE_STATS),
     "rel_event_weekday_pivot": (q_event_weekday_pivot, SQL_EVENT_WEEKDAY_PIVOT),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
