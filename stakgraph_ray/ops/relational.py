@@ -599,6 +599,18 @@ def interval_join(ds, intervals: pa.Table, key_col: str, ts_col: str,
         batch_format="pyarrow", concurrency=concurrency)
 
 
+def _window_to_us(batch: pa.Table) -> pa.Table:
+    """Normalize the ``window`` key to timestamp[us] AFTER the grouped
+    aggregate: Ray's Aggregate shuffle collapses a timestamp[us] key back to
+    the source unit (observed on 2.49), and SQL engines / the driver's
+    dtype-sensitive value-hash expect microseconds."""
+    i = batch.schema.get_field_index("window")
+    col = batch["window"]
+    if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+        batch = batch.set_column(i, "window", pc.cast(col, pa.timestamp("us")))
+    return batch
+
+
 def hopping_window(ds, ts_col: str, width_s: int, hop_s: int,
                    keys: list[str], aggs):
     """Hopping (sliding) event-time windows: width ``width_s`` seconds
@@ -627,7 +639,8 @@ def hopping_window(ds, ts_col: str, width_s: int, hop_s: int,
             "window", pc.cast(pa.array(win, pa.int64()), ts.type))
 
     ds = ds.map_batches(assign, batch_format="pyarrow")
-    return ds.groupby(["window", *keys]).aggregate(*aggs)
+    out = ds.groupby(["window", *keys]).aggregate(*aggs)
+    return out.map_batches(_window_to_us, batch_format="pyarrow")
 
 
 def tumbling_window(ds, ts_col: str, width: str, keys: list[str], aggs):
@@ -639,4 +652,5 @@ def tumbling_window(ds, ts_col: str, width: str, keys: list[str], aggs):
         return batch.append_column("window", w)
 
     ds = ds.map_batches(trunc, batch_format="pyarrow")
-    return ds.groupby(["window", *keys]).aggregate(*aggs)
+    out = ds.groupby(["window", *keys]).aggregate(*aggs)
+    return out.map_batches(_window_to_us, batch_format="pyarrow")

@@ -46,8 +46,11 @@ def canon_sql(col: str) -> str:
 
 
 def conf_sql(col: str) -> str:
-    return (f"case when {col} in ({CANON_LIST}) then 1.0 "
-            f"when {col} in ({ALIAS_KEYS}) then 0.9 else 0.3 end")
+    # cast: bare 1.0/0.9/0.3 literals make the CASE a DECIMAL(2,1) in DuckDB
+    # while the pipeline emits float64 — the driver's value-hash is
+    # dtype-sensitive, so force double.
+    return (f"cast(case when {col} in ({CANON_LIST}) then 1.0 "
+            f"when {col} in ({ALIAS_KEYS}) then 0.9 else 0.3 end as double)")
 
 
 STRATEGY_SQL = ("case when confidence >= 0.95 then 'exact' "

@@ -162,7 +162,7 @@ def q_nation_balance_stats(sf_dir: str):
 
 
 SQL_NATION_BALANCE_STATS = """
-select c_nationkey, count(*) as n_customers,
+select cast(c_nationkey as bigint) as c_nationkey, count(*) as n_customers,
        round(avg(c_acctbal), 4) as avg_acctbal,
        round(stddev_samp(c_acctbal), 4) as std_acctbal
 from customer group by c_nationkey
@@ -688,15 +688,18 @@ def q_event_weekday_pivot(sf_dir: str):
         [f"dow{d}" for d in range(7)])
 
 
+# Each sum is cast to bigint: DuckDB types sum(INTEGER) as HUGEINT (int128),
+# while the pipeline emits int64 — the driver's value-hash is dtype-sensitive
+# (the round-2 hash mismatch on this query was exactly this).
 SQL_EVENT_WEEKDAY_PIVOT = """
 select event_type,
-       sum(case when dayofweek(ts) = 0 then 1 else 0 end) as dow0,
-       sum(case when dayofweek(ts) = 1 then 1 else 0 end) as dow1,
-       sum(case when dayofweek(ts) = 2 then 1 else 0 end) as dow2,
-       sum(case when dayofweek(ts) = 3 then 1 else 0 end) as dow3,
-       sum(case when dayofweek(ts) = 4 then 1 else 0 end) as dow4,
-       sum(case when dayofweek(ts) = 5 then 1 else 0 end) as dow5,
-       sum(case when dayofweek(ts) = 6 then 1 else 0 end) as dow6
+       cast(sum(case when dayofweek(ts) = 0 then 1 else 0 end) as bigint) as dow0,
+       cast(sum(case when dayofweek(ts) = 1 then 1 else 0 end) as bigint) as dow1,
+       cast(sum(case when dayofweek(ts) = 2 then 1 else 0 end) as bigint) as dow2,
+       cast(sum(case when dayofweek(ts) = 3 then 1 else 0 end) as bigint) as dow3,
+       cast(sum(case when dayofweek(ts) = 4 then 1 else 0 end) as bigint) as dow4,
+       cast(sum(case when dayofweek(ts) = 5 then 1 else 0 end) as bigint) as dow5,
+       cast(sum(case when dayofweek(ts) = 6 then 1 else 0 end) as bigint) as dow6
 from events group by event_type
 """
 
@@ -921,7 +924,7 @@ def q_knn_bruteforce(sf_dir: str):
 SQL_KNN = """
 with q as (select vec_id as qid, embedding as qe from embeddings where vec_id < 3)
 select q.qid as query_id, e.vec_id as neighbor_id,
-       round(list_cosine_similarity(q.qe, e.embedding), 4) as cos
+       cast(round(list_cosine_similarity(q.qe, e.embedding), 4) as double) as cos
 from q, embeddings e
 qualify row_number() over (partition by q.qid
                            order by list_cosine_similarity(q.qe, e.embedding) desc,
