@@ -135,10 +135,11 @@ def grouped_quantile(ds, keys, col: str, qs: list[float],
     sort_spec = [(k, "ascending") for k in keys] + [(col, "ascending")]
 
     def gq(t: pa.Table) -> pa.Table:
-        # quantile_cont ignores null values; a group whose values are ALL
-        # null disappears from the output (SQL would keep it with a null
-        # quantile — the one documented deviation)
-        t = t.filter(pc.is_valid(t[col]))
+        # quantile_cont ignores null VALUES but SQL keeps every group: a
+        # group whose values are all null survives with a null quantile.
+        # Sorting by (keys, col) puts nulls last within each key group, so
+        # each group's valid rows are contiguous at its start — group starts
+        # come from the FULL table, valid counts via one reduceat.
         t = t.sort_by(sort_spec)
         n = t.num_rows
         starts = np.flatnonzero(_key_change_mask(t, keys))
@@ -150,17 +151,21 @@ def grouped_quantile(ds, keys, col: str, qs: list[float],
             for name in out_names:
                 cols[name] = pa.array([], pa.float64())
             return pa.table(cols)
-        counts = np.diff(np.concatenate((starts, [n])))
+        valid = pc.is_valid(t[col]).to_numpy(zero_copy_only=False)
+        counts = np.add.reduceat(valid.astype(np.int64), starts)
+        nz = counts > 0
+        safe = np.maximum(counts, 1)
         v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
         for q, name in zip(qs, out_names):
-            pos = starts + (counts - 1) * q
+            pos = starts + (safe - 1) * q
             lo = np.floor(pos).astype(np.int64)
-            hi = np.minimum(np.ceil(pos).astype(np.int64), starts + counts - 1)
+            hi = np.minimum(np.ceil(pos).astype(np.int64), starts + safe - 1)
             frac = pos - lo
             # same FP expression as the global path / DuckDB quantile_cont
             # (lower + frac*(upper-lower)); the algebraic twin
             # v_lo*(1-frac)+v_hi*frac can drift 1 ulp
-            cols[name] = pa.array(v[lo] + frac * (v[hi] - v[lo]), pa.float64())
+            vals = v[lo] + frac * (v[hi] - v[lo])
+            cols[name] = pa.array(vals, pa.float64(), mask=~nz)
         return pa.table(cols)
 
     return partitioned_apply(ds, keys, gq, num_partitions)

@@ -546,6 +546,14 @@ class IntervalJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if batch.num_rows == 0:
+            # Ray Data can emit empty blocks (tiny files split to the
+            # minimum block count, upstream filters); the factorize/bounds
+            # path below would index into an empty array
+            cols = {c: batch[c] for c in batch.column_names}
+            for c in self.carry_cols:
+                cols[c] = self.carry[c].slice(0, 0)
+            return pa.table(cols)
         ts = self._ticks_us(batch[self.ts_col])
         keys = batch[self.key_col].to_pylist()
         ev_parts, iv_parts = [], []

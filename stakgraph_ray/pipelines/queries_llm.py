@@ -530,13 +530,21 @@ def q_url_filter(sf_dir: str):
     smallest hosts so the oracle can reproduce it), minimum-content gate
     (≥ 60 text chars) and language gate (en only). Pure vectorized map —
     the shape of a C4-style URL/domain cleaning pass."""
-    import pyarrow.parquet as pq
+    import ray.data as rd
 
     from ..sources.pages import read_pages
 
-    blocked = sorted(set(
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
-        ["source"].to_pylist()))[:2]
+    # derive the blocklist distributed: per-batch distinct + min-2 partials
+    # (each block contributes at most 2 rows to the driver — O(blocks)
+    # driver state, never the full source column)
+    def min2(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["source"])
+        u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+        return pa.table({"source": u.sort().slice(0, 2)})
+
+    parts = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"]) \
+        .map_batches(min2, batch_format="pyarrow").take_all()
+    blocked = sorted({r["source"] for r in parts})[:2]
     bset = pa.array([f"{s}.example.org" for s in blocked], pa.large_string())
 
     from ..functions.textutils import host_of_url_column

@@ -730,7 +730,9 @@ def q_funnel_conversion(sf_dir: str):
 
         df = pd.DataFrame({"uid": uid, "click": np.where(is_click, ts, np.nan),
                            "buy": np.where(~is_click, ts, np.nan)})
-        g = df.groupby("uid").min()
+        # dropna=False: SQL GROUP BY keeps a null-user group — a null
+        # clicker/converter must still be counted (repo null-key convention)
+        g = df.groupby("uid", dropna=False).min()
         clickers = g["click"].notna()
         converted = clickers & g["buy"].notna() & (g["buy"] > g["click"])
         return pa.table({"n_clickers": pa.array([int(clickers.sum())], pa.int64()),

@@ -325,3 +325,62 @@ def test_window_dist_fused_lead_matches_separate(ray_session):
                       out_col="nxt").to_pandas() \
         .sort_values("okey").reset_index(drop=True)
     assert ((fused.nxt.isna() & sep.nxt.isna()) | (fused.nxt == sep.nxt)).all()
+
+
+def test_interval_join_empty_block(ray_session):
+    """An empty input block (tiny-file splits, upstream filters) must pass
+    through the IntervalJoiner instead of crashing its factorize path."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.relational import interval_join
+
+    ev = pa.table({"eid": pa.array([], pa.int64()),
+                   "k": pa.array([], pa.string()),
+                   "ts": pa.array([], pa.timestamp("us"))})
+    iv = pa.table({
+        "k": pa.array(["a"]),
+        "pid": pa.array([0], pa.int64()),
+        "lo": pa.array(np.array([0], dtype="datetime64[s]").astype("datetime64[us]")),
+        "hi": pa.array(np.array([20], dtype="datetime64[s]").astype("datetime64[us]")),
+    })
+    got = interval_join(rd.from_arrow(ev), iv, "k", "ts", "lo", "hi", ["pid"])
+    assert got.count() == 0
+
+
+def test_grouped_quantile_keeps_all_null_groups(ray_session):
+    """SQL quantile_cont ... GROUP BY keeps a group whose values are ALL
+    null (with a null quantile); the op must not drop it."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.quantile import grouped_quantile
+
+    t = pa.table({
+        "k": pa.array([0, 0, 1, 1, 2], pa.int64()),
+        "v": pa.array([1.0, 3.0, None, None, 5.0], pa.float64()),
+    })
+    got = grouped_quantile(rd.from_arrow(t), "k", "v", [0.5], ["p50"]) \
+        .to_pandas().set_index("k").sort_index()
+    assert list(got.index) == [0, 1, 2]
+    assert got.loc[0, "p50"] == 2.0
+    assert pd.isna(got.loc[1, "p50"])
+    assert got.loc[2, "p50"] == 5.0
+
+
+def test_window_key_is_timestamp_us(ray_session):
+    """Window keys normalize to timestamp[us] whatever the source unit
+    (Ray's Aggregate collapses a us key back to the source unit)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from stakgraph_ray.ops.relational import hopping_window, tumbling_window
+
+    t = pa.table({"ts": pa.array(np.arange(10) * 4000, pa.timestamp("s")),
+                  "v": pa.array(np.arange(10.0))})
+    out = tumbling_window(rd.from_arrow(t), "ts", "hour", [],
+                          [Count(alias_name="n")])
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    assert tbl.schema.field("window").type == pa.timestamp("us")
+    out2 = hopping_window(rd.from_arrow(t), "ts", 7200, 3600, [],
+                          [Count(alias_name="n")])
+    tbl2 = pa.Table.from_pandas(out2.to_pandas(), preserve_index=False)
+    assert tbl2.schema.field("window").type == pa.timestamp("us")
