@@ -38,66 +38,65 @@ def broadcast(obj):
     return ray.put(obj) if ray.is_initialized() else obj
 
 
-class BroadcastJoiner:
-    """Actor-pool stage: per-batch pyarrow hash join against a broadcast
-    small side (the dimension-table pattern; no shuffle)."""
+# Per-worker-process cache of resolved broadcast objects keyed by ObjectRef
+# (the make_minhash_fn pattern): a TASK-pool stage reads the plasma object
+# zero-copy once per worker process instead of paying an actor pool's
+# startup + static cluster partitioning — round 2 measured the actor-pool
+# variants of these joins 3-5x slower on short queries.
+_BCAST_CACHE: dict = {}
 
-    def __init__(self, right_ref, keys, right_keys=None, join_type="inner"):
-        self.right = _resolve(right_ref)
-        self.keys = [keys] if isinstance(keys, str) else list(keys)
-        self.right_keys = ([right_keys] if isinstance(right_keys, str)
-                           else list(right_keys)) if right_keys else self.keys
-        self.join_type = join_type
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = batch.join(self.right, keys=self.keys,
-                         right_keys=self.right_keys, join_type=self.join_type)
-        return out.combine_chunks()
+def _cached_resolve(ref):
+    try:
+        hit = _BCAST_CACHE.get(ref)
+    except TypeError:  # plain (non-ref) object in a Ray-less test
+        return _resolve(ref)
+    if hit is None:
+        hit = _resolve(ref)
+        _BCAST_CACHE[ref] = hit
+    return hit
 
 
 def broadcast_join(ds, right: pa.Table, keys, right_keys=None,
                    join_type="inner", concurrency=None):
-    concurrency = concurrency or _pool()
+    """Per-batch pyarrow hash join against a broadcast small side (the
+    dimension-table pattern; no shuffle). Task pool + per-process cache."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    right_keys = ([right_keys] if isinstance(right_keys, str)
+                  else list(right_keys)) if right_keys else keys
     ref = broadcast(right)
-    return ds.map_batches(
-        BroadcastJoiner, fn_constructor_kwargs={
-            "right_ref": ref, "keys": keys, "right_keys": right_keys,
-            "join_type": join_type},
-        batch_format="pyarrow", concurrency=concurrency)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        r = _cached_resolve(ref)
+        out = batch.join(r, keys=keys, right_keys=right_keys,
+                         join_type=join_type)
+        return out.combine_chunks()
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
 
 
-class KeySetFilter:
+def _key_set_filter(ds, column: str, keys, keep: bool):
     """Semi/anti join via a broadcast key set (cf. create_filtered_graph
     semi-join, btreemap_graph.rs:141-167; remove_nodes_by_files anti-join,
     graph_ops.rs:148-157)."""
+    ref = broadcast(pa.array(sorted(keys)))
 
-    def __init__(self, keys_ref, column, keep: bool):
-        keys = _resolve(keys_ref)
-        self.value_set = pa.array(sorted(keys))
-        self.column = column
-        self.keep = keep
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch[self.column], value_set=self.value_set)
-        if not self.keep:
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        value_set = _cached_resolve(ref)
+        mask = pc.is_in(batch[column], value_set=value_set)
+        if not keep:
             mask = pc.invert(mask)
         return batch.filter(mask)
 
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
 
 def semi_join(ds, column: str, keys, concurrency=None):
-    concurrency = concurrency or _pool()
-    return ds.map_batches(KeySetFilter,
-                          fn_constructor_kwargs={"keys_ref": broadcast(keys),
-                                                 "column": column, "keep": True},
-                          batch_format="pyarrow", concurrency=concurrency)
+    return _key_set_filter(ds, column, keys, keep=True)
 
 
 def anti_join(ds, column: str, keys, concurrency=None):
-    concurrency = concurrency or _pool()
-    return ds.map_batches(KeySetFilter,
-                          fn_constructor_kwargs={"keys_ref": broadcast(keys),
-                                                 "column": column, "keep": False},
-                          batch_format="pyarrow", concurrency=concurrency)
+    return _key_set_filter(ds, column, keys, keep=False)
 
 
 def hash_join(left, right, on, right_on=None, join_type="inner",

@@ -228,15 +228,20 @@ def q_top_customers(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = broadcast_join(ds, cust, keys="o_custkey", right_keys="c_custkey")
     # corpus-cardinality key: hash-partitioned aggregate, then each
-    # partition forwards only its top 10 into the global sort
+    # partition forwards only its top 10; the global merge happens on the
+    # driver over O(partitions x 10) rows — a full .sort().limit(10)
+    # exchange here cost 5x the whole query in the round-2 bench
     agg = grouped_aggregate(ds, ["o_custkey", "c_name"],
                             [("o_totalprice", "sum")], ["total_spent"])
-    out = agg.map_batches(
+    parts = agg.map_batches(
         lambda t: partial_topk(t, "total_spent", "o_custkey", 10),
-        batch_format="pyarrow") \
-        .sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
-    return out.map_batches(lambda t: _round_cols(t, {"total_spent": 2}),
-                           batch_format="pyarrow")
+        batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts, schema=pa.schema([
+        ("o_custkey", pa.int64()), ("c_name", pa.string()),
+        ("total_spent", pa.float64())]))
+    top = merged.sort_by([("total_spent", "descending"),
+                          ("o_custkey", "ascending")]).slice(0, 10)
+    return _round_cols(top, {"total_spent": 2})
 
 
 SQL_TOP_CUSTOMERS = """
@@ -295,12 +300,21 @@ def q_orders_lineitem_join(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
     li = li.map_batches(revenue, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    from ..util import join_num_partitions
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+                     batch_format="pyarrow")
+    # cogroup path instead of Dataset.join: the native join's one-aggregator-
+    # actor-per-partition pool regressed this query 3x in the round-2 bench
+    # (precedent: kg_two_hop, commit c6b0b1c); this is one tagged-union keyed
+    # shuffle + per-partition pyarrow join, task-based throughout
+    from ..ops.partition import cogroup_join_hp
 
-    joined = li.join(orders, join_type="inner",
-                     num_partitions=join_num_partitions(),
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = cogroup_join_hp(
+        li, orders, "l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
 
     def partial(t: pa.Table) -> pa.Table:
         # per-batch combiner: the rollup shuffle moves ~|priorities| rows
