@@ -309,9 +309,13 @@ def minhash_lsh_clusters(ds, id_col: str, text_col: str, max_pairs: int = 2_000_
             self.roots = _resolve(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            cl = np.array([self.roots.get(int(i), int(i)) for i in ids],
-                          dtype=np.int64)
+            # Series.map keeps the dict lookup in C (link.py precedent);
+            # ids absent from roots are their own cluster root
+            cl = pd.Series(ids).map(self.roots).fillna(
+                pd.Series(ids)).to_numpy(dtype=np.int64)
             return pa.table({"doc_id": pa.array(ids, pa.int64()),
                              "cluster_id": pa.array(cl)})
 

@@ -428,9 +428,13 @@ def q_term_components(sf_dir: str, max_pairs: int = 2_000_000):
         ref = broadcast(roots)
 
         def assign(t: pa.Table) -> pa.Table:
+            import numpy as np
+            import pandas as pd
+
             r = _resolve(ref)
             ids_np = t["id"].to_numpy(zero_copy_only=False)
-            comp = [r.get(int(i), int(i)) for i in ids_np]
+            comp = pd.Series(ids_np).map(r).fillna(
+                pd.Series(ids_np)).to_numpy(dtype=np.int64)
             return pa.table({"term": t["term"],
                              "comp": pa.array(comp, pa.int64())})
 

@@ -57,9 +57,17 @@ NODES_SCHEMA = pa.schema(
         pa.field("docs", pa.string()),
         pa.field("hash", pa.string()),
         pa.field("data_type", pa.string()),
-        # Open string->string property bag (NodeData.meta). Stored as
-        # canonical JSON text in-pipeline (robust through shuffles/pandas);
-        # materialize() can re-expose it as map<string,string>.
+        # Open string->string property bag (NodeData.meta,
+        # ast/src/lang/asg.rs:66-82). CONTRACT (deliberate deviation from
+        # SURVEY.md §1.5's pa.map_ sketch): stored as CANONICAL JSON text —
+        # keys sorted, no whitespace (json.dumps(..., sort_keys=True,
+        # separators=(",", ":"))) — because (a) map<string,string> does not
+        # survive Ray's pandas block conversions in shuffle/groupby stages,
+        # (b) canonical text makes the column directly hashable/comparable
+        # for dedup and the driver's value-hash, and (c) DuckDB reads it
+        # back with json_extract_string(meta, '$.key') while Arrow map
+        # kernels offer no comparable win for a ~20-key bag. Consumers
+        # parse JSON; meta_to_map() re-exposes map<string,string>.
         pa.field("meta", pa.string()),
     ]
 )
@@ -130,3 +138,18 @@ def node_key_array(node_type, name, file, start=None, verb=None) -> pa.Array:
         parts.append(sanitize_array(col(verb)))
     joined = pc.binary_join_element_wise(*parts, "-")
     return pc.utf8_slice_codeunits(joined, 0, MAX_KEY_LEN)
+
+
+def meta_to_map(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Re-expose the canonical-JSON ``meta`` column as
+    ``map<string,string>`` for consumers that want Arrow map kernels
+    (the SURVEY §1.5 shape). Null / empty JSON -> empty map."""
+    import json
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for v in col.to_pylist():
+        d = json.loads(v) if v else {}
+        out.append(list(d.items()))
+    return pa.array(out, pa.map_(pa.string(), pa.string()))

@@ -79,14 +79,44 @@ class FakeEmbedder:
         return out
 
 
+def default_model_factory(dim: int = EMBED_DIM):
+    """Opt-in real-model hook: try fastembed BGE-Small-EN-v1.5 (the
+    reference's model, embedding.rs:6-22); fall back to the deterministic
+    fake in this hermetic container. A real model object only needs an
+    ``embed(texts) -> (n, dim) ndarray``-shaped method."""
+    try:  # pragma: no cover - fastembed absent in this container
+        from fastembed import TextEmbedding  # type: ignore
+
+        class _Real:
+            def __init__(self):
+                self._m = TextEmbedding("BAAI/bge-small-en-v1.5")
+
+            def embed(self, texts):
+                import numpy as _np
+
+                out = _np.empty((len(texts), dim), dtype=_np.float32)
+                for i, t in enumerate(texts):
+                    ch = _np.stack(list(self._m.embed(chunk_code(t))))
+                    out[i] = weighted_pooling(ch)
+                return out
+
+        return _Real()
+    except ImportError:
+        return FakeEmbedder(dim)
+
+
 class EmbedBodies:
     """Actor-pool stage: nodes batch -> + embedding list<float32>[384].
 
     Model loaded ONCE per actor (the reference's OnceCell singleton,
-    embedding.rs:6-22). Callers should pass batch_size=EMBED_BATCH."""
+    embedding.rs:6-22) via ``model_factory`` — a zero-arg callable run in
+    the actor's __init__, so real weights load per worker, never on the
+    driver / in the task closure. Callers should pass
+    batch_size=EMBED_BATCH."""
 
-    def __init__(self, text_col: str = "body", dim: int = EMBED_DIM):
-        self.model = FakeEmbedder(dim)
+    def __init__(self, text_col: str = "body", dim: int = EMBED_DIM,
+                 model_factory=None):
+        self.model = (model_factory or (lambda: default_model_factory(dim)))()
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -106,10 +136,15 @@ def token_count_column(batch: pa.Table, text_col: str = "body") -> pa.Table:
     return batch.append_column("token_count", n)
 
 
-def embed_nodes(nodes_ds, concurrency=None):
+def embed_nodes(nodes_ds, concurrency=None, model_factory=None):
     """The backfill pipeline: token counts (stateless) + embeddings
-    (actor pool, batch 32)."""
+    (actor pool, batch 32). ``model_factory`` (optional zero-arg callable)
+    injects a real model per actor; default resolves fastembed when
+    available, else the deterministic fake."""
     concurrency = concurrency or _pool()
     ds = nodes_ds.map_batches(token_count_column, batch_format="pyarrow")
-    return ds.map_batches(EmbedBodies, batch_format="pyarrow",
-                          batch_size=EMBED_BATCH, concurrency=concurrency)
+    return ds.map_batches(
+        EmbedBodies, batch_format="pyarrow", batch_size=EMBED_BATCH,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"model_factory": model_factory}
+        if model_factory else {})

@@ -74,3 +74,36 @@ def test_embed_nodes_pipeline(ray_session):
     assert by["k1"]["token_count"] == 4
     assert by["k2"]["token_count"] == 0
     assert len(by["k1"]["embedding"]) == EMBED_DIM
+
+
+def test_embed_nodes_model_factory_injection(ray_session):
+    """The opt-in real-model hook: a custom factory runs once per actor
+    (inside __init__, not on the driver) and its embed() output flows
+    through the list<float32> plumbing unchanged."""
+    import ray.data as rd
+
+    from stakgraph_ray.stages.enrich import embed_nodes
+
+    class ConstModel:
+        def embed(self, texts):
+            return np.full((len(texts), EMBED_DIM), 0.5, dtype=np.float32)
+
+    nodes = rd.from_arrow(pa.table({
+        "node_key": ["k1", "k2"],
+        "body": ["alpha", "beta"],
+    }))
+    out = embed_nodes(nodes, model_factory=ConstModel).take_all()
+    assert len(out) == 2
+    for r in out:
+        v = np.asarray(r["embedding"])
+        assert v.shape == (EMBED_DIM,)
+        assert np.allclose(v, 0.5)
+
+
+def test_default_model_factory_falls_back_to_fake():
+    from stakgraph_ray.stages.enrich import FakeEmbedder, default_model_factory
+
+    m = default_model_factory()
+    # fastembed is absent in this container -> deterministic fake
+    assert isinstance(m, FakeEmbedder)
+    assert m.embed(["x"]).shape == (1, EMBED_DIM)

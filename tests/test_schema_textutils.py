@@ -50,3 +50,19 @@ def test_bigram_linker_drops_unverified_when_configured():
                           PipelineConfig(keep_unverified=False))(batch)
     assert strict["a"].to_pylist() == ["spark"]
     assert strict["b"].to_pylist() == ["join"]
+
+
+def test_meta_to_map_roundtrip():
+    import json
+
+    import pyarrow as pa
+
+    from stakgraph_ray.schema import meta_to_map
+
+    metas = [json.dumps({"a": "1", "b": "2"}, sort_keys=True,
+                        separators=(",", ":")), None, "{}"]
+    m = meta_to_map(pa.array(metas, pa.string()))
+    assert m.type == pa.map_(pa.string(), pa.string())
+    py = m.to_pylist()
+    assert py[0] == [("a", "1"), ("b", "2")]
+    assert py[1] == [] and py[2] == []
