@@ -292,6 +292,138 @@ def bfs_reachable(edges_ds, sources: list[str], max_depth: int = 3,
     return seen
 
 
+# Sorts below every character that can appear in a node key / canonical
+# term (lowercase alnum + '-'), so comparing sep-joined path strings equals
+# element-wise (list-lexicographic) path comparison at equal hop counts.
+_PATH_SEP = "\x1f"
+
+
+def bfs_shortest_paths(edges_ds, source: str, max_depth: int = 3,
+                       broadcast_limit: int = 500_000):
+    """Single-source BFS shortest paths WITH path reconstruction (the
+    shortest_path consumer shape, /root/reference/mcp/src/graph/
+    queries.ts:837-855 — bfs_reachable returns (node, depth) only; a
+    get_map-style consumer needs the actual path).
+
+    Returns (node_key, depth, path): hop distance from ``source`` and the
+    '->'-joined node keys of the lexicographically-smallest shortest path.
+
+    The frontier carries its own path column, grown one hop at a time and
+    min-reduced per discovered node — no backward parent joins at the end.
+    The per-node winner is exact: candidate paths to a node at its BFS
+    depth all extend shortest paths of the previous hop with the same
+    final element, and with a separator below every key character the
+    string min equals the element-wise path min (greedy exchange holds).
+    Frontier and seen stay Datasets; the broadcast expansion runs only
+    under the size guard, else a co-group hash join per hop (mirrors
+    bfs_reachable)."""
+    import ray.data as rd
+
+    from ..util import join_num_partitions
+    from .partition import cogroup_join_hp
+    from .relational import broadcast, _resolve
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({"src_key": pc.cast(t["src_key"], pa.string()),
+                            "dst_key": pc.cast(t["dst_key"], pa.string())}),
+        batch_format="pyarrow").materialize()
+    num_partitions = join_num_partitions()
+
+    seen = rd.from_arrow(pa.table({
+        "node_key": pa.array([source], pa.string()),
+        "depth": pa.array([0], pa.int64()),
+        "path": pa.array([source], pa.string()),
+    })).materialize()
+    frontier = seen
+    n_seen = 1
+
+    for depth in range(1, max_depth + 1):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        if n_frontier <= broadcast_limit:
+            paths = {r["node_key"]: r["path"] for r in frontier.take_all()}
+            ref = broadcast(paths)
+
+            def expand(t: pa.Table, _ref=ref) -> pa.Table:
+                import pandas as pd
+
+                pmap = _resolve(_ref)
+                src = t["src_key"].to_pandas()
+                ppath = src.map(pmap)
+                hit = ppath.notna().to_numpy()
+                dst = t["dst_key"].to_pandas()[hit]
+                return pa.table({
+                    "node_key": pa.array(dst, pa.string()),
+                    "path": pa.array(ppath[hit] + _PATH_SEP + dst,
+                                     pa.string()),
+                })
+
+            cands = edges.map_batches(expand, batch_format="pyarrow")
+        else:
+            fr = frontier.map_batches(
+                lambda t: pa.table({"src_key": t["node_key"],
+                                    "ppath": t["path"]}),
+                batch_format="pyarrow")
+            cands = cogroup_join_hp(
+                edges, fr, "src_key",
+                pa.schema([("src_key", pa.string()), ("dst_key", pa.string())]),
+                pa.schema([("src_key", pa.string()), ("ppath", pa.string())]),
+                num_partitions=num_partitions).map_batches(
+                lambda t: pa.table({
+                    "node_key": t["dst_key"],
+                    "path": pc.binary_join_element_wise(
+                        t["ppath"], t["dst_key"], _PATH_SEP)}),
+                batch_format="pyarrow")
+        # one keyed shuffle: per discovered node, the minimal path
+        best = grouped_aggregate(cands, ["node_key"], [("path", "min")],
+                                 ["path"], num_partitions=num_partitions)
+
+        if n_seen <= broadcast_limit:
+            skeys = sorted(r["node_key"] for r in
+                           seen.select_columns(["node_key"]).take_all())
+            sref = broadcast(skeys)
+
+            def unseen(t: pa.Table, _ref=sref) -> pa.Table:
+                vs = pa.array(_resolve(_ref))
+                return t.filter(
+                    pc.invert(pc.is_in(t["node_key"], value_set=vs)))
+
+            fresh = best.map_batches(unseen, batch_format="pyarrow")
+        else:
+            marked = seen.map_batches(
+                lambda t: pa.table({
+                    "node_key": t["node_key"],
+                    "seen_mark": pa.array([1] * t.num_rows, pa.int8())}),
+                batch_format="pyarrow")
+            fresh = cogroup_join_hp(
+                best, marked, "node_key",
+                pa.schema([("node_key", pa.string()), ("path", pa.string())]),
+                pa.schema([("node_key", pa.string()), ("seen_mark", pa.int8())]),
+                join_type="left outer",
+                num_partitions=num_partitions).map_batches(
+                lambda t: t.filter(pc.is_null(t["seen_mark"]))
+                           .select(["node_key", "path"]),
+                batch_format="pyarrow")
+
+        frontier = fresh.map_batches(
+            lambda t, _d=depth: pa.table({
+                "node_key": t["node_key"],
+                "depth": pa.array(np.full(t.num_rows, _d, dtype=np.int64)),
+                "path": t["path"]}),
+            batch_format="pyarrow").materialize()
+        seen = seen.union(frontier).materialize()
+        n_seen = seen.count()
+
+    return seen.map_batches(
+        lambda t: pa.table({
+            "node_key": t["node_key"],
+            "depth": t["depth"],
+            "path": pc.replace_substring(t["path"], _PATH_SEP, "->"),
+        }),
+        batch_format="pyarrow")
+
+
 def importance_tags(pagerank_ds, degrees_ds, num_partitions: int | None = None):
     """Percentile-threshold importance tags (cf. detector.ts:54-120):
     p90 pagerank -> 'hub'; in>0 & out==0 -> 'sink'; out>0 & in==0 ->

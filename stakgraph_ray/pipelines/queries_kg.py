@@ -581,6 +581,42 @@ select node_key, cast(min(depth) as bigint) as depth from u group by node_key
 """
 
 
+def q_shortest_path_from_spark(sf_dir: str):
+    """Single-source shortest paths WITH path reconstruction over the
+    FOLLOWS graph (shortest_path consumer,
+    /root/reference/mcp/src/graph/queries.ts:837-855): (node_key, depth,
+    path) where path is the lexicographically-smallest shortest path,
+    '->'-joined."""
+    from ..ops.graph import bfs_shortest_paths
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: pa.table({"src_key": t["a"], "dst_key": t["b"]}),
+        batch_format="pyarrow")
+    return bfs_shortest_paths(edges, "spark", max_depth=3)
+
+
+# Recursive CTE walks (depth-bounded; no cycle check needed — a revisiting
+# walk always loses the (depth, path) row_number to the first visit, and the
+# vocabulary-bounded FOLLOWS graph keeps walk counts small). chr(31) is the
+# pipeline's path separator: it sorts below every canonical-term character,
+# so ORDER BY the joined string == element-wise path comparison.
+SQL_SHORTEST_PATH = _FOLLOWS_CTE.replace("with s as", "with recursive s as", 1) + """
+, walk(node, depth, path) as (
+  select 'spark', 0, 'spark'
+  union all
+  select p.b, w.depth + 1, w.path || chr(31) || p.b
+  from walk w join p on p.a = w.node
+  where w.depth < 3)
+select node as node_key, cast(depth as bigint) as depth,
+       replace(path, chr(31), '->') as path
+from (select node, depth, path,
+             row_number() over (partition by node
+                                order by depth, path) as rn
+      from walk)
+where rn = 1
+"""
+
+
 def q_epilogue_pages(sf_dir: str):
     """Childless-parent epilogue pass (filter_out_nodes_without_children,
     /root/reference/ast/src/lang/graphs/btreemap_graph.rs:664-710): Page
@@ -811,6 +847,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_epilogue_pages": (q_epilogue_pages, SQL_EPILOGUE_PAGES),
     "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
     "kg_reachable_from_spark": (q_reachable_from_spark, SQL_REACHABLE),
+    "kg_shortest_path": (q_shortest_path_from_spark, SQL_SHORTEST_PATH),
     "kg_two_hop": (q_two_hop, SQL_TWO_HOP),
     "kg_term_degrees": (q_term_degrees, SQL_TERM_DEGREES),
     "kg_term_components": (q_term_components, SQL_TERM_COMPONENTS),
