@@ -840,10 +840,133 @@ limit 20
 """
 
 
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the undirected FOLLOWS term graph:
+    for non-adjacent pairs, sum over common neighbors y of 1/ln(deg(y)) —
+    the degree-discounted refinement of the Jaccard predictor (hub
+    neighbors count less). Same distributed shape as
+    q_term_link_prediction, with the weight attached to the shared-neighbor
+    rows BEFORE the pair join so the per-pair score is one grouped sum.
+    1/ln(d) is computed via math.log per DISTINCT degree (repo float-parity
+    convention: np.log drifts 1 ulp vs DuckDB's libm ln); a common neighbor
+    always has degree >= 2, so ln is never 0 where the weight is used."""
+    import math
+
+    from ..ops.partition import (cogroup_join_hp, distinct_hp,
+                                 grouped_aggregate, membership_filter_hp)
+    from ..util import round_half_away
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t["a"], t["b"])
+        v = pc.max_element_wise(t["a"], t["b"])
+        keep = pc.not_equal(u, v)
+        return pa.table({"u": pc.cast(u, pa.string()),
+                         "v": pc.cast(v, pa.string())}).filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep)
+
+    und = distinct_hp(edges.map_batches(orient, batch_format="pyarrow"),
+                      ["u", "v"]).materialize()
+
+    def _flat(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    sym = und.map_batches(
+        lambda t: pa.table({"y": pa.concat_arrays([_flat(t["u"]), _flat(t["v"])]),
+                            "n": pa.concat_arrays([_flat(t["v"]), _flat(t["u"])])}),
+        batch_format="pyarrow").materialize()
+
+    deg = grouped_aggregate(sym, "y", [("n", "count")], ["d"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        d = t["d"].to_numpy(zero_copy_only=False)
+        wmap = {int(x): (1.0 / math.log(int(x)) if x > 1 else np.nan)
+                for x in np.unique(d)}
+        w = pd.Series(d).map(wmap).to_numpy(dtype=np.float64)
+        return pa.table({"y": t["y"], "w": pa.array(w, pa.float64())})
+
+    wdeg = deg.map_batches(add_w, batch_format="pyarrow")
+    symw = cogroup_join_hp(
+        sym, wdeg, "y",
+        pa.schema([("y", pa.string()), ("n", pa.string())]),
+        pa.schema([("y", pa.string()), ("w", pa.float64())]))
+
+    left = symw.map_batches(
+        lambda t: pa.table({"y": t["y"], "a": t["n"], "w": t["w"]}),
+        batch_format="pyarrow")
+    right = symw.map_batches(
+        lambda t: pa.table({"y": t["y"], "b": t["n"]}), batch_format="pyarrow")
+    pairs = cogroup_join_hp(
+        left, right, "y",
+        pa.schema([("y", pa.string()), ("a", pa.string()), ("w", pa.float64())]),
+        pa.schema([("y", pa.string()), ("b", pa.string())]))
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.less(t["a"], t["b"])), batch_format="pyarrow")
+    inter = grouped_aggregate(pairs, ["a", "b"],
+                              [("y", "count"), ("w", "sum")], ["cn", "aa"])
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.binary_join_element_wise(
+                pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()),
+                pa.scalar("\x1f")),
+            "a": t["a"], "b": t["b"],
+            "cn": pc.cast(t["cn"], pa.int64()),
+            "aa": pa.array(round_half_away(
+                t["aa"].to_numpy(zero_copy_only=False), 4), pa.float64()),
+        })
+
+    scored = inter.map_batches(score, batch_format="pyarrow")
+    non_adjacent = membership_filter_hp(
+        scored,
+        und.map_batches(lambda t: pa.table({"k": pc.binary_join_element_wise(
+            pc.cast(t["u"], pa.string()), pc.cast(t["v"], pa.string()),
+            pa.scalar("\x1f"))}), batch_format="pyarrow"),
+        "k", keep=False,
+        payload_schema=pa.schema([("k", pa.string()), ("a", pa.string()),
+                                  ("b", pa.string()), ("cn", pa.int64()),
+                                  ("aa", pa.float64())]))
+    out = non_adjacent.map_batches(
+        lambda t: t.select(["a", "b", "cn", "aa"])
+                   .sort_by([("aa", "descending"), ("a", "ascending"),
+                             ("b", "ascending")]).slice(0, 20),
+        batch_format="pyarrow")
+    schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                        ("cn", pa.int64()), ("aa", pa.float64())])
+    tbl = pa.Table.from_pylist(out.take_all(), schema=schema)
+    return tbl.sort_by([("aa", "descending"), ("a", "ascending"),
+                        ("b", "ascending")]).slice(0, 20)
+
+
+SQL_ADAMIC_ADAR = _FOLLOWS_CTE + """
+, e as (select distinct least(a, b) as u, greatest(a, b) as v
+        from p where a <> b),
+sym as (select u as y, v as n from e union all select v as y, u as n from e),
+deg as (select y as node, count(*) as d from sym group by y),
+symw as (select s.y, s.n, 1.0 / ln(d.d) as w
+         from sym s join deg d on s.y = d.node),
+inter as (select s1.n as a, s2.n as b, cast(count(*) as bigint) as cn,
+                 round(sum(s1.w), 4) as aa
+          from symw s1 join symw s2 on s1.y = s2.y and s1.n < s2.n
+          group by 1, 2)
+select i.a, i.b, i.cn, i.aa
+from inter i
+where not exists (select 1 from e where e.u = i.a and e.v = i.b)
+order by aa desc, a, b
+limit 20
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_term_triangles": (q_term_triangles, SQL_TERM_TRIANGLES),
     "kg_term_link_prediction": (q_term_link_prediction,
                                 SQL_TERM_LINK_PREDICTION),
+    "kg_adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
     "kg_epilogue_pages": (q_epilogue_pages, SQL_EPILOGUE_PAGES),
     "kg_term_frequencies": (q_term_frequencies, SQL_TERM_FREQUENCIES),
     "kg_reachable_from_spark": (q_reachable_from_spark, SQL_REACHABLE),

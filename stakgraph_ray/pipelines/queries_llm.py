@@ -521,6 +521,64 @@ qualify rn <= 5
 """
 
 
+def q_repetition_filter(sf_dir: str):
+    """Repetition-based quality gate (the Gopher/MassiveText duplicate
+    n-gram signal): per document, the fraction of bigrams that are
+    repeats — 1 - distinct/total — surfacing boilerplate/spam docs above
+    0.05. Pure per-batch map (bigrams never leave the worker): consecutive
+    same-doc token pairs via parent indices, one pandas groupby
+    count+nunique per batch. The fraction is one exact integer-ratio
+    division + subtraction (bit-exact vs SQL)."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("n_bigrams", pa.int64()),
+                                ("dup_frac", pa.float64())])
+        if len(flat) < 2:
+            return out_schema.empty_table()
+        same = parent[1:] == parent[:-1]
+        bg_parent = parent[1:][same]
+        bg = pd.Series(flat[:-1][same]).str.cat(
+            pd.Series(flat[1:][same]), sep=" ")
+        g = pd.DataFrame({"p": bg_parent, "bg": bg.to_numpy()}) \
+            .groupby("p")["bg"].agg(["count", "nunique"])
+        nb = g["count"].to_numpy(np.int64)
+        nd = g["nunique"].to_numpy(np.int64)
+        dup = 1.0 - nd.astype(np.float64) / nb.astype(np.float64)
+        keep = dup > 0.05
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[
+            g.index.to_numpy()][keep]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_bigrams": pa.array(nb[keep], pa.int64()),
+            "dup_frac": pa.array(dup[keep], pa.float64()),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SQL_REPETITION = """
+with s as (select doc_id, string_split(text, ' ') as toks from documents),
+t as (select doc_id, generate_subscripts(toks, 1) as i, unnest(toks) as tok
+      from s),
+bg as (select x.doc_id, x.tok || ' ' || y.tok as bg
+       from t x join t y on x.doc_id = y.doc_id and y.i = x.i + 1),
+agg as (select doc_id, cast(count(*) as bigint) as n_bigrams,
+               cast(count(distinct bg) as bigint) as n_distinct
+        from bg group by doc_id)
+select doc_id, n_bigrams,
+       1.0 - cast(n_distinct as double) / cast(n_bigrams as double) as dup_frac
+from agg
+where 1.0 - cast(n_distinct as double) / cast(n_bigrams as double) > 0.05
+"""
+
+
 # ------------------------------------------------------- URL curation gate
 
 def q_url_filter(sf_dir: str):
@@ -597,6 +655,7 @@ LLM_QUERIES = {
     "llm_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "llm_bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "llm_clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+    "llm_repetition_filter": (q_repetition_filter, SQL_REPETITION),
     "llm_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "llm_token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "llm_bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),

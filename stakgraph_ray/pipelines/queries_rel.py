@@ -126,6 +126,147 @@ group by rollup(l_returnflag, l_linestatus)
 """
 
 
+def q_pricing_cube(sf_dir: str):
+    """GROUP BY CUBE — all four grouping sets over (flag, status): the
+    rollup's levels plus the per-status slice. Four per-batch combiner
+    aggregates over one shared scan, null-filled union; output bounded by
+    the dimension cardinality at any corpus size."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"]) \
+        .materialize()  # four level aggregates share one scan
+
+    spec = [("l_quantity", "sum"), (None, "count_all")]
+    names = ["sum_qty", "n_rows"]
+    cells = low_card_aggregate(ds, ["l_returnflag", "l_linestatus"], spec, names)
+    flags = low_card_aggregate(ds, "l_returnflag", spec, names)
+    stats = low_card_aggregate(ds, "l_linestatus", spec, names)
+    total = low_card_aggregate(
+        ds.map_batches(lambda t: t.append_column(
+            "_all", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow"),
+        "_all", spec, names)
+
+    def shape(flag_col, stat_col):
+        def f(t: pa.Table) -> pa.Table:
+            t = _round_cols(t, {"sum_qty": 2})
+            n = t.num_rows
+            return pa.table({
+                "l_returnflag": t[flag_col] if flag_col else pa.nulls(n, pa.string()),
+                "l_linestatus": t[stat_col] if stat_col else pa.nulls(n, pa.string()),
+                "sum_qty": t["sum_qty"], "n_rows": t["n_rows"]})
+        return f
+
+    return cells.map_batches(shape("l_returnflag", "l_linestatus"),
+                             batch_format="pyarrow").union(
+        flags.map_batches(shape("l_returnflag", None), batch_format="pyarrow"),
+        stats.map_batches(shape(None, "l_linestatus"), batch_format="pyarrow"),
+        total.map_batches(shape(None, None), batch_format="pyarrow"))
+
+
+SQL_PRICING_CUBE = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty, count(*) as n_rows
+from lineitem
+group by cube(l_returnflag, l_linestatus)
+"""
+
+
+def q_priority_mode(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break (most frequent order
+    priority per status, ties -> lexicographically smallest): per-batch
+    (status, priority) count combiner — both dims low-card, so at most
+    |status|x|priority| rows cross the driver merge — then a vectorized
+    per-status argmax."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    counts = low_card_aggregate(ds, ["o_orderstatus", "o_orderpriority"],
+                                [(None, "count_all")], ["n"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        from ..ops.relational import _key_change_mask
+
+        t = t.sort_by([("o_orderstatus", "ascending"), ("n", "descending"),
+                       ("o_orderpriority", "ascending")])
+        mask = _key_change_mask(t, ["o_orderstatus"])
+        head = pa.array(np.flatnonzero(mask), pa.int64())
+        return pa.table({
+            "o_orderstatus": pc.take(t["o_orderstatus"], head),
+            "mode_priority": pc.take(t["o_orderpriority"], head),
+            "n": pc.take(t["n"], head)})
+
+    # the combiner output is dimension-bounded: one final driver-side pick
+    return counts.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_PRIORITY_MODE = """
+select o_orderstatus, o_orderpriority as mode_priority, n
+from (select o_orderstatus, o_orderpriority, count(*) as n,
+             row_number() over (partition by o_orderstatus
+                                order by count(*) desc, o_orderpriority) as rn
+      from orders group by 1, 2)
+where rn = 1
+"""
+
+
+def q_qty_price_correlation(sf_dir: str):
+    """Grouped Pearson correlation + sample covariance via the
+    sums/sums-of-squares/cross-sum combiner (one pure-map pass, no
+    shuffle): corr(l_quantity, l_extendedprice) per return flag. Matches
+    DuckDB corr()/covar_samp() at 4 decimals (same 4-decimal contract as
+    the stddev combiner)."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"]
+        y = t["l_extendedprice"]
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y)})
+
+    agg = low_card_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow"), "l_returnflag",
+        [(None, "count_all"), ("x", "sum"), ("y", "sum"),
+         ("xx", "sum"), ("yy", "sum"), ("xy", "sum")],
+        ["n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+
+        n = pc.cast(t["n"], pa.float64()).to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        cov = (sxy - sx * sy / n) / np.maximum(n - 1, 1)
+        vx = (sxx - sx * sx / n) / np.maximum(n - 1, 1)
+        vy = (syy - sy * sy / n) / np.maximum(n - 1, 1)
+        corr = cov / np.sqrt(vx * vy)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": t["n"],
+            "covar": pa.array(round_half_away(cov, 4), pa.float64()),
+            "corr": pa.array(round_half_away(corr, 4), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_QTY_PRICE_CORR = """
+select l_returnflag, count(*) as n,
+       round(covar_samp(l_quantity, l_extendedprice), 4) as covar,
+       round(corr(l_quantity, l_extendedprice), 4) as corr
+from lineitem group by l_returnflag
+"""
+
+
 def q_nation_balance_stats(sf_dir: str):
     """Grouped variance/stddev via the sum/sum-of-squares combiner (one
     pure-map pass, no shuffle): avg and stddev_samp per nation. The
@@ -1072,6 +1213,9 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_order_window_dist": (q_order_window_dist, SQL_ORDER_WINDOW_DIST),
     "rel_funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "rel_pricing_rollup": (q_pricing_rollup, SQL_PRICING_ROLLUP),
+    "rel_pricing_cube": (q_pricing_cube, SQL_PRICING_CUBE),
+    "rel_priority_mode": (q_priority_mode, SQL_PRIORITY_MODE),
+    "rel_qty_price_corr": (q_qty_price_correlation, SQL_QTY_PRICE_CORR),
     "rel_nation_balance_stats": (q_nation_balance_stats,
                                  SQL_NATION_BALANCE_STATS),
     "rel_event_weekday_pivot": (q_event_weekday_pivot, SQL_EVENT_WEEKDAY_PIVOT),
