@@ -169,3 +169,44 @@ def grouped_quantile(ds, keys, col: str, qs: list[float],
         return pa.table(cols)
 
     return partitioned_apply(ds, keys, gq, num_partitions)
+
+
+def grouped_quantile_disc(ds, keys, col: str, qs: list[float],
+                          out_names: list[str],
+                          num_partitions: int | None = None):
+    """Exact per-group DISCRETE quantiles (DuckDB ``quantile_disc(col, q)
+    GROUP BY keys``): the element at index max(ceil(q*n)-1, 0) of each
+    group's non-null sorted values — an exact element, so the result is
+    float-EXACT vs any SQL engine (no interpolation arithmetic at all).
+    Same one-shuffle segmented shape as grouped_quantile; all-null groups
+    survive with null outputs."""
+    from .partition import partitioned_apply
+    from .relational import _key_change_mask
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_spec = [(k, "ascending") for k in keys] + [(col, "ascending")]
+
+    def gq(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        starts = np.flatnonzero(_key_change_mask(t, keys))
+        cols: dict[str, object] = {}
+        head = pa.array(starts, pa.int64())
+        for k in keys:
+            cols[k] = pc.take(t[k], head)
+        if n == 0:
+            for name in out_names:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        valid = pc.is_valid(t[col]).to_numpy(zero_copy_only=False)
+        counts = np.add.reduceat(valid.astype(np.int64), starts)
+        nz = counts > 0
+        safe = np.maximum(counts, 1)
+        v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        for q, name in zip(qs, out_names):
+            idx = starts + np.maximum(
+                np.ceil(q * safe).astype(np.int64) - 1, 0)
+            cols[name] = pa.array(v[idx], pa.float64(), mask=~nz)
+        return pa.table(cols)
+
+    return partitioned_apply(ds, keys, gq, num_partitions)

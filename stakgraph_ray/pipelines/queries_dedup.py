@@ -444,7 +444,96 @@ order by score desc, doc_id limit 50
 """
 
 
+def _lev1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 (candidates already differ, lengths within 1)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return False
+    return True
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance-1 alias-candidate pairs over the part-name vocabulary
+    via DELETION-NEIGHBORHOOD (FastSS) blocking — the canonicalization
+    alias-candidate generator: each name emits itself plus every
+    single-char-deletion variant as block keys; names sharing a key are the
+    only possible lev-1 pairs (substitution -> same deletion position;
+    insertion -> the shorter IS a variant of the longer), verified exactly
+    inside the block. ONE keyed shuffle on the variant; candidate groups
+    are collision-bounded, so the per-pair Python verify runs on a tiny
+    set (the token_jaccard blocked-verify precedent). Distinct (a, b),
+    a < b."""
+    import itertools
+
+    from ..ops.partition import distinct_hp, partitioned_apply
+
+    import ray.data as rd
+
+    path = f"{sf_dir}/part.parquet"
+    ds = rd.read_parquet(path, columns=["p_name"],
+                         override_num_blocks=_anb(path))
+    names = distinct_hp(ds.map_batches(
+        lambda t: pa.table({"nm": pc.cast(t["p_name"], pa.string())}),
+        batch_format="pyarrow"), "nm")
+
+    def variants(t: pa.Table) -> pa.Table:
+        # vocabulary-bounded loop: |distinct names| x length emissions
+        ks, ns = [], []
+        for s in t["nm"].to_pylist():
+            ks.append(s)
+            ns.append(s)
+            for i in range(len(s)):
+                ks.append(s[:i] + s[i + 1:])
+                ns.append(s)
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "nm": pa.array(ns, pa.string())})
+
+    cand = names.map_batches(variants, batch_format="pyarrow")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("k", "ascending"), ("nm", "ascending")])
+        ks = t["k"].to_pylist()
+        nms = t["nm"].to_pylist()
+        out_a, out_b = [], []
+        start = 0
+        for i in range(1, len(ks) + 1):
+            if i == len(ks) or ks[i] != ks[start]:
+                group = sorted(set(nms[start:i]))
+                for a, b in itertools.combinations(group, 2):
+                    if _lev1(a, b):
+                        out_a.append(a)
+                        out_b.append(b)
+                start = i
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string())})
+
+    return distinct_hp(partitioned_apply(cand, "k", pairs), ["a", "b"])
+
+
+SQL_FUZZY_NAMES = """
+with t as (select distinct p_name as nm from part)
+select a.nm as a, b.nm as b
+from t a join t b on a.nm < b.nm and levenshtein(a.nm, b.nm) = 1
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
+    "dedup_fuzzy_names": (q_fuzzy_name_pairs, SQL_FUZZY_NAMES),
     "search_fulltext_topk": (q_fulltext_topk, SQL_FULLTEXT_TOPK),
     "sim_node_embedding_ann": (q_node_embedding_ann, None),
     "kg_rich_triples": (q_rich_triples, SQL_RICH_TRIPLES),

@@ -748,6 +748,57 @@ from customer group by c_nationkey
 """
 
 
+def q_nation_balance_disc(sf_dir: str):
+    """Per-group DISCRETE quantiles (quantile_disc ... GROUP BY): the
+    element at max(ceil(q*n)-1, 0) per group — an exact member of the
+    group, so the comparison is float-EXACT (no rounding, no interpolation
+    arithmetic). Same one-shuffle segmented pass as the _cont variant."""
+    from ..ops.quantile import grouped_quantile_disc
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    return grouped_quantile_disc(ds, "c_nationkey", "c_acctbal",
+                                 [0.5, 0.9], ["med_disc", "p90_disc"])
+
+
+SQL_NATION_BALANCE_DISC = """
+select c_nationkey,
+       quantile_disc(c_acctbal, 0.5) as med_disc,
+       quantile_disc(c_acctbal, 0.9) as p90_disc
+from customer group by c_nationkey
+"""
+
+
+def q_both_status_customers(sf_dir: str):
+    """Set INTERSECTION (SQL INTERSECT): customers holding BOTH an 'F' and
+    an 'O' order. Distinct key sets per side, then one keyed co-partition
+    membership filter — the same one-shuffle shape as the distributed
+    semi-join, no pyarrow join, no driver key set."""
+    from ..ops.partition import distinct_hp, membership_filter_hp
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def side(status):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["o_orderstatus"], status)
+            keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+            return pa.table({"o_custkey": t.filter(keep)["o_custkey"]})
+        return f
+
+    f_keys = distinct_hp(orders.map_batches(side("F"), batch_format="pyarrow"),
+                         "o_custkey")
+    o_keys = orders.map_batches(side("O"), batch_format="pyarrow")
+    return membership_filter_hp(
+        f_keys, o_keys, "o_custkey", keep=True,
+        payload_schema=pa.schema([("o_custkey", pa.int64())]))
+
+
+SQL_BOTH_STATUS = """
+select o_custkey from orders where o_orderstatus = 'F'
+intersect
+select o_custkey from orders where o_orderstatus = 'O'
+"""
+
+
 def q_hopping_event_stats(sf_dir: str):
     """Hopping 2h-wide / 1h-hop event-time windows per event_type (each
     event lands in 2 windows; fan-out is vectorized in-batch)."""
@@ -1214,6 +1265,8 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "rel_pricing_rollup": (q_pricing_rollup, SQL_PRICING_ROLLUP),
     "rel_pricing_cube": (q_pricing_cube, SQL_PRICING_CUBE),
+    "rel_nation_balance_disc": (q_nation_balance_disc, SQL_NATION_BALANCE_DISC),
+    "rel_intersect_custkeys": (q_both_status_customers, SQL_BOTH_STATUS),
     "rel_priority_mode": (q_priority_mode, SQL_PRIORITY_MODE),
     "rel_qty_price_corr": (q_qty_price_correlation, SQL_QTY_PRICE_CORR),
     "rel_nation_balance_stats": (q_nation_balance_stats,

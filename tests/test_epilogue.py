@@ -90,3 +90,54 @@ def test_prefer_typed_dedup_repoints_edges(ray_session):
     # the MENTIONS edge re-pointed from term-x- to person-x-
     assert ("page-p1-p1", "MENTIONS", "person-x-") in erows
     assert not any(dst == "term-x-" for _s, _e, dst in erows)
+
+
+def test_apply_epilogue_local_matches_distributed(ray_session):
+    """The guarded local fast path and the distributed shuffle path must
+    produce identical graphs (same input: cross-type name dupes whose edges
+    need re-pointing, orphans, exempt Corpus node)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stakgraph_ray.ops.epilogue import apply_epilogue
+    from stakgraph_ray.schema import EDGES_SCHEMA, NODES_SCHEMA
+
+    rng = np.random.RandomState(3)
+    names = [f"n{i}" for i in range(40)]
+    rows = []
+    for i, nm in enumerate(names):
+        types = ["Term"] if i % 3 else ["Term", "Person"]  # cross-type dupes
+        for ty in types:
+            rows.append({"node_key": f"{ty.lower()}-{nm}", "node_type": ty,
+                         "name": nm, "file": "u", "body": "", "start": 0,
+                         "end": 0, "docs": None, "hash": None,
+                         "data_type": None, "meta": "{}"})
+    rows.append({"node_key": "corpus-root", "node_type": "Corpus",
+                 "name": "root", "file": "", "body": "", "start": 0,
+                 "end": 0, "docs": None, "hash": None, "data_type": None,
+                 "meta": "{}"})
+    nodes = pa.Table.from_pylist(rows, schema=NODES_SCHEMA)
+    er = []
+    for j in range(60):
+        a, b = rng.randint(0, len(rows) - 1), rng.randint(0, len(rows) - 1)
+        er.append({"src_key": rows[a]["node_key"],
+                   "edge_type": "MENTIONS", "dst_key": rows[b]["node_key"],
+                   "ref_id": f"e{j}", "operand": None, "confidence": 1.0,
+                   "strategy": "exact", "weight": 1})
+    edges = pa.Table.from_pylist(er, schema=EDGES_SCHEMA)
+
+    def norm(nds, eds):
+        nt = nds.to_pandas().sort_values("node_key").reset_index(drop=True)
+        et = eds.to_pandas().sort_values(
+            ["src_key", "dst_key", "ref_id"]).reset_index(drop=True)
+        return nt, et
+
+    ln, le = norm(*apply_epilogue(rd.from_arrow(nodes), rd.from_arrow(edges)))
+    dn, de = norm(*apply_epilogue(rd.from_arrow(nodes), rd.from_arrow(edges),
+                                  local_limit=None))
+    assert ln.equals(dn)
+    assert le.equals(de)
+    # the fast path really engaged the rename: some Term dupe lost to Person
+    assert (ln.node_type == "Person").any()
+    assert not set(le.src_key) & set("term-" + ln[ln.node_type == "Person"].name)

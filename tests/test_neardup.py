@@ -164,3 +164,15 @@ def test_embedding_pairs_in_group():
     })
     out = embedding_pairs_in_group(g, "vec_id", "embedding", 0.95).to_pylist()
     assert [(r["a"], r["b"]) for r in out] == [(1, 2)]
+
+
+def test_lev1_exact_predicate():
+    from stakgraph_ray.pipelines.queries_dedup import _lev1
+
+    assert _lev1("bolt", "belt")          # substitution
+    assert _lev1("bolt", "bolts")         # insertion at end
+    assert _lev1("olt", "bolt")           # insertion at front
+    assert not _lev1("bolt", "bolt")      # identical -> distance 0
+    assert not _lev1("ab", "ba")          # transposition = distance 2
+    assert not _lev1("bolt", "belts")     # distance 2
+    assert not _lev1("a", "abc")          # length gap 2

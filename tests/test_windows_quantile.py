@@ -384,3 +384,36 @@ def test_window_key_is_timestamp_us(ray_session):
                           [Count(alias_name="n")])
     tbl2 = pa.Table.from_pandas(out2.to_pandas(), preserve_index=False)
     assert tbl2.schema.field("window").type == pa.timestamp("us")
+
+
+def test_grouped_quantile_disc_matches_duckdb(ray_session):
+    """Discrete quantile = the element at max(ceil(q*n)-1, 0): float-exact
+    vs DuckDB quantile_disc, all-null groups survive as null."""
+    import duckdb
+    import ray.data as rd
+
+    from stakgraph_ray.ops.quantile import grouped_quantile_disc
+
+    rng = np.random.RandomState(11)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 7, n), pa.int64()),
+        "v": pa.array([None if i % 13 == 0 else float(rng.randn())
+                       for i in range(n)], pa.float64()),
+    })
+    # plus one all-null group
+    t = pa.concat_tables([t, pa.table({
+        "k": pa.array([99, 99], pa.int64()),
+        "v": pa.array([None, None], pa.float64())})])
+    got = grouped_quantile_disc(rd.from_arrow(t), "k", "v", [0.5, 0.9],
+                                ["p50", "p90"]) \
+        .to_pandas().set_index("k").sort_index()
+    want = duckdb.connect().sql(
+        "select k, quantile_disc(v, 0.5) as p50, quantile_disc(v, 0.9) as p90 "
+        "from t group by k order by k").df().set_index("k")
+    assert list(got.index) == list(want.index)
+    for c in ("p50", "p90"):
+        same = (got[c].values == want[c].values) | \
+               (pd.isna(got[c].values) & pd.isna(want[c].values))
+        assert same.all(), c
+    assert pd.isna(got.loc[99, "p50"])
