@@ -408,7 +408,8 @@ def test_grouped_quantile_disc_matches_duckdb(ray_session):
     got = grouped_quantile_disc(rd.from_arrow(t), "k", "v", [0.5, 0.9],
                                 ["p50", "p90"]) \
         .to_pandas().set_index("k").sort_index()
-    want = duckdb.connect().sql(
+    con = duckdb.connect()
+    want = con.sql(
         "select k, quantile_disc(v, 0.5) as p50, quantile_disc(v, 0.9) as p90 "
         "from t group by k order by k").df().set_index("k")
     assert list(got.index) == list(want.index)
