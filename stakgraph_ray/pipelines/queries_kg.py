@@ -1056,3 +1056,45 @@ r{i + 1} as materialized (
 SQL_TERM_PAGERANK = _sql_pagerank()
 
 KG_QUERIES["kg_term_pagerank"] = (q_term_pagerank, SQL_TERM_PAGERANK)
+
+
+def q_term_importance(sf_dir: str):
+    """Importance tagging over the FOLLOWS graph (detector.ts:54-120):
+    p90-pagerank hubs, entry points (in=0), sinks (out=0) — pagerank +
+    degrees + distributed-quantile threshold + vectorized CASE, the full
+    enrichment chain in one query. Ranks are rounded to 6 BEFORE the
+    threshold/compare on BOTH sides: the unrolled-SQL and pipeline
+    pagerank agree only to ~1e-15 (different summation order), and a
+    boundary node must not flip the >= p90 comparison."""
+    from ..ops.graph import degrees, importance_tags, pagerank
+    from ..util import round_half_away
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: pa.table({"src_key": t["a"], "dst_key": t["b"]}),
+        batch_format="pyarrow").materialize()  # pagerank + degrees branches
+
+    def _r(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["rank"], pa.float64()).to_numpy(zero_copy_only=False)
+        return pa.table({"node_key": t["node_key"],
+                         "rank": pa.array(round_half_away(x, 6),
+                                          pa.float64())})
+
+    ranks = pagerank(edges, iterations=10).map_batches(_r,
+                                                       batch_format="pyarrow")
+    return importance_tags(ranks, degrees(edges))
+
+
+SQL_TERM_IMPORTANCE = f"""
+with pr as materialized ({SQL_TERM_PAGERANK}),
+deg as materialized ({SQL_TERM_DEGREES}),
+thr as (select quantile_cont(rank, 0.9) as p90 from pr)
+select p.node_key, p.rank, d.out_degree, d.in_degree,
+       case when p.rank >= t.p90 then 'hub'
+            when d.in_degree = 0 and d.out_degree = 0 then 'isolated'
+            when d.in_degree = 0 then 'entry_point'
+            when d.out_degree = 0 then 'sink'
+            else 'normal' end as importance
+from pr p join deg d using (node_key) cross join thr t
+"""
+
+KG_QUERIES["kg_term_importance"] = (q_term_importance, SQL_TERM_IMPORTANCE)

@@ -799,6 +799,77 @@ select o_custkey from orders where o_orderstatus = 'O'
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the 3-table join composition: BUILDING-segment
+    customers (distinct-key semi join) -> orders before 1998 (pruned read
+    + filter) -> lineitem revenue (cogroup hash join on orderkey) ->
+    grouped sum -> top 10. Each exchange is the already-proven operator:
+    one membership shuffle, one cogroup shuffle, one aggregate shuffle,
+    per-partition top-10 partials merged on the driver."""
+    from ..ops.partition import (cogroup_join_hp, distinct_hp,
+                                 grouped_aggregate, membership_filter_hp)
+    from ..ops.search import partial_topk
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: pa.table({
+            "o_custkey": t.filter(pc.equal(
+                t["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+            batch_format="pyarrow")
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"),
+                       pa.timestamp("us"))
+
+    def before(t: pa.Table) -> pa.Table:
+        keep = pc.less(pc.cast(t["o_orderdate"], pa.timestamp("us")), cutoff)
+        keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        return pa.table({"o_custkey": t.filter(keep)["o_custkey"],
+                         "l_orderkey": pc.cast(t.filter(keep)["o_orderkey"],
+                                               pa.int64())})
+
+    orders = membership_filter_hp(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(before, batch_format="pyarrow"),
+        distinct_hp(cust, "o_custkey"), "o_custkey", keep=True,
+        payload_schema=pa.schema([("o_custkey", pa.int64()),
+                                  ("l_orderkey", pa.int64())]))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
+            batch_format="pyarrow")
+    joined = cogroup_join_hp(
+        li, orders.map_batches(lambda t: t.select(["l_orderkey"]),
+                               batch_format="pyarrow"),
+        "l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]))
+    agg = grouped_aggregate(joined, ["l_orderkey"], [("rev", "sum")],
+                            ["revenue"])
+    parts = agg.map_batches(
+        lambda t: partial_topk(t, "revenue", "l_orderkey", 10),
+        batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts, schema=pa.schema([
+        ("l_orderkey", pa.int64()), ("revenue", pa.float64())]))
+    top = merged.sort_by([("revenue", "descending"),
+                          ("l_orderkey", "ascending")]).slice(0, 10)
+    return _round_cols(top, {"revenue": 2})
+
+
+SQL_SHIPPING_PRIORITY = """
+select l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from customer join orders on c_custkey = o_custkey
+              join lineitem on l_orderkey = o_orderkey
+where c_mktsegment = 'BUILDING' and o_orderdate < timestamp '1998-01-01'
+group by l_orderkey
+order by sum(l_extendedprice * (1 - l_discount)) desc, l_orderkey
+limit 10
+"""
+
+
 def q_hopping_event_stats(sf_dir: str):
     """Hopping 2h-wide / 1h-hop event-time windows per event_type (each
     event lands in 2 windows; fan-out is vectorized in-batch)."""
@@ -1267,6 +1338,7 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_pricing_cube": (q_pricing_cube, SQL_PRICING_CUBE),
     "rel_nation_balance_disc": (q_nation_balance_disc, SQL_NATION_BALANCE_DISC),
     "rel_intersect_custkeys": (q_both_status_customers, SQL_BOTH_STATUS),
+    "rel_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "rel_priority_mode": (q_priority_mode, SQL_PRIORITY_MODE),
     "rel_qty_price_corr": (q_qty_price_correlation, SQL_QTY_PRICE_CORR),
     "rel_nation_balance_stats": (q_nation_balance_stats,
