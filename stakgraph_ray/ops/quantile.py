@@ -210,3 +210,53 @@ def grouped_quantile_disc(ds, keys, col: str, qs: list[float],
         return pa.table(cols)
 
     return partitioned_apply(ds, keys, gq, num_partitions)
+
+
+def grouped_mad(ds, keys, col: str, out_name: str = "mad",
+                num_partitions: int | None = None):
+    """Exact per-group MEDIAN ABSOLUTE DEVIATION (DuckDB ``mad(col) GROUP
+    BY keys``): median(|x - median(x)|) with quantile_cont interpolation at
+    both levels. ONE keyed shuffle; per partition two vectorized segmented
+    order-stat passes (the second over |x - med| via one lexsort — group
+    sizes don't change, so the segment starts are reused). Null values are
+    ignored; all-null groups survive with a null MAD."""
+    from .partition import partitioned_apply
+    from .relational import _key_change_mask
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_spec = [(k, "ascending") for k in keys] + [(col, "ascending")]
+
+    def _order_stat(v: np.ndarray, starts: np.ndarray, safe: np.ndarray,
+                    q: float) -> np.ndarray:
+        pos = starts + (safe - 1) * q
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(np.ceil(pos).astype(np.int64), starts + safe - 1)
+        frac = pos - lo
+        return v[lo] + frac * (v[hi] - v[lo])
+
+    def gmad(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        n = t.num_rows
+        mask = _key_change_mask(t, keys)
+        starts = np.flatnonzero(mask)
+        cols: dict[str, object] = {}
+        head = pa.array(starts, pa.int64())
+        for k in keys:
+            cols[k] = pc.take(t[k], head)
+        if n == 0:
+            cols[out_name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        valid = pc.is_valid(t[col]).to_numpy(zero_copy_only=False)
+        counts = np.add.reduceat(valid.astype(np.int64), starts)
+        nz = counts > 0
+        safe = np.maximum(counts, 1)
+        v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        med = _order_stat(v, starts, safe, 0.5)
+        gidx = np.cumsum(mask) - 1  # group index per row
+        absdev = np.abs(v - med[gidx])  # NaN on null rows (sort last below)
+        order2 = np.lexsort((absdev, gidx))
+        mad = _order_stat(absdev[order2], starts, safe, 0.5)
+        cols[out_name] = pa.array(mad, pa.float64(), mask=~nz)
+        return pa.table(cols)
+
+    return partitioned_apply(ds, keys, gmad, num_partitions)

@@ -768,6 +768,82 @@ from customer group by c_nationkey
 """
 
 
+def q_nation_balance_mad(sf_dir: str):
+    """Per-group median absolute deviation (robust spread): ONE keyed
+    shuffle, two vectorized segmented order-stat passes per partition
+    (second over |x - med| via one lexsort). Matches DuckDB mad() at 4
+    decimals (quantile_cont interpolation at both levels)."""
+    from ..ops.quantile import grouped_mad
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    out = grouped_mad(ds, "c_nationkey", "c_acctbal", "mad_acctbal")
+    return out.map_batches(lambda t: _round_cols(t, {"mad_acctbal": 4}),
+                           batch_format="pyarrow")
+
+
+SQL_NATION_BALANCE_MAD = """
+select c_nationkey, round(mad(c_acctbal), 4) as mad_acctbal
+from customer group by c_nationkey
+"""
+
+
+def q_nation_customer_list(sf_dir: str):
+    """Ordered string aggregation per group (string_agg ... order by):
+    one keyed shuffle, then a fully vectorized per-partition pass — sort
+    by (key, value), build ONE ListArray over the segment offsets, and
+    pc.binary_join does every group's concatenation in C."""
+    from ..ops.partition import partitioned_apply
+    from ..ops.relational import _key_change_mask
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_name"])
+
+    def agg(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("c_nationkey", "ascending"), ("c_name", "ascending")])
+        n = t.num_rows
+        starts = np.flatnonzero(_key_change_mask(t, ["c_nationkey"]))
+        head = pa.array(starts, pa.int64())
+        if n == 0:
+            return pa.table({"c_nationkey": t["c_nationkey"],
+                             "names": pa.array([], pa.string())})
+        offsets = pa.array(np.concatenate((starts, [n])), pa.int32())
+        vals = t["c_name"].combine_chunks() if isinstance(
+            t["c_name"], pa.ChunkedArray) else t["c_name"]
+        lists = pa.ListArray.from_arrays(offsets, vals)
+        return pa.table({
+            "c_nationkey": pc.take(t["c_nationkey"], head),
+            "names": pc.binary_join(lists, ","),
+        })
+
+    return partitioned_apply(ds, "c_nationkey", agg)
+
+
+SQL_NATION_CUSTOMER_LIST = """
+select c_nationkey, string_agg(c_name, ',' order by c_name) as names
+from customer group by c_nationkey
+"""
+
+
+def q_status_distinct_customers(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): one keyed shuffle, per-partition
+    pyarrow count_distinct — the exact twin of the grouped-HLL sketch."""
+    from ..ops.partition import partitioned_apply
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_custkey"])
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus"]).aggregate(
+            [("o_custkey", "count_distinct")])
+        return g.rename_columns(["o_orderstatus", "n_customers"])
+
+    return partitioned_apply(ds, "o_orderstatus", agg)
+
+
+SQL_STATUS_DISTINCT_CUSTOMERS = """
+select o_orderstatus, cast(count(distinct o_custkey) as bigint) as n_customers
+from orders group by o_orderstatus
+"""
+
+
 def q_both_status_customers(sf_dir: str):
     """Set INTERSECTION (SQL INTERSECT): customers holding BOTH an 'F' and
     an 'O' order. Distinct key sets per side, then one keyed co-partition
@@ -1339,6 +1415,11 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_nation_balance_disc": (q_nation_balance_disc, SQL_NATION_BALANCE_DISC),
     "rel_intersect_custkeys": (q_both_status_customers, SQL_BOTH_STATUS),
     "rel_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "rel_nation_balance_mad": (q_nation_balance_mad, SQL_NATION_BALANCE_MAD),
+    "rel_nation_customer_list": (q_nation_customer_list,
+                                 SQL_NATION_CUSTOMER_LIST),
+    "rel_status_distinct_customers": (q_status_distinct_customers,
+                                      SQL_STATUS_DISTINCT_CUSTOMERS),
     "rel_priority_mode": (q_priority_mode, SQL_PRIORITY_MODE),
     "rel_qty_price_corr": (q_qty_price_correlation, SQL_QTY_PRICE_CORR),
     "rel_nation_balance_stats": (q_nation_balance_stats,

@@ -418,3 +418,33 @@ def test_grouped_quantile_disc_matches_duckdb(ray_session):
                (pd.isna(got[c].values) & pd.isna(want[c].values))
         assert same.all(), c
     assert pd.isna(got.loc[99, "p50"])
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    """MAD = median(|x - median(x)|), quantile_cont interpolation at both
+    levels; nulls ignored, all-null groups survive as null."""
+    import duckdb
+    import ray.data as rd
+
+    from stakgraph_ray.ops.quantile import grouped_mad
+
+    rng = np.random.RandomState(21)
+    n = 500
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 9, n), pa.int64()),
+        "v": pa.array([None if i % 17 == 0 else float(rng.randn() * 10)
+                       for i in range(n)], pa.float64()),
+    })
+    t = pa.concat_tables([t, pa.table({
+        "k": pa.array([50], pa.int64()), "v": pa.array([None], pa.float64())})])
+    got = grouped_mad(rd.from_arrow(t), "k", "v", "m") \
+        .to_pandas().set_index("k").sort_index()
+    con = duckdb.connect()
+    want = con.sql("select k, mad(v) as m from t group by k order by k") \
+        .df().set_index("k")
+    assert list(got.index) == list(want.index)
+    same = (np.isclose(got.m.values.astype(float), want.m.values.astype(float),
+                       rtol=0, atol=1e-12)) | \
+           (pd.isna(got.m.values) & pd.isna(want.m.values))
+    assert same.all()
+    assert pd.isna(got.loc[50, "m"])
