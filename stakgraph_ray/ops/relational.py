@@ -592,18 +592,32 @@ class IntervalJoiner:
         return out
 
 
+_IVJ_CACHE: dict = {}
+
+
 def interval_join(ds, intervals: pa.Table, key_col: str, ts_col: str,
                   lo_col: str, hi_col: str, carry_cols, concurrency=None):
     """Range/interval join: ds rows ⋈ broadcast intervals on key equality +
-    ``lo <= ts < hi``. ``carry_cols``: interval columns to attach."""
-    concurrency = concurrency or _pool()
+    ``lo <= ts < hi``. ``carry_cols``: interval columns to attach.
+
+    Task pool with a per-worker-process joiner cache (the broadcast_join
+    pattern): the pre-grouped interval index builds once per process from
+    the plasma object instead of paying an actor pool's startup."""
     ref = broadcast(intervals)
-    return ds.map_batches(
-        IntervalJoiner,
-        fn_constructor_kwargs={"intervals_ref": ref, "key_col": key_col,
-                               "ts_col": ts_col, "lo_col": lo_col,
-                               "hi_col": hi_col, "carry_cols": carry_cols},
-        batch_format="pyarrow", concurrency=concurrency)
+    # ObjectRef.hex() is globally unique; id() could recycle after GC and
+    # alias two different joins in one worker's cache
+    ref_id = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    key = (ref_id, key_col, ts_col, lo_col, hi_col, tuple(carry_cols))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        j = _IVJ_CACHE.get(key)
+        if j is None:
+            j = IntervalJoiner(ref, key_col, ts_col, lo_col, hi_col,
+                               carry_cols)
+            _IVJ_CACHE[key] = j
+        return j(batch)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 def _window_to_us(batch: pa.Table) -> pa.Table:
