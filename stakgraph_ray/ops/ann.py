@@ -302,3 +302,137 @@ def knn_lsh(ds, query_table: pa.Table, k: int = 5, n_bits: int = 6,
                           ("neighbor_id", "ascending")]).slice(0, k)
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+def _pq_train(m: np.ndarray, n_sub: int, n_codes: int,
+              n_iters: int = 10) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks [n_sub, K, sub_dim]
+    (deterministic seeded init over the already-hash-sampled matrix)."""
+    n, dim = m.shape
+    assert dim % n_sub == 0, "dim must divide into n_sub subspaces"
+    sd = dim // n_sub
+    kk = min(n_codes, n)
+    rng = np.random.RandomState(13)
+    books = np.empty((n_sub, kk, sd), dtype=np.float64)
+    for s in range(n_sub):
+        x = m[:, s * sd:(s + 1) * sd]
+        cent = x[rng.choice(n, size=kk, replace=False)].copy()
+        for _ in range(n_iters):
+            # argmin ||x - c||^2 == argmin(|c|^2 - 2 x.c); O(sample*K) flops
+            d = (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+            a = np.argmin(d, axis=1)
+            for c in range(kk):
+                mem = x[a == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def _pq_encode(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """codes [n, n_sub] uint8: nearest codeword per subspace."""
+    n_sub, kk, sd = books.shape
+    codes = np.empty((m.shape[0], n_sub), dtype=np.uint8)
+    for s in range(n_sub):
+        x = m[:, s * sd:(s + 1) * sd]
+        cent = books[s]
+        d = (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+        codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+class PQScorer:
+    """PQ/ADC scan: encode the batch to uint8 codes, score every query via
+    table lookups (sum over subspaces of the query's precomputed
+    dot-product table at the code), keep per-batch per-query top-k."""
+
+    def __init__(self, ref, vec_col: str, id_col: str, k: int):
+        from .relational import _resolve
+
+        st = _resolve(ref)
+        self.books = st["books"]        # [n_sub, K, sd]
+        self.qids = st["qids"]
+        self.qt = st["qt"]              # [n_sub, nq, K] dot-product tables
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _per_query_topk(np.empty(0, np.int64),
+                                   np.empty(0, np.int64),
+                                   np.empty(0, np.float64), self.k)
+        m = _vecs_of(t[self.vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        codes = _pq_encode(m, self.books)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        nq = len(self.qids)
+        n = len(ids)
+        scores = np.zeros((nq, n), dtype=np.float64)
+        for s in range(self.books.shape[0]):
+            scores += self.qt[s][:, codes[:, s]]
+        q = np.repeat(self.qids, n)
+        nn = np.tile(ids, nq)
+        return _per_query_topk(q, nn, scores.ravel(), self.k)
+
+
+_PQ_CACHE: dict = {}
+
+
+def knn_pq(ds, query_table: pa.Table, k: int = 5, n_sub: int = 8,
+           n_codes: int = 256, sample: int = 10_000,
+           vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Product-quantization approximate top-k: (query_id, neighbor_id, cos).
+
+    The memory-reduction scale path next to knn_lsh/knn_ivf: vectors
+    compress to n_sub uint8 codes (384-d float32 -> 8 bytes, 192x), so a
+    100-TB embedding corpus's scan set fits a fraction of the object
+    store. Codebooks train once on the deterministic hash sample (driver
+    O(sample)), broadcast with the per-query ADC tables via ray.put; every
+    batch encodes + scores by table lookup — no full-precision vector math
+    per query. Asymmetric-distance cos is approximate: recall gated vs
+    brute force in tests."""
+    from .relational import broadcast
+
+    from .sketch import _splitmix64
+
+    n = max(ds.count(), 1)
+    thr = np.uint64(min(int(2**64 - 1), int(2**64 * min(1.0, sample / n))))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(ids, 0x51A3C0DE)
+        keep = h < thr
+        col = t[vec_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.table({"_h": pa.array(h[keep].astype("uint64")),
+                         vec_col: col.filter(pa.array(keep))})
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r["_h"]))
+    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    books = _pq_train(m, n_sub, n_codes)
+
+    qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    sd = qm.shape[1] // n_sub
+    qt = np.stack([qm[:, s * sd:(s + 1) * sd] @ books[s].T
+                   for s in range(n_sub)])  # [n_sub, nq, K]
+    ref = broadcast({"books": books, "qt": qt,
+                     "qids": query_table[id_col].to_numpy(zero_copy_only=False)})
+    ref_id = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    key = (ref_id, vec_col, id_col, k)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        sc = _PQ_CACHE.get(key)
+        if sc is None:
+            sc = PQScorer(ref, vec_col, id_col, k)
+            _PQ_CACHE[key] = sc
+        return sc(t)
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("cos", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")

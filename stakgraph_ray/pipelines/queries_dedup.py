@@ -298,6 +298,26 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, queries, k=5, n_centroids=16, n_probe=6)
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization approximate top-k: uint8 codes (192x memory cut
+    on 384-d float32 at scale) + ADC table-lookup scan (rows-only —
+    approximate by design, recall gated vs brute force in
+    tests/test_ann_multimodal.py)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..ops.ann import knn_pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.slice(0, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
+    return knn_pq(ds, queries, k=5, n_sub=8, n_codes=64)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal actor-pool pipeline: binary payload decode -> resize ->
     feature vectors (rows-only: decode is not SQL-expressible; determinism
@@ -540,6 +560,7 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "search_hybrid_rrf": (q_hybrid_search, None),
     "sim_knn_lsh": (q_knn_lsh, None),
     "sim_knn_ivf": (q_knn_ivf, None),
+    "sim_knn_pq": (q_knn_pq, None),
     "mm_media_features": (q_media_features, None),
     "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),
     "dedup_token_jaccard": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD),

@@ -159,3 +159,56 @@ def test_media_pipeline(ray_session, sf_tiny):
     a = sorted((r["media_id"], tuple(r["features"])) for r in out)
     b = sorted((r["media_id"], tuple(r["features"])) for r in out2)
     assert a == b
+
+
+def test_knn_pq_recall_vs_bruteforce(ray_session, sf_tiny):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from stakgraph_ray.ops.ann import knn_pq
+
+    emb = pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.slice(0, 5)
+    ds = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    approx = knn_pq(ds, queries, k=5, n_sub=8, n_codes=64).take_all()
+
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    recall_hits = total = 0
+    for qi in range(5):
+        cos = M @ M[qi]
+        order = np.lexsort((ids, -cos))[:5]
+        want = set(ids[order])
+        got = {r["neighbor_id"] for r in approx if r["query_id"] == ids[qi]}
+        assert len(got) == 5  # exactly k per query (PQ scans every row)
+        recall_hits += len(got & want)
+        total += len(want)
+    recall = recall_hits / total
+    # random uniform vectors are PQ's worst case (no subspace structure);
+    # the gate documents the floor rather than a typical-corpus recall
+    assert recall >= 0.4, f"recall@5 {recall}"
+
+
+def test_knn_pq_deterministic(ray_session, sf_tiny):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from stakgraph_ray.ops.ann import knn_pq
+
+    emb = pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.slice(0, 3)
+
+    def run():
+        ds = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        rows = knn_pq(ds, queries, k=5, n_sub=8, n_codes=64).take_all()
+        return sorted((r["query_id"], r["neighbor_id"], round(r["cos"], 12))
+                      for r in rows)
+
+    assert run() == run()
