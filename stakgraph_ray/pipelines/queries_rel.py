@@ -1152,6 +1152,44 @@ from documents
 """
 
 
+def q_sentence_split(sf_dir: str):
+    """Sentence segmentation (flat_map shape — the north-star's
+    sentence-split stage): explode each document into ('. '-delimited)
+    sentences with a 1-based index and length, fully vectorized (split +
+    list_flatten + parent-offset arithmetic; no Python per row)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        sents = pc.split_pattern(pc.cast(text, pa.large_string()), ". ")
+        sents = sents.combine_chunks() if isinstance(
+            sents, pa.ChunkedArray) else sents
+        flat = pc.list_flatten(sents)
+        parent = pc.list_parent_indices(sents).to_numpy(zero_copy_only=False)
+        offsets = sents.offsets.to_numpy(zero_copy_only=False)
+        idx = np.arange(len(flat), dtype=np.int64) - offsets[parent] + 1
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "sent_idx": pa.array(idx, pa.int64()),
+            "sentence": pc.cast(flat, pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(flat), pa.int64()),
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+SQL_SENTENCE_SPLIT = """
+with s as (select doc_id, string_split(text, '. ') as sents from documents),
+u as (select doc_id, generate_subscripts(sents, 1) as sent_idx,
+             unnest(sents) as sentence from s)
+select doc_id, cast(sent_idx as bigint) as sent_idx, sentence,
+       cast(length(sentence) as bigint) as n_chars
+from u
+"""
+
+
 def q_quality_scores(sf_dir: str):
     """Quality scoring: stopword ratio per doc (explode + in-batch bincount,
     no shuffle — each doc's tokens stay in its batch)."""
@@ -1426,6 +1464,7 @@ REL_QUERIES: dict[str, tuple] = {
                                  SQL_NATION_BALANCE_STATS),
     "rel_event_weekday_pivot": (q_event_weekday_pivot, SQL_EVENT_WEEKDAY_PIVOT),
     "txt_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "txt_sentence_split": (q_sentence_split, SQL_SENTENCE_SPLIT),
     "txt_quality_scores": (q_quality_scores, SQL_QUALITY),
     "txt_exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
     "sim_knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
