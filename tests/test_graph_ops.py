@@ -33,3 +33,27 @@ def test_bfs_shortest_paths_tiebreak_and_cycles(ray_session):
     assert got["a"]["depth"] == 1 and got["a"]["path"] == "s->a"
     assert got["b"]["depth"] == 1 and got["b"]["path"] == "s->b"
     assert got["t"]["depth"] == 2 and got["t"]["path"] == "s->a->t"
+
+
+def test_bfs_shortest_paths_distributed_branch_parity(ray_session):
+    """broadcast_limit=0 forces the co-group expansion + left-anti seen
+    subtraction; results must equal the broadcast path exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stakgraph_ray.ops.graph import bfs_shortest_paths
+
+    rng = np.random.RandomState(5)
+    n = 40
+    src = rng.randint(0, n, 120)
+    dst = rng.randint(0, n, 120)
+    edges = pa.table({"src_key": [f"n{a}" for a in src],
+                      "dst_key": [f"n{b}" for b in dst]})
+
+    def run(limit):
+        rows = bfs_shortest_paths(rd.from_arrow(edges), "n0", max_depth=4,
+                                  broadcast_limit=limit).take_all()
+        return sorted((r["node_key"], r["depth"], r["path"]) for r in rows)
+
+    assert run(500_000) == run(0)
