@@ -448,3 +448,17 @@ def test_grouped_mad_matches_duckdb(ray_session):
            (pd.isna(got.m.values) & pd.isna(want.m.values))
     assert same.all()
     assert pd.isna(got.loc[50, "m"])
+
+
+def test_new_grouped_ops_empty_input(ray_session):
+    """Zero-row inputs flow through mad/disc-quantile without crashing
+    (Ray emits empty blocks from filters/tiny files)."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.quantile import grouped_mad, grouped_quantile_disc
+
+    t = pa.table({"k": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.float64())})
+    assert grouped_mad(rd.from_arrow(t), "k", "v", "m").count() == 0
+    assert grouped_quantile_disc(rd.from_arrow(t), "k", "v", [0.5],
+                                 ["p"]).count() == 0
