@@ -185,3 +185,58 @@ def grouped_approx_distinct(ds, key: str, col: str, p: int = 12) -> dict:
         k = r[key]
         merged[k] = np.maximum(merged[k], reg) if k in merged else reg
     return {k: hll_estimate(reg) for k, reg in merged.items()}
+
+
+# ------------------------------------------------------------ Bloom filter
+
+def bloom_batch_bits(values: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """Fold one batch of values into a fresh n_bits/8 uint8 bitmap.
+    k hash functions derive from ONE pd.util.hash_array base via the
+    splitmix64 finalizer (the same derivation rule as the CMS rows)."""
+    bits = np.zeros(n_bits >> 3, dtype=np.uint8)
+    if len(values) == 0:
+        return bits
+    base = pd.util.hash_array(np.asarray(values))
+    for i in range(k):
+        idx = (_splitmix64(base, _CMS_SEEDS[i % len(_CMS_SEEDS)] + i)
+               % np.uint64(n_bits)).astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Mergeable Bloom filter over a key column: per-batch bitmaps OR-merge
+    on the driver — O(blocks x n_bits/8) transferred, O(n_bits/8) held.
+    No false negatives ever; FP rate ~ (1 - e^{-k n / m})^k.
+
+    The 100-TB semi-join pattern: broadcast the filter (kilobytes-to-MBs
+    regardless of key count) and prefilter the probe side INSIDE
+    map_batches before the exact membership shuffle — the shuffle then
+    moves only true hits + the small FP tail instead of the whole table."""
+    import pyarrow as _pa
+
+    def partial(t: _pa.Table) -> _pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        b = bloom_batch_bits(v, n_bits, k)
+        return _pa.table({"bits": _pa.array([b.tobytes()], _pa.large_binary())})
+
+    bits = np.zeros(n_bits >> 3, dtype=np.uint8)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return bits
+
+
+def bloom_might_contain(bits: np.ndarray, values: np.ndarray,
+                        k: int = 4) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present, False = definitely
+    absent. Must use the same k as bloom_build."""
+    n_bits = len(bits) << 3
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    base = pd.util.hash_array(np.asarray(values))
+    out = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        idx = (_splitmix64(base, _CMS_SEEDS[i % len(_CMS_SEEDS)] + i)
+               % np.uint64(n_bits)).astype(np.int64)
+        out &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+    return out

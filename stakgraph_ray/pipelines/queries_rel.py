@@ -844,6 +844,47 @@ from orders group by o_orderstatus
 """
 
 
+def q_semi_join_bloom(sf_dir: str):
+    """Bloom-prefiltered distributed semi join — the 100-TB pattern: the
+    build side folds into a fixed-size mergeable bitmap (O(blocks x bits/8)
+    to the driver, broadcast in KBs regardless of key count), the probe
+    side drops definite non-members INSIDE map_batches, and only true hits
+    + the small FP tail enter the exact membership shuffle. Result is
+    EXACT (no false negatives; FPs removed by the final co-partition
+    filter), so the oracle is the plain SQL semi join."""
+    import ray.data as rd
+
+    from ..ops.partition import membership_filter_hp
+    from ..ops.relational import broadcast, _resolve
+    from ..ops.sketch import bloom_build, bloom_might_contain
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def fonly(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderstatus"], "F")
+        keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        return pa.table({"o_custkey": t.filter(keep)["o_custkey"]})
+
+    fkeys = orders.map_batches(fonly, batch_format="pyarrow") \
+        .materialize()  # two consumers: bloom pass + exact pass
+    bits = bloom_build(fkeys, "o_custkey", n_bits=1 << 18, k=4)
+    ref = broadcast(bits)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = _resolve(ref)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_might_contain(b, keys, k=4)))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(prefilter, batch_format="pyarrow")
+    return membership_filter_hp(
+        cust, fkeys.map_batches(
+            lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"),
+        "c_custkey", keep=True,
+        payload_schema=pa.schema([("c_custkey", pa.int64()),
+                                  ("c_name", pa.string())]))
+
+
 def q_both_status_customers(sf_dir: str):
     """Set INTERSECTION (SQL INTERSECT): customers holding BOTH an 'F' and
     an 'O' order. Distinct key sets per side, then one keyed co-partition
@@ -1458,6 +1499,7 @@ REL_QUERIES: dict[str, tuple] = {
                                  SQL_NATION_CUSTOMER_LIST),
     "rel_status_distinct_customers": (q_status_distinct_customers,
                                       SQL_STATUS_DISTINCT_CUSTOMERS),
+    "rel_semi_join_bloom": (q_semi_join_bloom, SQL_SEMI),
     "rel_priority_mode": (q_priority_mode, SQL_PRIORITY_MODE),
     "rel_qty_price_corr": (q_qty_price_correlation, SQL_QTY_PRICE_CORR),
     "rel_nation_balance_stats": (q_nation_balance_stats,

@@ -462,3 +462,25 @@ def test_new_grouped_ops_empty_input(ray_session):
     assert grouped_mad(rd.from_arrow(t), "k", "v", "m").count() == 0
     assert grouped_quantile_disc(rd.from_arrow(t), "k", "v", [0.5],
                                  ["p"]).count() == 0
+
+
+def test_bloom_no_false_negatives_and_merge(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import (bloom_batch_bits, bloom_build,
+                                          bloom_might_contain)
+
+    rng = np.random.RandomState(6)
+    members = np.unique(rng.randint(0, 10**9, 5000).astype(np.int64))
+    ds = rd.from_arrow(pa.table({"x": pa.array(members, pa.int64())}))
+    bits = bloom_build(ds, "x", n_bits=1 << 16, k=4)
+    # no false negatives, ever
+    assert bloom_might_contain(bits, members, k=4).all()
+    # FP rate bounded: ~ (1 - e^{-kn/m})^k ≈ 0.024 for n=5k, m=64k, k=4
+    probes = np.unique(rng.randint(2 * 10**9, 3 * 10**9, 20000).astype(np.int64))
+    fp = bloom_might_contain(bits, probes, k=4).mean()
+    assert fp < 0.06, fp
+    # mergeable: OR of two half-bitmaps == bitmap of the union
+    a, b = members[:2000], members[2000:]
+    merged = bloom_batch_bits(a, 1 << 16, 4) | bloom_batch_bits(b, 1 << 16, 4)
+    assert (merged == bloom_batch_bits(members, 1 << 16, 4)).all()
