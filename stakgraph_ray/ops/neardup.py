@@ -351,7 +351,11 @@ def token_jaccard_pairs_in_group(g: pa.Table, id_col: str, text_col: str,
                          "jaccard": pa.array([], pa.float64())})
     order = np.argsort(ids)
     ids = ids[order]
-    texts = [g[text_col][int(i)].as_py() for i in order]
+    # one take + to_pylist keeps the gather in C (per-row .as_py() was the
+    # round-2 hygiene note)
+    col = g[text_col].combine_chunks() if isinstance(
+        g[text_col], pa.ChunkedArray) else g[text_col]
+    texts = col.take(pa.array(order, pa.int64())).to_pylist()
     vocab: dict[str, int] = {}
     rows = []
     for t in texts:
@@ -381,8 +385,13 @@ def embedding_pairs_in_group(g: pa.Table, id_col: str, vec_col: str,
                          "cos": pa.array([], pa.float64())})
     order = np.argsort(ids)
     ids = ids[order]
-    m = np.array([g[vec_col][int(i)].as_py() for i in order], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    vc = g[vec_col].combine_chunks() if isinstance(
+        g[vec_col], pa.ChunkedArray) else g[vec_col]
+    vc = vc.take(pa.array(order, pa.int64()))
+    m = np.asarray(pc.list_flatten(vc).to_numpy(zero_copy_only=False),
+                   dtype=np.float64).reshape(len(ids), -1)
+    # not in-place: a float64 list column flattens zero-copy -> read-only
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     cos = m @ m.T
     ai, bi = np.triu_indices(len(ids), k=1)
     keep = cos[ai, bi] >= threshold
