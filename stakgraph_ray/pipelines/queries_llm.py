@@ -579,6 +579,51 @@ where 1.0 - cast(n_distinct as double) / cast(n_bigrams as double) > 0.05
 """
 
 
+def q_domain_mix(sf_dir: str):
+    """Corpus data-mix report (the pretraining mixing table): per source,
+    document share and token share of the whole corpus. One per-batch
+    combiner over (source, doc-count, token-count) — at most |sources| rows
+    per block cross the driver merge — then exact integer-ratio shares
+    (bit-exact division in double)."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({"source": t["source"], "n_tokens": n_tokens})
+
+    agg = low_card_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), "source",
+        [(None, "count_all"), ("n_tokens", "sum")], ["n_docs", "n_tokens"])
+
+    def shares(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"], "n_tokens": t["n_tokens"],
+            "doc_share": pa.array(nd / nd.sum(), pa.float64()),
+            "token_share": pa.array(nt / nt.sum(), pa.float64()),
+        })
+
+    # the combiner output is |sources|-bounded: the share denominators are
+    # exact totals because every group is present in this single table
+    return agg.map_batches(shares, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DOMAIN_MIX = """
+with a as (select source, count(*) as n_docs,
+                  cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+           from documents group by source)
+select source, n_docs, n_tokens,
+       cast(n_docs as double) / (select sum(n_docs) from a) as doc_share,
+       cast(n_tokens as double) / (select sum(n_tokens) from a) as token_share
+from a
+"""
+
+
 # ------------------------------------------------------- URL curation gate
 
 def q_url_filter(sf_dir: str):
@@ -656,6 +701,7 @@ LLM_QUERIES = {
     "llm_bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "llm_clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "llm_repetition_filter": (q_repetition_filter, SQL_REPETITION),
+    "llm_domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "llm_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "llm_token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "llm_bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),

@@ -916,6 +916,36 @@ select o_custkey from orders where o_orderstatus = 'O'
 """
 
 
+def q_f_only_customers(sf_dir: str):
+    """Set DIFFERENCE (SQL EXCEPT): customers with an 'F' order but no 'O'
+    order — the INTERSECT's complement via the same one-shuffle
+    co-partition membership filter, keep=False."""
+    from ..ops.partition import distinct_hp, membership_filter_hp
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def side(status):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["o_orderstatus"], status)
+            keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+            return pa.table({"o_custkey": t.filter(keep)["o_custkey"]})
+        return f
+
+    f_keys = distinct_hp(orders.map_batches(side("F"), batch_format="pyarrow"),
+                         "o_custkey")
+    o_keys = orders.map_batches(side("O"), batch_format="pyarrow")
+    return membership_filter_hp(
+        f_keys, o_keys, "o_custkey", keep=False,
+        payload_schema=pa.schema([("o_custkey", pa.int64())]))
+
+
+SQL_F_ONLY = """
+select o_custkey from orders where o_orderstatus = 'F'
+except
+select o_custkey from orders where o_orderstatus = 'O'
+"""
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape — the 3-table join composition: BUILDING-segment
     customers (distinct-key semi join) -> orders before 1998 (pruned read
@@ -1493,6 +1523,7 @@ REL_QUERIES: dict[str, tuple] = {
     "rel_pricing_cube": (q_pricing_cube, SQL_PRICING_CUBE),
     "rel_nation_balance_disc": (q_nation_balance_disc, SQL_NATION_BALANCE_DISC),
     "rel_intersect_custkeys": (q_both_status_customers, SQL_BOTH_STATUS),
+    "rel_except_custkeys": (q_f_only_customers, SQL_F_ONLY),
     "rel_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "rel_nation_balance_mad": (q_nation_balance_mad, SQL_NATION_BALANCE_MAD),
     "rel_nation_customer_list": (q_nation_customer_list,
