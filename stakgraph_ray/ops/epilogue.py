@@ -207,7 +207,8 @@ def _epilogue_local(nodes: pa.Table, edges: pa.Table,
 
 
 def apply_epilogue(nodes_ds, edges_ds, childless: tuple | None = None,
-                   local_limit: int | None = 5_000_000):
+                   local_limit: int | None = 5_000_000,
+                   local_byte_limit: int = 4 << 30):
     """The flagship's post-build cleanup: prefer-typed dedup -> optional
     childless-parent filter -> orphan prune -> edge cascade.
 
@@ -216,11 +217,24 @@ def apply_epilogue(nodes_ds, edges_ds, childless: tuple | None = None,
     cost far more task scheduling than compute (measured ~10 s of a 44 s
     sf0.1 build for <1 s of work); the same kernels run in one driver pass
     instead. The callers' inputs are checkpoint reads, so the count()s are
-    parquet-metadata cheap. ``local_limit=None`` forces distributed."""
+    parquet-metadata cheap. ``local_limit=None`` forces distributed.
+
+    The guard is rows AND bytes: a row count alone would let a text-heavy
+    corpus (nodes carry body/docs columns) pull unbounded bytes onto the
+    driver — exactly what the distributed path exists to avoid — so above
+    ``local_byte_limit`` (in-memory estimate from the datasets' metadata)
+    the distributed path runs regardless of row count."""
     if childless is None and local_limit:
         import ray
 
         n = nodes_ds.count() + edges_ds.count()
+        try:
+            nbytes = ((nodes_ds.size_bytes() or 0)
+                      + (edges_ds.size_bytes() or 0))
+        except Exception:
+            nbytes = None
+        if nbytes is not None and nbytes > local_byte_limit:
+            n = local_limit + 1  # force the distributed branch below
         if n <= local_limit:
             nt = pa.concat_tables(
                 [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)

@@ -52,8 +52,9 @@ def _cached_resolve(ref):
     except TypeError:  # plain (non-ref) object in a Ray-less test
         return _resolve(ref)
     if hit is None:
-        hit = _resolve(ref)
-        _BCAST_CACHE[ref] = hit
+        from ..util import cache_put
+
+        hit = cache_put(_BCAST_CACHE, ref, _resolve(ref))
     return hit
 
 
@@ -612,9 +613,11 @@ def interval_join(ds, intervals: pa.Table, key_col: str, ts_col: str,
     def join_batch(batch: pa.Table) -> pa.Table:
         j = _IVJ_CACHE.get(key)
         if j is None:
-            j = IntervalJoiner(ref, key_col, ts_col, lo_col, hi_col,
-                               carry_cols)
-            _IVJ_CACHE[key] = j
+            from ..util import cache_put
+
+            j = cache_put(_IVJ_CACHE, key,
+                          IntervalJoiner(ref, key_col, ts_col, lo_col,
+                                         hi_col, carry_cols))
         return j(batch)
 
     return ds.map_batches(join_batch, batch_format="pyarrow")

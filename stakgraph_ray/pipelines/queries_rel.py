@@ -197,8 +197,11 @@ def q_priority_mode(sf_dir: str):
             "mode_priority": pc.take(t["o_orderpriority"], head),
             "n": pc.take(t["n"], head)})
 
-    # the combiner output is dimension-bounded: one final driver-side pick
-    return counts.map_batches(pick, batch_format="pyarrow")
+    # the combiner output is dimension-bounded AND single-block
+    # (low_card_aggregate ends in from_arrow); batch_size=None makes the
+    # cross-row argmax see the whole table even if the group count ever
+    # exceeded the default map_batches batch size
+    return counts.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
 
 SQL_PRIORITY_MODE = """

@@ -96,3 +96,18 @@ def round_half_away(x, nd: int):
     scale = 10.0 ** nd
     out = np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
     return float(out) if out.ndim == 0 else out
+
+
+def cache_put(cache: dict, key, val, cap: int = 8):
+    """Insert into a per-worker-process broadcast/stage cache with a small
+    FIFO cap. These caches live in long-lived Ray worker processes across a
+    100+ query session; each entry can pin a resolved broadcast table AND
+    its plasma ObjectRef, so an unbounded dict grows monotonically. A tiny
+    cap keeps the hot entry (the current query's broadcast) resident while
+    letting stale refs drop so plasma can reclaim them."""
+    if len(cache) >= cap:
+        # dicts preserve insertion order -> FIFO eviction of the oldest
+        for old in list(cache)[:max(1, len(cache) - cap + 1)]:
+            del cache[old]
+    cache[key] = val
+    return val

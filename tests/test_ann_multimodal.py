@@ -212,3 +212,35 @@ def test_knn_pq_deterministic(ray_session, sf_tiny):
                       for r in rows)
 
     assert run() == run()
+
+
+def test_hash_sample_string_and_no_id(ray_session, sf_tiny):
+    """The centroid-training sample must be deterministic and block-layout
+    independent for ALL id shapes: integer ids, string ids, and no id at
+    all (the round-2/3 head-sample fallback is gone)."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.ann import hash_sample_vectors
+
+    ds = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    str_ids = ds.map_batches(
+        lambda t: pa.table({
+            "sid": pa.array([f"node-{i}" for i in
+                             t["vec_id"].to_pylist()], pa.string()),
+            "embedding": t["embedding"]}),
+        batch_format="pyarrow")
+    noid = ds.map_batches(lambda t: t.select(["embedding"]),
+                          batch_format="pyarrow")
+
+    m_int = hash_sample_vectors(ds, "embedding", 40, "vec_id")
+    m_str = hash_sample_vectors(str_ids, "embedding", 40, "sid")
+    m_none = hash_sample_vectors(noid, "embedding", 40, None)
+    for m in (m_int, m_str, m_none):
+        assert 10 <= len(m) <= 120, len(m)
+
+    # block-layout independence: repartition and re-sample -> identical
+    m_none2 = hash_sample_vectors(noid.repartition(7), "embedding", 40, None)
+    assert np.array_equal(m_none, m_none2)
+    m_str2 = hash_sample_vectors(str_ids.repartition(5), "embedding", 40, "sid")
+    assert np.array_equal(m_str, m_str2)
