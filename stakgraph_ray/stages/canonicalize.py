@@ -34,7 +34,8 @@ SMALL_NAMES_LIMIT = 200_000
 
 
 def canonical_roots(names_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                    min_len: int = 8, threshold: float = 0.85) -> dict[str, str]:
+                    min_len: int = 8, threshold: float = 0.85,
+                    max_pairs: int = 2_000_000) -> dict[str, str]:
     """Distinct-name Dataset (column ``name``) -> {merged name: canonical}.
 
     Only names that actually merge appear in the dict (small side);
@@ -43,7 +44,17 @@ def canonical_roots(names_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     Adaptive: a small distinct-name table (the common case — entity
     vocabulary, not corpus size) is collected and LSH'd driver-side in one
     numpy pass (zero extra Ray round trips); a large one runs the full
-    Dataset LSH path. Both use identical hash functions -> identical merges."""
+    Dataset LSH path. Both use identical hash functions -> identical merges.
+
+    The large path's verified pair set is counted against ``max_pairs``
+    BEFORE any driver collection (the minhash_lsh_clusters guard —
+    a template-generated web corpus can make boilerplate-name pair mass
+    corpus-shaped): under the guard, driver union-find over the pairs;
+    above it, the distributed label-propagation fallback runs over
+    md5-hashed names and only the MERGED members (vocabulary-bounded, one
+    row per non-singleton-cluster member — never the pair set) reach the
+    driver. Both tails emit identical merges (min name per component);
+    parity-tested in tests/test_neardup.py."""
     eligible = names_ds.map_batches(
         lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["name"]), min_len)),
         batch_format="pyarrow")
@@ -51,12 +62,74 @@ def canonical_roots(names_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     head = eligible.take(SMALL_NAMES_LIMIT + 1)
     if len(head) <= SMALL_NAMES_LIMIT:
         return _roots_driver_side([r["name"] for r in head], threshold)
+    # unique=False: both consumers (union-find / label propagation) are
+    # idempotent over repeated edges, so skip the global distinct exchange
     pairs_ds = minhash_lsh_pairs(eligible, "name", "name", shingle="char",
                                  ngram=3, threshold=threshold,
-                                 id_type=pa.string())
+                                 id_type=pa.string(),
+                                 unique=False).materialize()
+    if pairs_ds.count() > max_pairs:
+        return _roots_label_propagation(eligible, pairs_ds)
     pairs = pairs_ds.take_all()
     roots = union_find([(p["a"], p["b"]) for p in pairs])
     return {k: v for k, v in roots.items() if k != v}
+
+
+def _roots_label_propagation(eligible, pairs_ds) -> dict[str, str]:
+    """Above-guard tail: hash names to int64 (the md5low64 precedent,
+    pipelines/queries_kg.py), run distributed min-label propagation over
+    the hashed pair graph, join labels back to names, and reduce each
+    cluster to its lexicographic-min name — the same root the driver
+    union-find picks (its root is always the min member). Only merged
+    members cross back to the driver."""
+    from ..functions.minhash import _md5low64_raw
+    from ..ops.neardup import label_propagation_clusters
+    from ..ops.partition import cogroup_join_hp, partitioned_apply
+
+    mask63 = (1 << 63) - 1
+
+    def hash_col(col) -> pa.Array:
+        return pa.array([_md5low64_raw(s) & mask63 for s in col.to_pylist()],
+                        pa.int64())
+
+    hashed_names = eligible.map_batches(
+        lambda t: pa.table({"id": hash_col(t["name"]), "name": t["name"]}),
+        batch_format="pyarrow").materialize()
+    hashed_pairs = pairs_ds.map_batches(
+        lambda t: pa.table({"a": hash_col(t["a"]), "b": hash_col(t["b"])}),
+        batch_format="pyarrow")
+    labels = label_propagation_clusters(hashed_names, "id", hashed_pairs)
+    named = cogroup_join_hp(
+        labels.map_batches(
+            lambda t: pa.table({"id": t["doc_id"], "label": t["cluster_id"]}),
+            batch_format="pyarrow"),
+        hashed_names, "id",
+        pa.schema([("id", pa.int64()), ("label", pa.int64())]),
+        pa.schema([("id", pa.int64()), ("name", pa.string())]))
+
+    def merged_members(t: pa.Table) -> pa.Table:
+        empty = pa.table({"name": pa.array([], pa.string()),
+                          "canonical": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("label", "ascending"), ("name", "ascending")])
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(lab[1:] != lab[:-1]) + 1))
+        seg = np.zeros(len(lab), dtype=np.int64)
+        seg[starts] = 1
+        head_idx = starts[np.cumsum(seg) - 1]  # canonical row per member
+        names = t["name"].combine_chunks() if isinstance(
+            t["name"], pa.ChunkedArray) else t["name"]
+        canon = pc.take(names, pa.array(head_idx, pa.int64()))
+        keep = pa.array(head_idx != np.arange(len(lab)))
+        return pa.table({"name": names, "canonical": canon}).filter(keep)
+
+    rows = partitioned_apply(
+        named.map_batches(lambda t: t.select(["label", "name"]),
+                          batch_format="pyarrow"),
+        "label", merged_members).take_all()
+    return {r["name"]: r["canonical"] for r in rows}
 
 
 def _roots_driver_side(names: list[str], threshold: float) -> dict[str, str]:
