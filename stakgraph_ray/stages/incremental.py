@@ -98,12 +98,143 @@ def changed_urls(new_pages_ds, workdir: str, cfg=None) -> set[str]:
     return {r["url"] for r in changed_urls_ds(fresh, workdir).take_all()}
 
 
+PRESERVE_EDGE_TYPES = ("ALIAS_OF",)
+_TRIPLE_SEP = "\x1f"
+
+
+def _snapshot_preserved_edges(workdir: str, preserve_types, tmp_dir: str) -> int:
+    """Before the derived-stage rebuild: save the old edge checkpoint's
+    DYNAMIC edges (the reference restores preserved dynamic edges after
+    delete+reparse, /root/reference/ast/src/lang/graphs/graph_ops.rs:206-275
+    — without this, out-of-band edges like ALIAS_OF provenance from a prior
+    canonicalization round vanish in the wholesale rebuild). Returns the
+    snapshot row count (0 = nothing to restore)."""
+    import ray.data as rd
+
+    from ..stages.materialize import manifest_complete
+    from ..util import default_num_blocks
+
+    edges_dir = os.path.join(workdir, "edges")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if not preserve_types or not manifest_complete(edges_dir):
+        return 0
+    vs = pa.array(sorted(preserve_types), pa.string())
+    kept = rd.read_parquet(edges_dir,
+                           override_num_blocks=default_num_blocks()) \
+        .map_batches(lambda t: t.filter(pc.is_in(t["edge_type"], value_set=vs)),
+                     batch_format="pyarrow")
+    kept.write_parquet(tmp_dir)
+    from ..stages.materialize import _parquet_rows
+
+    # an all-empty dataset may write no files (or no directory) at all
+    return _parquet_rows(tmp_dir) if os.path.isdir(tmp_dir) else 0
+
+
+def _triple_col(t: pa.Table) -> pa.Table:
+    return t.append_column("_triple", pc.binary_join_element_wise(
+        pc.cast(t["src_key"], pa.string()), t["edge_type"],
+        pc.cast(t["dst_key"], pa.string()), _TRIPLE_SEP))
+
+
+def _restore_preserved_edges(workdir: str, tmp_dir: str,
+                             broadcast_limit: int) -> int:
+    """After the rebuild: re-apply snapshot edges whose BOTH endpoints
+    survive in the rebuilt node table and whose (src, type, dst) triple the
+    rebuild did not regenerate. Guarded broadcast fast path (the snapshot is
+    alias-vocabulary-sized in practice); distributed membership filters
+    above the guard. Returns rows appended to the edges checkpoint."""
+    import ray.data as rd
+
+    from ..stages.materialize import _parquet_rows, write_manifest
+    from ..util import default_num_blocks
+
+    n = _parquet_rows(tmp_dir) if os.path.isdir(tmp_dir) else 0
+    if n == 0:
+        return 0
+    nodes_dir = os.path.join(workdir, "nodes")
+    edges_dir = os.path.join(workdir, "edges")
+    preserved = rd.read_parquet(tmp_dir)
+    nodes = rd.read_parquet(nodes_dir, columns=["node_key"],
+                            override_num_blocks=default_num_blocks())
+    new_edges = rd.read_parquet(
+        edges_dir, columns=["src_key", "edge_type", "dst_key"],
+        override_num_blocks=default_num_blocks())
+    if n <= broadcast_limit:
+        keys = preserved.map_batches(
+            lambda t: t.select(["src_key", "edge_type", "dst_key"]),
+            batch_format="pyarrow").take_all()
+        want = sorted({r["src_key"] for r in keys}
+                      | {r["dst_key"] for r in keys})
+        want_a = pa.array(want, pa.string())
+        surviving = {r["node_key"] for r in nodes.map_batches(
+            lambda t: t.filter(pc.is_in(t["node_key"], value_set=want_a)),
+            batch_format="pyarrow").take_all()}
+        trip_a = pa.array(
+            sorted(_TRIPLE_SEP.join((r["src_key"], r["edge_type"],
+                                     r["dst_key"])) for r in keys),
+            pa.string())
+        def found_triples(t: pa.Table) -> pa.Table:
+            t2 = _triple_col(t)
+            return t2.filter(pc.is_in(t2["_triple"], value_set=trip_a)) \
+                .select(["_triple"])
+
+        regenerated = {r["_triple"] for r in new_edges.map_batches(
+            found_triples, batch_format="pyarrow").take_all()}
+        surv_a = pa.array(sorted(surviving), pa.string())
+        regen_a = pa.array(sorted(regenerated), pa.string())
+
+        def filt(t: pa.Table) -> pa.Table:
+            t2 = _triple_col(t)
+            mask = pc.and_(
+                pc.and_(pc.is_in(t2["src_key"], value_set=surv_a),
+                        pc.is_in(t2["dst_key"], value_set=surv_a)),
+                pc.invert(pc.is_in(t2["_triple"], value_set=regen_a)))
+            return t.filter(mask)
+
+        kept = preserved.map_batches(filt, batch_format="pyarrow")
+    else:
+        from ..ops.partition import membership_filter_hp
+
+        node_keys_as_src = nodes.map_batches(
+            lambda t: pa.table({"src_key": t["node_key"]}),
+            batch_format="pyarrow")
+        node_keys_as_dst = nodes.map_batches(
+            lambda t: pa.table({"dst_key": t["node_key"]}),
+            batch_format="pyarrow")
+        schema = preserved.schema().base_schema
+        kept = membership_filter_hp(preserved, node_keys_as_src, "src_key",
+                                    keep=True, payload_schema=schema)
+        kept = membership_filter_hp(kept, node_keys_as_dst, "dst_key",
+                                    keep=True, payload_schema=schema)
+        trip_schema = pa.schema(list(schema)
+                                + [pa.field("_triple", pa.string())])
+        kept = membership_filter_hp(
+            kept.map_batches(_triple_col, batch_format="pyarrow"),
+            new_edges.map_batches(
+                lambda t: _triple_col(t).select(["_triple"]),
+                batch_format="pyarrow"),
+            "_triple", keep=False, payload_schema=trip_schema) \
+            .map_batches(lambda t: t.drop_columns(["_triple"]),
+                         batch_format="pyarrow")
+    kept = kept.materialize()
+    k = kept.count()
+    if k:
+        kept.write_parquet(edges_dir)  # write_parquet APPENDS new files
+        write_manifest(edges_dir, rows=_parquet_rows(edges_dir),
+                       stage="edges", extra={"preserved_appended": k})
+    return k
+
+
 def incremental_update(new_pages_ds, workdir: str, cfg=None,
                        dictionary: dict | None = None,
-                       broadcast_limit: int = BROADCAST_LIMIT) -> dict:
+                       broadcast_limit: int = BROADCAST_LIMIT,
+                       preserve_edge_types=PRESERVE_EDGE_TYPES) -> dict:
     """Merge changed pages into an existing materialized graph.
 
-    Returns build_graph_materialized's result dict plus ``n_changed``.
+    Returns build_graph_materialized's result dict plus ``n_changed`` and
+    ``n_preserved`` (out-of-band edges of ``preserve_edge_types`` carried
+    across the rebuild — restored when both endpoints survive and the
+    rebuild didn't regenerate the triple, graph_ops.rs:206-275 analog).
     When nothing changed, all stages are skipped (manifests intact)."""
     import ray.data as rd
 
@@ -163,6 +294,12 @@ def incremental_update(new_pages_ds, workdir: str, cfg=None,
     write_manifest(old_dir, rows=_parquet_rows(old_dir), stage="extract",
                    extra={"incremental": True, "n_changed": n_changed})
 
+    # snapshot out-of-band dynamic edges BEFORE the derived-stage rebuild
+    # wipes them (graph_ops.rs:206-275 restore analog)
+    preserved_dir = os.path.join(workdir, "_preserved_edges.tmp")
+    n_snap = _snapshot_preserved_edges(workdir, preserve_edge_types,
+                                       preserved_dir)
+
     # downstream stages are derived: invalidate their manifests
     for stage in ("linked", "nodes_raw", "edges_raw", "nodes", "edges"):
         mp = os.path.join(workdir, stage, "_MANIFEST.json")
@@ -171,4 +308,17 @@ def incremental_update(new_pages_ds, workdir: str, cfg=None,
 
     out = build_graph_materialized(new_pages_ds, workdir, cfg, dictionary)
     out["n_changed"] = n_changed
+    out["n_preserved"] = 0
+    if n_snap:
+        k = _restore_preserved_edges(workdir, preserved_dir, broadcast_limit)
+        if k:
+            import ray.data as rd
+
+            from ..util import default_num_blocks
+
+            out["edges"] = rd.read_parquet(
+                os.path.join(workdir, "edges"),
+                override_num_blocks=default_num_blocks())
+        out["n_preserved"] = k
+    shutil.rmtree(preserved_dir, ignore_errors=True)
     return out

@@ -123,3 +123,65 @@ def test_filter_nested_spans():
     # duplicate [0,8) dropped
     assert list(keep) == [True, False, False, True, False, False]
     assert list(filter_nested_spans(np.array([], np.int64), np.array([], np.int64))) == []
+
+
+@pytest.mark.parametrize("bl", [500_000, 0])
+def test_incremental_preserves_out_of_band_edges(ray_session, bl):
+    """Out-of-band dynamic edges (e.g. ALIAS_OF provenance added after a
+    prior round) must survive the wholesale derived-stage rebuild when both
+    endpoints survive — and must NOT be restored when an endpoint is gone
+    (graph_ops.rs:206-275 preserved-dynamic-edge analog). bl=0 forces the
+    distributed membership-filter restore path."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stakgraph_ray.stages.incremental import incremental_update
+    from stakgraph_ray.stages.materialize import (_parquet_rows,
+                                                  build_graph_materialized,
+                                                  write_manifest)
+
+    wd = WORKDIR + f"_preserve{bl}"
+    shutil.rmtree(wd, ignore_errors=True)
+    build_graph_materialized(rd.from_arrow(_pages(BASE)), wd)
+
+    nodes = pq.read_table(f"{wd}/nodes", columns=["node_key", "node_type"])
+    terms = sorted(k for k, t in zip(nodes["node_key"].to_pylist(),
+                                     nodes["node_type"].to_pylist())
+                   if t == "Term" and ("spark" in k or "batch" in k))
+    assert len(terms) >= 2
+    sch = pq.read_table(glob.glob(f"{wd}/edges/*.parquet")[0]).schema
+
+    def row(src, dst):
+        base = {"src_key": src, "edge_type": "ALIAS_OF", "dst_key": dst,
+                "ref_id": f"oob:{src}|{dst}", "operand": "external",
+                "confidence": 0.5, "strategy": "manual", "weight": 1}
+        return {f.name: base.get(f.name) for f in sch}
+
+    extra = pa.Table.from_pylist(
+        [row(terms[0], terms[1]),          # both endpoints survive
+         row(terms[0], "Term|gone|")],     # dangling endpoint -> dropped
+        schema=sch)
+    pq.write_table(extra, f"{wd}/edges/part-out-of-band.parquet")
+    write_manifest(f"{wd}/edges", rows=_parquet_rows(f"{wd}/edges"),
+                   stage="edges")
+
+    new = dict(BASE)
+    new["https://x.org/b"] = "merge sort key vector"
+    out = incremental_update(rd.from_arrow(_pages(new)), wd,
+                             broadcast_limit=bl)
+    assert out["n_changed"] == 1
+    assert out["n_preserved"] == 1
+    e = out["edges"].to_pandas()
+    oob = e[(e.edge_type == "ALIAS_OF") & (e.src_key == terms[0])]
+    assert list(oob.dst_key) == [terms[1]]
+
+    # idempotence: a second identical update changes nothing and does not
+    # duplicate the preserved edge
+    out2 = incremental_update(rd.from_arrow(_pages(new)), wd,
+                              broadcast_limit=bl)
+    assert out2["n_changed"] == 0
+    e2 = out2["edges"].to_pandas()
+    assert len(e2[(e2.edge_type == "ALIAS_OF")
+                  & (e2.src_key == terms[0])]) == 1
