@@ -35,38 +35,58 @@ def _catalog() -> dict[str, tuple]:
     from stakgraph_ray.pipelines.queries_typed import TYPED_QUERIES
 
     # Insertion order matters: the driver walks this catalog in order under a
-    # time budget (r02 stopped at entry 50 of 83). Tiers:
-    #   1. families with no prior driver-verified round (TYPED/PROBE/LLM/
-    #      DEDUP had none in r02), which also hold most round-3 additions;
-    #   2. KG/REL queries that are NEW or whose oracle/pipeline CHANGED in
-    #      round 3 (dtype-parity casts, task-pool joins, the r02 pivot fix —
-    #      the round's one FAIL must land inside the budget);
-    #   3. the rest of KG/REL (two green rounds behind them).
-    changed = [
-        "kg_shortest_path", "kg_adamic_adar", "kg_term_importance",
-        "rel_event_weekday_pivot", "rel_pricing_cube", "rel_priority_mode",
-        "rel_qty_price_corr", "rel_nation_balance_disc",
-        "rel_intersect_custkeys", "rel_shipping_priority",
-        "rel_nation_balance_mad", "rel_nation_customer_list",
+    # time budget (r03 stopped at entry 50 of 102). Round-4 tiers — every
+    # entry whose CURRENT code has no driver row goes first:
+    #   1. never driver-checked (past r03's budget, or new this round);
+    #   2. changed in round 3 AFTER their last green row (r02), so their
+    #      green rows predate the dtype-cast / task-pool rewrites;
+    #   3. changed THIS round (join fusions, finisher batch_size, ANN
+    #      sampling, canonicalize guard consumers);
+    #   4. r02-green KG/REL entries not re-proved since;
+    #   5. the r03-green remainder (freshest rows).
+    priority = [
+        # tier 1 — never checked
+        "rel_except_custkeys", "rel_semi_join_bloom",
         "rel_status_distinct_customers", "txt_sentence_split",
+        "mm_media_feature_stats",
+        # tier 2 — r03-changed, green row predates the change
         "rel_hourly_event_stats", "rel_hopping_event_stats",
         "rel_nation_balance_stats", "rel_funnel_conversion",
-        "rel_top_customers", "rel_orders_lineitem_join", "rel_running_value",
+        "rel_top_customers", "rel_running_value",
         "rel_promo_events", "kg_mention_edges", "kg_mention_edges_sharded",
         "kg_term_components", "sim_knn_bruteforce",
+        # tier 3 — changed this round
+        "rel_orders_lineitem_join", "rel_shipping_priority",
+        "rel_priority_mode", "kg_rich_triples", "kg_epilogue_pages",
+        "sim_knn_ivf", "sim_knn_pq", "mm_media_features",
     ]
-    rest: dict[str, tuple] = {}
-    rest.update(KG_QUERIES)
-    rest.update(REL_QUERIES)
+    every: dict[str, tuple] = {}
+    every.update(TYPED_QUERIES)
+    every.update(PROBE_QUERIES)
+    every.update(LLM_QUERIES)
+    every.update(DEDUP_QUERIES)
+    every.update(KG_QUERIES)
+    every.update(REL_QUERIES)
+    # tier 4 — r02-green, never re-proved in r03 (everything KG/REL that is
+    # neither in `priority` nor in the r03-checked set below)
+    r03_checked = {
+        "kg_typed_nodes", "kg_typed_edges", "kg_test_ids", "kg_http_probes",
+        "kg_page_kinds", "kg_link_sections", "kg_maximal_mentions",
+        "kg_probe_endpoint_links", "kg_shortest_path", "kg_adamic_adar",
+        "kg_term_importance", "rel_event_weekday_pivot", "rel_pricing_cube",
+        "rel_qty_price_corr", "rel_nation_balance_disc",
+        "rel_intersect_custkeys", "rel_nation_balance_mad",
+        "rel_nation_customer_list",
+    }
     cat: dict[str, tuple] = {}
-    cat.update(TYPED_QUERIES)
-    cat.update(PROBE_QUERIES)
-    cat.update(LLM_QUERIES)
-    cat.update(DEDUP_QUERIES)
-    for name in changed:
-        if name in rest and name not in cat:
-            cat[name] = rest[name]
-    cat.update({k: v for k, v in rest.items() if k not in cat})
+    for name in priority:
+        if name in every:
+            cat[name] = every[name]
+    for name, v in every.items():
+        if name not in cat and name not in r03_checked \
+                and (name in KG_QUERIES or name in REL_QUERIES):
+            cat[name] = v
+    cat.update({k: v for k, v in every.items() if k not in cat})
     return cat
 
 

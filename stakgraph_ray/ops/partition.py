@@ -206,7 +206,7 @@ _SIDE = "_side"
 
 def cogroup_join_hp(left_ds, right_ds, key: str, left_schema: pa.Schema,
                     right_schema: pa.Schema, join_type: str = "inner",
-                    num_partitions: int | None = None):
+                    num_partitions: int | None = None, post=None):
     """Hash-partitioned equi-join via tagged union + ONE keyed shuffle +
     per-partition pyarrow join.
 
@@ -218,7 +218,10 @@ def cogroup_join_hp(left_ds, right_ds, key: str, left_schema: pa.Schema,
 
     ``left_schema`` / ``right_schema``: full column schemas including
     ``key`` (non-key column names must be disjoint). ``join_type``:
-    pyarrow's ("inner", "left outer", ...).
+    pyarrow's ("inner", "left outer", ...). ``post``: optional
+    table->table finisher fused into the per-partition apply — it sees the
+    joined rows while they are still hash-co-located by ``key``, so keyed
+    aggregates / per-key top-k run there without another exchange.
     """
     lcols = [f.name for f in left_schema if f.name != key]
     rcols = [f.name for f in right_schema if f.name != key]
@@ -255,6 +258,13 @@ def cogroup_join_hp(left_ds, right_ds, key: str, left_schema: pa.Schema,
         r = t.filter(pc.equal(side, 1)).select([key, *rcols])
         out = l.join(r, keys=[key], join_type=join_type)
         # pyarrow join may reorder; restore deterministic column order
-        return out.select([key, *lcols, *rcols]).combine_chunks()
+        out = out.select([key, *lcols, *rcols]).combine_chunks()
+        # fused per-partition finisher: runs while the rows are STILL
+        # hash-co-located by `key`, so a keyed aggregate / top-k here is
+        # globally correct without the extra all-to-all a downstream
+        # grouped_aggregate would pay (block boundaries after map_groups
+        # are not partition boundaries, so callers cannot do this safely
+        # themselves)
+        return post(out) if post is not None else out
 
     return partitioned_apply(both, key, apply, num_partitions)

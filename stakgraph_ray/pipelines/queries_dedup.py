@@ -741,3 +741,35 @@ def q_hll_distinct_by_type(sf_dir: str):
 
 
 DEDUP_QUERIES["agg_hll_distinct_by_type"] = (q_hll_distinct_by_type, None)
+
+
+def q_media_feature_stats(sf_dir: str):
+    """Decoded-payload scalar stats from the REAL actor-pool decode path
+    (MediaFeatureStatStage): decoded element count, frames sampled, feature
+    dims — the mm_media_metadata oracle pattern extended to the feature
+    stage so the decode/frame-sample/waveform plumbing is hash-checked by
+    the driver (the float vectors stay pytest-gated in mm_media_features)."""
+    from ..stages.multimodal import media_feature_stats
+
+    return media_feature_stats(sf_dir)
+
+
+SQL_MEDIA_FEATURE_STATS = """
+select doc_id as media_id,
+       case when doc_id % 10 = 0 then 'video'
+            when doc_id % 10 = 5 then 'audio'
+            else 'image' end as kind,
+       cast(case when doc_id % 10 = 0
+                 then 4 * (16 + (doc_id % 7) * 8) * (16 + (doc_id % 5) * 8)
+                 when doc_id % 10 = 5 then 2048 + (doc_id % 4) * 1024
+                 else (16 + (doc_id % 7) * 8) * (16 + (doc_id % 5) * 8)
+            end as bigint) as decoded_len,
+       cast(case when doc_id % 10 = 0 then 2
+                 when doc_id % 10 = 5 then 0
+                 else 1 end as bigint) as frames_sampled,
+       cast(case when doc_id % 10 = 5 then 11 else 19 end as bigint) as feat_dim
+from documents
+"""
+
+DEDUP_QUERIES["mm_media_feature_stats"] = (q_media_feature_stats,
+                                           SQL_MEDIA_FEATURE_STATS)

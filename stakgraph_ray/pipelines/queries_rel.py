@@ -433,10 +433,12 @@ where c_custkey not in (select o_custkey from orders where o_orderstatus = 'P')
 
 
 def q_orders_lineitem_join(sf_dir: str):
-    """Both-sides-large hash join (Dataset.join) + rollup: revenue per
-    order priority."""
-    from ray.data.aggregate import Sum
-
+    """Both-sides-large hash join + rollup: revenue per order priority.
+    ONE exchange: the per-priority combiner is fused into the join's
+    per-partition apply (``post``), so only |priorities| rows per partition
+    leave the join and the final merge is a driver-side re-aggregate of
+    those partials (the low_card_aggregate shape) instead of a second
+    all-to-all."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(t: pa.Table) -> pa.Table:
@@ -453,25 +455,26 @@ def q_orders_lineitem_join(sf_dir: str):
     # shuffle + per-partition pyarrow join, task-based throughout
     from ..ops.partition import cogroup_join_hp
 
-    joined = cogroup_join_hp(
-        li, orders, "l_orderkey",
-        left_schema=pa.schema([("l_orderkey", pa.int64()),
-                               ("rev", pa.float64())]),
-        right_schema=pa.schema([("l_orderkey", pa.int64()),
-                                ("o_orderpriority", pa.string())]))
-
     def partial(t: pa.Table) -> pa.Table:
-        # per-batch combiner: the rollup shuffle moves ~|priorities| rows
-        # per block instead of the whole join output
+        # per-partition combiner: only |priorities| rows leave the join
         g = t.group_by(["o_orderpriority"]).aggregate(
             [("rev", "sum"), ("rev", "count")])
         return g.rename_columns(["o_orderpriority", "rev", "n"])
 
-    out = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_orderpriority").aggregate(
-            Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
-    return out.map_batches(lambda t: _round_cols(t, {"revenue": 2}),
-                           batch_format="pyarrow")
+    parts = cogroup_join_hp(
+        li, orders, "l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]),
+        post=partial).take_all()
+    merged = pa.Table.from_pylist(parts, schema=pa.schema(
+        [("o_orderpriority", pa.string()), ("rev", pa.float64()),
+         ("n", pa.int64())]))
+    out = merged.group_by("o_orderpriority").aggregate(
+        [("rev", "sum"), ("n", "sum")]) \
+        .rename_columns(["o_orderpriority", "revenue", "n_items"])
+    return _round_cols(out, {"revenue": 2})
 
 
 SQL_ORDERS_LINEITEM = """
@@ -951,13 +954,15 @@ select o_custkey from orders where o_orderstatus = 'O'
 
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape — the 3-table join composition: BUILDING-segment
-    customers (distinct-key semi join) -> orders before 1998 (pruned read
-    + filter) -> lineitem revenue (cogroup hash join on orderkey) ->
-    grouped sum -> top 10. Each exchange is the already-proven operator:
-    one membership shuffle, one cogroup shuffle, one aggregate shuffle,
-    per-partition top-10 partials merged on the driver."""
-    from ..ops.partition import (cogroup_join_hp, distinct_hp,
-                                 grouped_aggregate, membership_filter_hp)
+    customers -> orders before 1998 (pruned read + filter) -> lineitem
+    revenue (cogroup hash join on orderkey) -> grouped sum -> top 10.
+    TWO exchanges total: the customer-key distinct shuffle is gone
+    (c_custkey is the table's primary key and the membership filter's
+    is_in tolerates duplicates anyway), and the revenue rollup + top-10
+    partials are FUSED into the join's per-partition apply via ``post``
+    (rows are still co-located by l_orderkey there) — the r03 version
+    paid 4 all-to-alls for the same result."""
+    from ..ops.partition import cogroup_join_hp, membership_filter_hp
     from ..ops.search import partial_topk
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
@@ -979,7 +984,7 @@ def q_shipping_priority(sf_dir: str):
         _read(sf_dir, "orders",
               columns=["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(before, batch_format="pyarrow"),
-        distinct_hp(cust, "o_custkey"), "o_custkey", keep=True,
+        cust, "o_custkey", keep=True,
         payload_schema=pa.schema([("o_custkey", pa.int64()),
                                   ("l_orderkey", pa.int64())]))
 
@@ -990,18 +995,19 @@ def q_shipping_priority(sf_dir: str):
             "rev": pc.multiply(t["l_extendedprice"],
                                pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
             batch_format="pyarrow")
-    joined = cogroup_join_hp(
+    def rollup_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "revenue"])
+        return partial_topk(g, "revenue", "l_orderkey", 10)
+
+    parts = cogroup_join_hp(
         li, orders.map_batches(lambda t: t.select(["l_orderkey"]),
                                batch_format="pyarrow"),
         "l_orderkey",
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("rev", pa.float64())]),
-        right_schema=pa.schema([("l_orderkey", pa.int64())]))
-    agg = grouped_aggregate(joined, ["l_orderkey"], [("rev", "sum")],
-                            ["revenue"])
-    parts = agg.map_batches(
-        lambda t: partial_topk(t, "revenue", "l_orderkey", 10),
-        batch_format="pyarrow").take_all()
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+        post=rollup_topk).take_all()
     merged = pa.Table.from_pylist(parts, schema=pa.schema([
         ("l_orderkey", pa.int64()), ("revenue", pa.float64())]))
     top = merged.sort_by([("revenue", "descending"),

@@ -231,3 +231,51 @@ def media_features(sf_dir: str, concurrency=None, batch_size: int = 64):
     ds = synth_media_ds(sf_dir)
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+class MediaFeatureStatStage(ImageFeatureStage):
+    """Scalar twin of ImageFeatureStage for the driver oracle: decodes every
+    payload for REAL and reports what the decode / frame-sample / waveform
+    path actually saw — decoded element count, frames sampled, feature
+    dimensionality. Each scalar is an arithmetic function of doc_id that the
+    SQL oracle recomputes independently, so the whole actor-pool decode
+    plumbing is hash-checkable even though the float feature vectors
+    themselves stay pytest-gated."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, dlen, fsamp, fdim = [], [], [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            arr = decode_payload(payload)
+            if arr.ndim == 3:  # video: frame-sample then average
+                frames = arr[::self.frame_step]
+                f = np.mean([self._features(fr) for fr in frames], axis=0)
+                fs = len(frames)
+            elif arr.ndim == 1:  # audio waveform
+                f = self._audio_features(arr)
+                fs = 0
+            else:
+                f = self._features(arr)
+                fs = 1
+            ids.append(mid)
+            kinds.append(kind)
+            dlen.append(int(arr.size))
+            fsamp.append(fs)
+            fdim.append(int(len(f)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "decoded_len": pa.array(dlen, pa.int64()),
+            "frames_sampled": pa.array(fsamp, pa.int64()),
+            "feat_dim": pa.array(fdim, pa.int64()),
+        })
+
+
+def media_feature_stats(sf_dir: str, concurrency=None, batch_size: int = 64):
+    """Dataset pipeline: synthetic media rows -> decoded scalar stats
+    (actor pool, small batches for the large binary payloads)."""
+    concurrency = concurrency or _pool()
+    ds = synth_media_ds(sf_dir)
+    return ds.map_batches(MediaFeatureStatStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
