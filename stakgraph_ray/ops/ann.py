@@ -276,9 +276,9 @@ def knn_ivf(ds, query_table: pa.Table, k: int = 5, n_centroids: int = 16,
     query (~n_probe/n_centroids of rows), emitting at most nq*k rows per
     batch into the final per-query top-k. Recall vs brute force gated in
     tests/test_ann.py."""
+    from ..util import make_task_stage, ref_key
     from .relational import broadcast
 
-    concurrency = concurrency or _pool()
     cent = train_centroids(ds, vec_col, n_centroids, id_col=id_col)
     qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -287,11 +287,12 @@ def knn_ivf(ds, query_table: pa.Table, k: int = 5, n_centroids: int = 16,
         "cent": cent, "qm": qm, "probe": probe,
         "qids": query_table[id_col].to_numpy(zero_copy_only=False)})
 
+    # task pool + per-process scorer cache: the probe tables resolve once
+    # per worker; an actor pool's startup dominates this short scan
     scored = ds.map_batches(
-        IVFScorer,
-        fn_constructor_kwargs={"ref": ref, "vec_col": vec_col,
-                               "id_col": id_col, "k": k},
-        batch_format="pyarrow", concurrency=concurrency)
+        make_task_stage(IVFScorer, (ref_key(ref), vec_col, id_col, k),
+                        ref=ref, vec_col=vec_col, id_col=id_col, k=k),
+        batch_format="pyarrow")
 
     def topk(g: pa.Table) -> pa.Table:
         return g.sort_by([("cos", "descending"),
@@ -310,9 +311,9 @@ def knn_lsh(ds, query_table: pa.Table, k: int = 5, n_bits: int = 6,
     vectors are the worst case for LSH — real embedding distributions
     (clustered) give far better recall/scan tradeoffs; raise n_bits on
     clustered data to prune harder."""
+    from ..util import make_task_stage, ref_key
     from .relational import broadcast
 
-    concurrency = concurrency or _pool()
     qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
     dim = qm.shape[1]
     qm_n = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -321,16 +322,16 @@ def knn_lsh(ds, query_table: pa.Table, k: int = 5, n_bits: int = 6,
          "qm": qm_n, "qbuckets": bucket_of(qm, planes)}
     ref = broadcast(q)
 
-    ds = ds.map_batches(BucketAssigner,
-                        fn_constructor_kwargs={"vec_col": vec_col,
-                                               "n_bits": n_bits, "dim": dim},
-                        batch_format="pyarrow", concurrency=concurrency)
-    scored = ds.map_batches(ProbedScorer,
-                            fn_constructor_kwargs={"queries_ref": ref,
-                                                   "n_bits": n_bits,
-                                                   "radius": radius,
-                                                   "k": k},
-                            batch_format="pyarrow", concurrency=concurrency)
+    # task pools + per-process stage caches (hyperplanes / probe sets build
+    # once per worker; actor-pool startup dominated this short scan)
+    ds = ds.map_batches(
+        make_task_stage(BucketAssigner, (vec_col, n_bits, dim),
+                        vec_col=vec_col, n_bits=n_bits, dim=dim),
+        batch_format="pyarrow")
+    scored = ds.map_batches(
+        make_task_stage(ProbedScorer, (ref_key(ref), n_bits, radius, k),
+                        queries_ref=ref, n_bits=n_bits, radius=radius, k=k),
+        batch_format="pyarrow")
 
     def topk(g: pa.Table) -> pa.Table:
         return g.sort_by([("cos", "descending"),

@@ -1358,7 +1358,13 @@ def q_knn_bruteforce(sf_dir: str):
             self.qids, self.qm = d["qids"], d["qm"]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            if t.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            from ..ops.ann import _vecs_of
+
+            m = _vecs_of(t["embedding"])  # zero-copy flatten, no to_pylist
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cos = m @ self.qm.T  # (batch, nq)
             vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -1381,10 +1387,14 @@ def q_knn_bruteforce(sf_dir: str):
 
     import ray.data as rd
 
+    from ..util import make_task_stage, ref_key
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    scored = ds.map_batches(Scorer, fn_constructor_kwargs={"ref": ref},
-                            batch_format="pyarrow", concurrency=_pool())
+    # task pool + per-process cache (round-2 lesson: actor-pool startup
+    # costs 3-5x on short scans)
+    scored = ds.map_batches(make_task_stage(Scorer, ref_key(ref), ref=ref),
+                            batch_format="pyarrow")
 
     def topk(g: pa.Table) -> pa.Table:
         return g.sort_by([("cos", "descending"), ("neighbor_id", "ascending")]).slice(0, 5)

@@ -225,12 +225,16 @@ class ImageFeatureStage:
 
 def media_features(sf_dir: str, concurrency=None, batch_size: int = 64):
     """Dataset pipeline: synthetic media rows (derived inside map_batches)
-    -> decoded feature vectors (actor-pool stage, small batches for the
-    large binary payloads)."""
-    concurrency = concurrency or _pool()
+    -> decoded feature vectors. Task pool + per-process stage cache (the
+    stage state is a few ints — an actor pool's startup dominated this
+    short decode; a REAL model-backed decoder would flip back to an actor
+    pool with the model in __init__). Small batches for the large binary
+    payloads."""
+    from ..util import make_task_stage
+
     ds = synth_media_ds(sf_dir)
-    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+    return ds.map_batches(make_task_stage(ImageFeatureStage, ()),
+                          batch_format="pyarrow", batch_size=batch_size)
 
 
 class MediaFeatureStatStage(ImageFeatureStage):
@@ -274,8 +278,9 @@ class MediaFeatureStatStage(ImageFeatureStage):
 
 def media_feature_stats(sf_dir: str, concurrency=None, batch_size: int = 64):
     """Dataset pipeline: synthetic media rows -> decoded scalar stats
-    (actor pool, small batches for the large binary payloads)."""
-    concurrency = concurrency or _pool()
+    (task pool like media_features; small batches for the binary payloads)."""
+    from ..util import make_task_stage
+
     ds = synth_media_ds(sf_dir)
-    return ds.map_batches(MediaFeatureStatStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+    return ds.map_batches(make_task_stage(MediaFeatureStatStage, ()),
+                          batch_format="pyarrow", batch_size=batch_size)
