@@ -495,14 +495,17 @@ class EndpointMatcher:
 def endpoint_match_join(requests_ds, endpoints: pa.Table, path_col: str = "path",
                         verb_col: str = "verb", concurrency=None):
     """requests (path, verb, ...) ⋈ endpoints (endpoint_path, verb, handler)
-    on normalized segment match + verb equality. Broadcast small side."""
-    concurrency = concurrency or _pool()
+    on normalized segment match + verb equality. Broadcast small side; task
+    pool + per-process matcher cache (patterns compile once per worker —
+    the actor-pool variant paid pool startup on every short query)."""
+    from ..util import make_task_stage, ref_key
+
     ref = broadcast(endpoints)
     return requests_ds.map_batches(
-        EndpointMatcher,
-        fn_constructor_kwargs={"endpoints_ref": ref, "path_col": path_col,
-                               "verb_col": verb_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        make_task_stage(EndpointMatcher, (ref_key(ref), path_col, verb_col),
+                        endpoints_ref=ref, path_col=path_col,
+                        verb_col=verb_col),
+        batch_format="pyarrow")
 
 
 class IntervalJoiner:

@@ -720,17 +720,21 @@ join e e3 on e3.u = e1.u and e3.v = e2.v
 """
 
 
-def q_term_link_prediction(sf_dir: str):
-    """Common-neighbors link prediction over the undirected FOLLOWS term
-    graph — the KG-completion op: for non-adjacent term pairs, Jaccard of
-    neighbor sets = |N(a)∩N(b)| / (deg a + deg b - |∩|); top 20 predicted
-    links. Shape: symmetrized adjacency -> ONE co-group join on the shared
-    neighbor (two-hop a<b pairs + grouped count) -> two vocab-keyed degree
-    joins -> membership anti-filter against existing edges -> per-partition
-    top-k into the global 20-row sort. The Jaccard is one small-integer
-    division in double, bit-exact vs SQL."""
-    from ..ops.partition import (cogroup_join_hp, distinct_hp,
-                                 grouped_aggregate, membership_filter_hp)
+LINKPRED_EDGE_LIMIT = 200_000       # undirected edges -> driver tail
+LINKPRED_PAIR_LIMIT = 5_000_000     # sum over nodes of C(deg, 2)
+
+
+_UND_CACHE: dict = {}
+
+
+def _und_follows(sf_dir: str):
+    """Materialized distinct undirected FOLLOWS edge list (u < v) — the
+    shared front end of the link-prediction family, cached per session like
+    _extracted (both predictors consume the same list)."""
+    hit = _UND_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from ..ops.partition import distinct_hp
 
     edges = _follows_edges_ds(sf_dir).map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow")
@@ -743,8 +747,86 @@ def q_term_link_prediction(sf_dir: str):
                          "v": pc.cast(v, pa.string())}).filter(
             keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep)
 
-    und = distinct_hp(edges.map_batches(orient, batch_format="pyarrow"),
+    out = distinct_hp(edges.map_batches(orient, batch_format="pyarrow"),
                       ["u", "v"]).materialize()
+    _UND_CACHE[sf_dir] = out
+    return out
+
+
+def _linkpred_local(rows, mode: str):
+    """Driver tail for the link predictors — kernel-identical to the
+    distributed path (same two-hop enumeration, same double arithmetic,
+    same ordering), run when the undirected edge list fits the guard AND
+    the two-hop pair mass (sum of C(deg,2)) fits LINKPRED_PAIR_LIMIT;
+    returns None above the pair guard so the caller falls back to the
+    distributed exchanges. The term graph is vocabulary-sized in practice,
+    where the 6-exchange distributed plan is pure scheduling overhead
+    (the reduce_triples / apply_epilogue adaptive-tail precedent)."""
+    import math
+
+    from collections import defaultdict
+
+    from ..util import round_half_away
+
+    adj: dict = defaultdict(set)
+    for r in rows:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+    deg = {x: len(ns) for x, ns in adj.items()}
+    if sum(d * (d - 1) // 2 for d in deg.values()) > LINKPRED_PAIR_LIMIT:
+        return None
+    wlog = {d: 1.0 / math.log(d) for d in set(deg.values()) if d > 1}
+    cn: dict = defaultdict(int)
+    aa: dict = defaultdict(float)
+    for y, ns in adj.items():
+        nl = sorted(ns)
+        w = wlog.get(deg[y], float("nan"))
+        for i in range(len(nl)):
+            for j in range(i + 1, len(nl)):
+                p = (nl[i], nl[j])
+                cn[p] += 1
+                aa[p] += w
+    edge_set = {(r["u"], r["v"]) for r in rows}
+    col = "jaccard" if mode == "jaccard" else "aa"
+    out = []
+    for (a, b), c in cn.items():
+        if (a, b) in edge_set:
+            continue
+        if mode == "jaccard":
+            # same op order as the distributed kernel: ints are exact in
+            # double, so float(da+db) - float(cn) is bit-identical
+            val = float(c) / (float(deg[a] + deg[b]) - float(c))
+        else:
+            val = float(round_half_away(aa[(a, b)], 4))
+        out.append({"a": a, "b": b, "cn": c, col: val})
+    schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                        ("cn", pa.int64()), (col, pa.float64())])
+    tbl = pa.Table.from_pylist(out, schema=schema)
+    return tbl.sort_by([(col, "descending"), ("a", "ascending"),
+                        ("b", "ascending")]).slice(0, 20)
+
+
+def q_term_link_prediction(sf_dir: str,
+                           local_limit: int = LINKPRED_EDGE_LIMIT):
+    """Common-neighbors link prediction over the undirected FOLLOWS term
+    graph — the KG-completion op: for non-adjacent term pairs, Jaccard of
+    neighbor sets = |N(a)∩N(b)| / (deg a + deg b - |∩|); top 20 predicted
+    links. Adaptive: a vocabulary-sized edge list runs the guarded driver
+    tail (_linkpred_local, parity-tested); a corpus-shaped one runs the
+    distributed shape — symmetrized adjacency -> ONE co-group join on the
+    shared neighbor (two-hop a<b pairs + grouped count) -> two vocab-keyed
+    degree joins -> membership anti-filter against existing edges ->
+    per-partition top-k into the global 20-row sort. The Jaccard is one
+    small-integer division in double, bit-exact vs SQL."""
+    from ..ops.partition import (cogroup_join_hp, grouped_aggregate,
+                                 membership_filter_hp)
+
+    und = _und_follows(sf_dir)
+    head = und.take(local_limit + 1) if local_limit else []
+    if local_limit and len(head) <= local_limit:
+        tbl = _linkpred_local(head, "jaccard")
+        if tbl is not None:
+            return tbl
 
     def _flat(c):
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
@@ -840,35 +922,28 @@ limit 20
 """
 
 
-def q_adamic_adar(sf_dir: str):
+def q_adamic_adar(sf_dir: str, local_limit: int = LINKPRED_EDGE_LIMIT):
     """Adamic-Adar link prediction over the undirected FOLLOWS term graph:
     for non-adjacent pairs, sum over common neighbors y of 1/ln(deg(y)) —
     the degree-discounted refinement of the Jaccard predictor (hub
-    neighbors count less). Same distributed shape as
-    q_term_link_prediction, with the weight attached to the shared-neighbor
-    rows BEFORE the pair join so the per-pair score is one grouped sum.
+    neighbors count less). Adaptive driver tail like q_term_link_prediction;
+    the distributed shape attaches the weight to the shared-neighbor rows
+    BEFORE the pair join so the per-pair score is one grouped sum.
     1/ln(d) is computed via math.log per DISTINCT degree (repo float-parity
     convention: np.log drifts 1 ulp vs DuckDB's libm ln); a common neighbor
     always has degree >= 2, so ln is never 0 where the weight is used."""
     import math
 
-    from ..ops.partition import (cogroup_join_hp, distinct_hp,
-                                 grouped_aggregate, membership_filter_hp)
+    from ..ops.partition import (cogroup_join_hp, grouped_aggregate,
+                                 membership_filter_hp)
     from ..util import round_half_away
 
-    edges = _follows_edges_ds(sf_dir).map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-
-    def orient(t: pa.Table) -> pa.Table:
-        u = pc.min_element_wise(t["a"], t["b"])
-        v = pc.max_element_wise(t["a"], t["b"])
-        keep = pc.not_equal(u, v)
-        return pa.table({"u": pc.cast(u, pa.string()),
-                         "v": pc.cast(v, pa.string())}).filter(
-            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep)
-
-    und = distinct_hp(edges.map_batches(orient, batch_format="pyarrow"),
-                      ["u", "v"]).materialize()
+    und = _und_follows(sf_dir)
+    head = und.take(local_limit + 1) if local_limit else []
+    if local_limit and len(head) <= local_limit:
+        tbl = _linkpred_local(head, "aa")
+        if tbl is not None:
+            return tbl
 
     def _flat(c):
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c

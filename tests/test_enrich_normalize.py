@@ -107,3 +107,20 @@ def test_default_model_factory_falls_back_to_fake():
     # fastembed is absent in this container -> deterministic fake
     assert isinstance(m, FakeEmbedder)
     assert m.embed(["x"]).shape == (1, EMBED_DIM)
+
+
+@pytest.mark.realmodel
+def test_real_embedder_smoke():
+    """Opt-in (`pytest -m realmodel`): exercises the fastembed factory path
+    (enrich.default_model_factory) with real BGE-Small weights where the
+    package is installed; import-skipped in the hermetic container."""
+    pytest.importorskip("fastembed")
+    import numpy as np
+
+    from stakgraph_ray.stages.enrich import EMBED_DIM, default_model_factory
+
+    m = default_model_factory()
+    v = m.embed(["hello world", "spark join window functions"])
+    assert v.shape == (2, EMBED_DIM)
+    norms = np.linalg.norm(np.asarray(v, dtype=np.float64), axis=1)
+    assert np.all(norms > 0.1)

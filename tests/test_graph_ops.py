@@ -57,3 +57,18 @@ def test_bfs_shortest_paths_distributed_branch_parity(ray_session):
         return sorted((r["node_key"], r["depth"], r["path"]) for r in rows)
 
     assert run(500_000) == run(0)
+
+
+def test_linkpred_driver_and_distributed_parity(ray_session, sf_tiny):
+    """The link predictors' guarded driver tail must emit IDENTICAL tables
+    to the 6-exchange distributed path (local_limit=0 forces distributed;
+    the apply_epilogue / reduce_triples adaptive-tail precedent)."""
+    from stakgraph_ray.pipelines.queries_kg import (q_adamic_adar,
+                                                    q_term_link_prediction)
+
+    for fn in (q_term_link_prediction, q_adamic_adar):
+        fast = fn(sf_tiny)
+        slow = fn(sf_tiny, local_limit=0)
+        assert fast.schema == slow.schema
+        assert fast.to_pylist() == slow.to_pylist()
+        assert fast.num_rows > 0  # the tiny corpus actually predicts links
