@@ -45,10 +45,12 @@ def _catalog() -> dict[str, tuple]:
     #   4. r02-green KG/REL entries not re-proved since;
     #   5. the r03-green remainder (freshest rows).
     priority = [
-        # tier 1 — never checked
+        # tier 1 — never checked (incl. round-4 additions)
         "rel_except_custkeys", "rel_semi_join_bloom",
         "rel_status_distinct_customers", "txt_sentence_split",
-        "mm_media_feature_stats",
+        "mm_media_feature_stats", "rel_local_supplier_volume",
+        "rel_order_quartiles", "llm_token_entropy",
+        "rel_status_priority_sets",
         # tier 2 — r03-changed, green row predates the change
         "rel_hourly_event_stats", "rel_hopping_event_stats",
         "rel_nation_balance_stats", "rel_funnel_conversion",
@@ -59,6 +61,8 @@ def _catalog() -> dict[str, tuple]:
         "rel_orders_lineitem_join", "rel_shipping_priority",
         "rel_priority_mode", "kg_rich_triples", "kg_epilogue_pages",
         "sim_knn_ivf", "sim_knn_pq", "mm_media_features",
+        "kg_term_link_prediction", "kg_adamic_adar",
+        "kg_probe_endpoint_links", "rel_endpoint_requests", "sim_knn_lsh",
     ]
     every: dict[str, tuple] = {}
     every.update(TYPED_QUERIES)

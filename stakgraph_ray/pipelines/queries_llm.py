@@ -708,3 +708,64 @@ LLM_QUERIES = {
     "llm_url_filter": (q_url_filter, SQL_URL_FILTER),
     "llm_tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
 }
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-document unigram Shannon entropy (nats) — the
+    repetitiveness/quality signal next to the repetition gate: H = -Σ p·ln p
+    over the doc's token distribution. Pure map, no shuffle (a document's
+    distribution lives inside its row): whole-batch vectorized kernel —
+    split_pattern -> factorize -> one np.unique over (doc, code) keys ->
+    bincount-reduced entropy. ln goes through math.log per DISTINCT
+    probability (repo float-parity convention: np.log drifts 1 ulp vs
+    DuckDB's libm ln on ~20% of inputs)."""
+    import math
+
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def entropy(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        toks = _tokens(t)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        codes, _ = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = doc_idx * np.int64(vocab) + codes
+        uniq, cnt = np.unique(key, return_counts=True)
+        d = uniq // vocab
+        p = cnt.astype(np.float64) / lens[d].astype(np.float64)
+        logs = {v: math.log(v) for v in np.unique(p)}
+        lp = pd.Series(p).map(logs).to_numpy(dtype=np.float64)
+        h = -np.bincount(d, weights=p * lp, minlength=n)
+        from ..util import round_half_away
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(lens),
+            "entropy": pa.array(round_half_away(h, 4), pa.float64()),
+        })
+
+    return ds.map_batches(entropy, batch_format="pyarrow")
+
+
+SQL_TOKEN_ENTROPY = """
+with tok as (select doc_id, unnest(string_split(text, ' ')) as t
+             from documents),
+c as (select doc_id, t, count(*) as c from tok group by 1, 2),
+n as (select doc_id, cast(sum(c) as bigint) as n from c group by 1)
+select c.doc_id, n.n as n_tokens,
+       round(-sum((cast(c.c as double) / n.n) * ln(cast(c.c as double) / n.n)),
+             4) as entropy
+from c join n using (doc_id)
+group by c.doc_id, n.n
+"""
+
+LLM_QUERIES["llm_token_entropy"] = (q_token_entropy, SQL_TOKEN_ENTROPY)

@@ -1561,3 +1561,216 @@ REL_QUERIES: dict[str, tuple] = {
     "txt_exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
     "sim_knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
 }
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the 6-table join composition (the widest in the
+    suite): region ⋈ nation are driver-joined tiny dims (broadcast set),
+    customer/supplier prune to ASIA nations at the read, then THREE
+    co-group exchanges — orders ⋈ customer on custkey, ⋈ lineitem on
+    orderkey, ⋈ supplier on suppkey — with the same-nation equality filter
+    AND the per-nation revenue rollup fused into the last join's
+    per-partition apply (``post``), so only |nations| rows per partition
+    reach the driver merge. Cf. the reference's multi-hop linker joins
+    (linker.rs EdgeIndex 2-hop) composed at warehouse shape."""
+    import pyarrow.parquet as pq_
+
+    from ..ops.partition import cogroup_join_hp
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq_.read_table(f"{sf_dir}/region.parquet")
+    rk = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"]
+    rk = rk.combine_chunks() if isinstance(rk, pa.ChunkedArray) else rk
+    asia = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rk))
+    nation_name = dict(zip(asia["n_nationkey"].to_pylist(),
+                           asia["n_name"].to_pylist()))
+    nk = pa.array(sorted(nation_name), pa.int64())
+
+    def asia_only(col: str, t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t[col], pa.int64()), value_set=nk))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: (lambda f: pa.table({
+            "o_custkey": pc.cast(f["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(f["c_nationkey"], pa.int64())}))(
+                asia_only("c_nationkey", t)), batch_format="pyarrow")
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        f = t.filter(keep)
+        return pa.table({"o_custkey": pc.cast(f["o_custkey"], pa.int64()),
+                         "l_orderkey": pc.cast(f["o_orderkey"], pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(in_window, batch_format="pyarrow")
+    j1 = cogroup_join_hp(
+        orders, cust, "o_custkey",
+        pa.schema([("o_custkey", pa.int64()), ("l_orderkey", pa.int64())]),
+        pa.schema([("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev": pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
+            batch_format="pyarrow")
+    j2 = cogroup_join_hp(
+        li,
+        j1.map_batches(lambda t: t.select(["l_orderkey", "c_nationkey"]),
+                       batch_format="pyarrow"),
+        "l_orderkey",
+        pa.schema([("l_orderkey", pa.int64()), ("s_suppkey", pa.int64()),
+                   ("rev", pa.float64())]),
+        pa.schema([("l_orderkey", pa.int64()), ("c_nationkey", pa.int64())]))
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda t: (lambda f: pa.table({
+            "s_suppkey": pc.cast(f["s_suppkey"], pa.int64()),
+            "s_nationkey": pc.cast(f["s_nationkey"], pa.int64())}))(
+                asia_only("s_nationkey", t)), batch_format="pyarrow")
+
+    def local_rollup(t: pa.Table) -> pa.Table:
+        # Q5's signature predicate: customer and supplier share the nation
+        same = pc.equal(t["c_nationkey"], t["s_nationkey"])
+        same = same.combine_chunks() if isinstance(same, pa.ChunkedArray) else same
+        f = t.filter(same)
+        return f.group_by("s_nationkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["s_nationkey", "rev"])
+
+    parts = cogroup_join_hp(
+        j2.map_batches(lambda t: t.select(["s_suppkey", "rev", "c_nationkey"]),
+                       batch_format="pyarrow"),
+        supp, "s_suppkey",
+        pa.schema([("s_suppkey", pa.int64()), ("rev", pa.float64()),
+                   ("c_nationkey", pa.int64())]),
+        pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]),
+        post=local_rollup).take_all()
+    merged = pa.Table.from_pylist(parts, schema=pa.schema(
+        [("s_nationkey", pa.int64()), ("rev", pa.float64())]))
+    out = merged.group_by("s_nationkey").aggregate([("rev", "sum")]) \
+        .rename_columns(["s_nationkey", "revenue"])
+    names = pa.array([nation_name[k] for k in
+                      out["s_nationkey"].to_pylist()], pa.string())
+    out = pa.table({"n_name": names, "revenue": out["revenue"]})
+    out = _round_cols(out, {"revenue": 2})
+    return out.sort_by([("revenue", "descending"), ("n_name", "ascending")])
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from customer join orders on c_custkey = o_custkey
+              join lineitem on l_orderkey = o_orderkey
+              join supplier on l_suppkey = s_suppkey
+                           and c_nationkey = s_nationkey
+              join nation on s_nationkey = n_nationkey
+              join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1998-01-01'
+group by n_name
+"""
+
+REL_QUERIES["rel_local_supplier_volume"] = (q_local_supplier_volume,
+                                            SQL_LOCAL_SUPPLIER_VOLUME)
+
+
+def q_order_quartiles(sf_dir: str):
+    """NTILE(4) window function per status partition (order by totalprice,
+    key): ONE keyed shuffle, then a fully vectorized per-partition pass —
+    sort by (status, price, key), segment boundaries from the key-change
+    mask, exact SQL NTILE fill (first n%4 tiles one row larger) via
+    np.repeat over per-segment tile sizes."""
+    from ..ops.partition import partitioned_apply
+    from ..ops.relational import _key_change_mask
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def tiles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_orderstatus": pa.array([], pa.string()),
+                             "tile": pa.array([], pa.int64())})
+        t = t.sort_by([("o_orderstatus", "ascending"),
+                       ("o_totalprice", "ascending"),
+                       ("o_orderkey", "ascending")])
+        n = t.num_rows
+        starts = np.flatnonzero(_key_change_mask(t, ["o_orderstatus"]))
+        ends = np.concatenate((starts[1:], [n]))
+        tile = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):  # loop over STATUSES (low-card)
+            m = e - s
+            q, r = divmod(m, 4)
+            sizes = np.full(min(4, m), q, dtype=np.int64)
+            sizes[:r] += 1
+            tile[s:e] = np.repeat(np.arange(1, len(sizes) + 1), sizes)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderstatus": t["o_orderstatus"],
+            "tile": pa.array(tile)})
+
+    return partitioned_apply(ds, "o_orderstatus", tiles)
+
+
+SQL_ORDER_QUARTILES = """
+select o_orderkey, o_orderstatus,
+       ntile(4) over (partition by o_orderstatus
+                      order by o_totalprice, o_orderkey) as tile
+from orders
+"""
+
+REL_QUERIES["rel_order_quartiles"] = (q_order_quartiles, SQL_ORDER_QUARTILES)
+
+
+def q_status_priority_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority)) — the explicit-set
+    sibling of ROLLUP/CUBE (an arbitrary subset of the lattice, not the
+    full expansion): one shared scan, one per-batch combiner aggregate per
+    requested set, null-filled union. Output bounded by dimension
+    cardinality at any corpus size."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]) \
+        .materialize()  # both set aggregates share one scan
+
+    spec = [("o_totalprice", "sum"), (None, "count_all")]
+    names = ["sum_price", "n_orders"]
+    by_status = low_card_aggregate(ds, "o_orderstatus", spec, names)
+    by_prio = low_card_aggregate(ds, "o_orderpriority", spec, names)
+
+    def shape(status_col, prio_col):
+        def f(t: pa.Table) -> pa.Table:
+            t = _round_cols(t, {"sum_price": 2})
+            n = t.num_rows
+            return pa.table({
+                "o_orderstatus": t[status_col] if status_col
+                else pa.nulls(n, pa.string()),
+                "o_orderpriority": t[prio_col] if prio_col
+                else pa.nulls(n, pa.string()),
+                "sum_price": t["sum_price"], "n_orders": t["n_orders"]})
+        return f
+
+    return by_status.map_batches(shape("o_orderstatus", None),
+                                 batch_format="pyarrow").union(
+        by_prio.map_batches(shape(None, "o_orderpriority"),
+                            batch_format="pyarrow"))
+
+
+SQL_STATUS_PRIORITY_SETS = """
+select o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) as sum_price, count(*) as n_orders
+from orders
+group by grouping sets ((o_orderstatus), (o_orderpriority))
+"""
+
+REL_QUERIES["rel_status_priority_sets"] = (q_status_priority_sets,
+                                           SQL_STATUS_PRIORITY_SETS)
