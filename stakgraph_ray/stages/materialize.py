@@ -138,11 +138,72 @@ def append_metrics(workdir: str, metrics: list):
             f.write(json.dumps(m) + "\n")
 
 
+class EventList(list):
+    """Metrics list that also pushes each appended stage event to a
+    subscriber callback — the reference's SSE status stream analog
+    (/root/reference/ast/src/builder/progress.rs:6-121 streams per-stage
+    progress events to HTTP clients; here the build's consumer subscribes
+    in-process and metrics.jsonl stays the durable record)."""
+
+    def __init__(self, on_event=None):
+        super().__init__()
+        self._on_event = on_event
+
+    def append(self, item):  # noqa: A003 - list API
+        super().append(item)
+        if self._on_event is not None:
+            try:
+                self._on_event(item)
+            except Exception:
+                pass  # a slow/broken subscriber must never fail the build
+
+    def extend(self, items):
+        for it in items:
+            self.append(it)
+
+
+def stream_metrics(workdir: str, poll: float = 0.25, timeout: float | None = None):
+    """Generator tailing ``workdir/metrics.jsonl`` — the consumer side of
+    the status stream (progress.rs SSE client analog) for an observer in
+    another process. Yields parsed event dicts as they are flushed; stops
+    after ``timeout`` seconds without new events (None = single pass over
+    what exists now)."""
+    path = os.path.join(workdir, "metrics.jsonl")
+    pos = 0
+    waited = 0.0
+    while True:
+        if os.path.exists(path):
+            with open(path) as f:
+                f.seek(pos)
+                chunk = f.read()
+                pos = f.tell()
+            got = False
+            for line in chunk.splitlines():
+                line = line.strip()
+                if line:
+                    got = True
+                    yield json.loads(line)
+            if got:
+                waited = 0.0
+                continue
+        if timeout is None:
+            return
+        waited += poll
+        if waited >= timeout:
+            return
+        time.sleep(poll)
+
+
 def build_graph_materialized(pages_ds, workdir: str, cfg=None,
-                             dictionary: dict | None = None) -> dict:
+                             dictionary: dict | None = None,
+                             on_event=None) -> dict:
     """Flagship production path: pages -> checkpointed stages -> partitioned
     nodes/ + edges/ Parquet with lineage manifests. Resumable: completed
-    stages are skipped on re-run. Returns stage paths + metrics."""
+    stages are skipped on re-run. Returns stage paths + metrics.
+
+    ``on_event``: optional callable receiving each per-stage metric dict as
+    the stage completes (the progress.rs status-stream analog; see
+    EventList / stream_metrics)."""
     import pyarrow as pa
 
     import ray.data as rd
@@ -158,7 +219,7 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
 
     cfg = cfg or DEFAULT_CONFIG
     os.makedirs(workdir, exist_ok=True)
-    metrics: list = []
+    metrics: list = EventList(on_event)
 
     # ---- stage 1: extract (html dropped at the checkpoint boundary) -------
     extracted = pages_ds.map_batches(ExtractTextStage(cfg),

@@ -105,3 +105,63 @@ def test_export_graph_jsonl_roundtrip(built, tmp_path):
         f"select node_key from read_parquet('{WORKDIR}/nodes/*.parquet')").fetchall()}
     got = {r["node_key"] for r in back["nodes"].take_all()}
     assert got == want
+
+
+def test_event_list_and_stream_metrics(tmp_path):
+    """Status-stream analog (progress.rs SSE): EventList pushes per-stage
+    events to the subscriber in order (and survives a broken subscriber);
+    stream_metrics tails metrics.jsonl incrementally."""
+    import json
+
+    from stakgraph_ray.stages.materialize import (EventList, append_metrics,
+                                                  stream_metrics)
+
+    got = []
+    ev = EventList(got.append)
+    ev.append({"stage": "extract", "rows": 10})
+    ev.extend([{"stage": "link", "rows": 5}, {"stage": "nodes", "rows": 3}])
+    assert [e["stage"] for e in got] == ["extract", "link", "nodes"]
+    assert list(ev) == got
+
+    def boom(_):
+        raise RuntimeError("subscriber died")
+
+    bad = EventList(boom)
+    bad.append({"stage": "edges"})  # must not raise
+    assert len(bad) == 1
+
+    wd = str(tmp_path)
+    append_metrics(wd, got[:2])
+    first = list(stream_metrics(wd))  # single pass, no timeout
+    assert [e["stage"] for e in first] == ["extract", "link"]
+    append_metrics(wd, got[2:])
+    again = list(stream_metrics(wd))
+    assert [e["stage"] for e in again] == ["extract", "link", "nodes"]
+
+
+def test_build_emits_stage_events(ray_session, tmp_path):
+    """The flagship build pushes each stage event to on_event as it
+    completes — the in-process subscriber sees the same stages metrics.jsonl
+    records, in completion order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stakgraph_ray.stages.materialize import build_graph_materialized
+
+    texts = {"https://ev.org/a": "spark join table",
+             "https://ev.org/b": "merge sort key"}
+    urls = sorted(texts)
+    pages = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(np.arange(len(urls)).astype("datetime64[us]")),
+        "html": pa.array([f"<p>{texts[u]}</p>".encode() for u in urls],
+                         pa.large_binary()),
+        "text": pa.array([texts[u] for u in urls], pa.string()),
+        "lang": pa.array(["en"] * len(urls), pa.string()),
+    })
+    events = []
+    out = build_graph_materialized(rd.from_arrow(pages), str(tmp_path / "wd"),
+                                   on_event=events.append)
+    assert [e["stage"] for e in events] == [m["stage"] for m in out["metrics"]]
+    assert {"extract", "link", "nodes", "edges"} <= {e["stage"] for e in events}
