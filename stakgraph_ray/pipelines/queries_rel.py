@@ -1563,16 +1563,20 @@ REL_QUERIES: dict[str, tuple] = {
 }
 
 
-def q_local_supplier_volume(sf_dir: str):
+def q_local_supplier_volume(sf_dir: str,
+                            dim_broadcast_limit: int = 1_000_000):
     """TPC-H Q5 shape — the 6-table join composition (the widest in the
-    suite): region ⋈ nation are driver-joined tiny dims (broadcast set),
-    customer/supplier prune to ASIA nations at the read, then THREE
-    co-group exchanges — orders ⋈ customer on custkey, ⋈ lineitem on
-    orderkey, ⋈ supplier on suppkey — with the same-nation equality filter
-    AND the per-nation revenue rollup fused into the last join's
-    per-partition apply (``post``), so only |nations| rows per partition
-    reach the driver merge. Cf. the reference's multi-hop linker joins
-    (linker.rs EdgeIndex 2-hop) composed at warehouse shape."""
+    suite): region ⋈ nation are driver-joined tiny dims, customer/supplier
+    prune to ASIA nations at the read. Adaptive join strategy (the repo's
+    broadcast-small-side-with-guard convention): when customer AND supplier
+    fit ``dim_broadcast_limit`` their (key -> nationkey) maps broadcast via
+    ray.put and the whole query is ONE co-group exchange (lineitem ⋈
+    filtered orders on orderkey) with the supplier lookup, same-nation
+    filter and per-nation rollup all fused into the join's per-partition
+    apply; above the guard the fallback runs THREE co-group exchanges
+    (orders ⋈ customer on custkey, ⋈ lineitem on orderkey, ⋈ supplier on
+    suppkey). Cf. the reference's multi-hop linker joins (linker.rs
+    EdgeIndex 2-hop) composed at warehouse shape."""
     import pyarrow.parquet as pq_
 
     from ..ops.partition import cogroup_join_hp
@@ -1608,10 +1612,6 @@ def q_local_supplier_volume(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(in_window, batch_format="pyarrow")
-    j1 = cogroup_join_hp(
-        orders, cust, "o_custkey",
-        pa.schema([("o_custkey", pa.int64()), ("l_orderkey", pa.int64())]),
-        pa.schema([("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -1622,14 +1622,6 @@ def q_local_supplier_volume(sf_dir: str):
             "rev": pc.multiply(t["l_extendedprice"],
                                pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
             batch_format="pyarrow")
-    j2 = cogroup_join_hp(
-        li,
-        j1.map_batches(lambda t: t.select(["l_orderkey", "c_nationkey"]),
-                       batch_format="pyarrow"),
-        "l_orderkey",
-        pa.schema([("l_orderkey", pa.int64()), ("s_suppkey", pa.int64()),
-                   ("rev", pa.float64())]),
-        pa.schema([("l_orderkey", pa.int64()), ("c_nationkey", pa.int64())]))
 
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]) \
         .map_batches(lambda t: (lambda f: pa.table({
@@ -1637,22 +1629,82 @@ def q_local_supplier_volume(sf_dir: str):
             "s_nationkey": pc.cast(f["s_nationkey"], pa.int64())}))(
                 asia_only("s_nationkey", t)), batch_format="pyarrow")
 
-    def local_rollup(t: pa.Table) -> pa.Table:
-        # Q5's signature predicate: customer and supplier share the nation
-        same = pc.equal(t["c_nationkey"], t["s_nationkey"])
-        same = same.combine_chunks() if isinstance(same, pa.ChunkedArray) else same
-        f = t.filter(same)
-        return f.group_by("s_nationkey").aggregate([("rev", "sum")]) \
-            .rename_columns(["s_nationkey", "rev"])
+    # dims are pure reads -> count() is parquet-metadata cheap
+    n_cust = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_supp = _read(sf_dir, "supplier", columns=["s_suppkey"]).count()
+    if max(n_cust, n_supp) <= dim_broadcast_limit:
+        from ..ops.relational import _cached_resolve, broadcast
 
-    parts = cogroup_join_hp(
-        j2.map_batches(lambda t: t.select(["s_suppkey", "rev", "c_nationkey"]),
-                       batch_format="pyarrow"),
-        supp, "s_suppkey",
-        pa.schema([("s_suppkey", pa.int64()), ("rev", pa.float64()),
-                   ("c_nationkey", pa.int64())]),
-        pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]),
-        post=local_rollup).take_all()
+        cmap = {r["o_custkey"]: r["c_nationkey"] for r in cust.take_all()}
+        smap = {r["s_suppkey"]: r["s_nationkey"] for r in supp.take_all()}
+        cref, sref = broadcast(cmap), broadcast(smap)
+
+        def orders_with_nation(t: pa.Table, _ref=cref) -> pa.Table:
+            import pandas as pd
+
+            cm = _cached_resolve(_ref)
+            ck = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False))
+            nat_ = ck.map(cm)  # NaN = non-ASIA customer -> drop
+            keep = nat_.notna().to_numpy()
+            return pa.table({
+                "l_orderkey": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+                "c_nationkey": pa.array(
+                    nat_.to_numpy(dtype=np.float64)[keep].astype(np.int64)),
+            })
+
+        def bcast_rollup(t: pa.Table, _ref=sref) -> pa.Table:
+            import pandas as pd
+
+            sm = _cached_resolve(_ref)
+            sk = pd.Series(t["s_suppkey"].to_numpy(zero_copy_only=False))
+            snat = sk.map(sm).to_numpy(dtype=np.float64)
+            cnat = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            keep = pa.array(snat == cnat)  # NaN never equals -> non-ASIA out
+            f = t.filter(keep)
+            return f.group_by("c_nationkey").aggregate([("rev", "sum")]) \
+                .rename_columns(["s_nationkey", "rev"])
+
+        parts = cogroup_join_hp(
+            li, orders.map_batches(orders_with_nation, batch_format="pyarrow"),
+            "l_orderkey",
+            pa.schema([("l_orderkey", pa.int64()), ("s_suppkey", pa.int64()),
+                       ("rev", pa.float64())]),
+            pa.schema([("l_orderkey", pa.int64()),
+                       ("c_nationkey", pa.int64())]),
+            post=bcast_rollup).take_all()
+    else:
+        j1 = cogroup_join_hp(
+            orders, cust, "o_custkey",
+            pa.schema([("o_custkey", pa.int64()), ("l_orderkey", pa.int64())]),
+            pa.schema([("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]))
+        j2 = cogroup_join_hp(
+            li,
+            j1.map_batches(lambda t: t.select(["l_orderkey", "c_nationkey"]),
+                           batch_format="pyarrow"),
+            "l_orderkey",
+            pa.schema([("l_orderkey", pa.int64()), ("s_suppkey", pa.int64()),
+                       ("rev", pa.float64())]),
+            pa.schema([("l_orderkey", pa.int64()), ("c_nationkey", pa.int64())]))
+
+        def local_rollup(t: pa.Table) -> pa.Table:
+            # Q5's signature predicate: customer + supplier share the nation
+            same = pc.equal(t["c_nationkey"], t["s_nationkey"])
+            same = same.combine_chunks() if isinstance(same, pa.ChunkedArray) else same
+            f = t.filter(same)
+            return f.group_by("s_nationkey").aggregate([("rev", "sum")]) \
+                .rename_columns(["s_nationkey", "rev"])
+
+        parts = cogroup_join_hp(
+            j2.map_batches(lambda t: t.select(["s_suppkey", "rev",
+                                               "c_nationkey"]),
+                           batch_format="pyarrow"),
+            supp, "s_suppkey",
+            pa.schema([("s_suppkey", pa.int64()), ("rev", pa.float64()),
+                       ("c_nationkey", pa.int64())]),
+            pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]),
+            post=local_rollup).take_all()
     merged = pa.Table.from_pylist(parts, schema=pa.schema(
         [("s_nationkey", pa.int64()), ("rev", pa.float64())]))
     out = merged.group_by("s_nationkey").aggregate([("rev", "sum")]) \

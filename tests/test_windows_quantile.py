@@ -484,3 +484,15 @@ def test_bloom_no_false_negatives_and_merge(ray_session):
     a, b = members[:2000], members[2000:]
     merged = bloom_batch_bits(a, 1 << 16, 4) | bloom_batch_bits(b, 1 << 16, 4)
     assert (merged == bloom_batch_bits(members, 1 << 16, 4)).all()
+
+
+def test_q5_broadcast_and_cogroup_paths_identical(ray_session, sf_tiny):
+    """rel_local_supplier_volume's guarded dim-broadcast path (1 exchange)
+    must equal the 3-exchange co-group fallback exactly."""
+    from stakgraph_ray.pipelines.queries_rel import q_local_supplier_volume
+
+    fast = q_local_supplier_volume(sf_tiny)
+    slow = q_local_supplier_volume(sf_tiny, dim_broadcast_limit=0)
+    assert fast.schema == slow.schema
+    assert fast.to_pylist() == slow.to_pylist()
+    assert fast.num_rows >= 1
