@@ -130,12 +130,18 @@ def build_pages_batch(batch: pa.Table) -> pa.Table:
         pa.scalar("", pa.large_string()))
 
     mod_np = doc_id.to_numpy() % 1000  # pyarrow 16 has no modulo kernel
-    oversize = pa.array(mod_np == OVERSIZE_MOD)
-    html = pc.if_else(
-        oversize,
-        pc.binary_join_element_wise(html, pa.scalar(_OVERSIZE_PAD, pa.large_string()),
-                                    pa.scalar("", pa.large_string())),
-        html)
+    # Build the pad column DIRECTLY ("" except the 1/1000 oversize rows) —
+    # both pc.if_else(mask, joined, html) and pc.if_else(mask, pad_scalar,
+    # "") materialize the 500KB value for EVERY row before selecting
+    # (~row_count x max_html_size of discarded allocations: 20 GB and 214 s
+    # of kernel time per 40k-row batch in the x64 scaling run).
+    over_idx = np.flatnonzero(mod_np == OVERSIZE_MOD)
+    if len(over_idx):
+        vals = np.full(len(mod_np), "", dtype=object)
+        vals[over_idx] = _OVERSIZE_PAD
+        pad = pa.array(vals, pa.large_string())
+        html = pc.binary_join_element_wise(
+            html, pad, pa.scalar("", pa.large_string()))
 
     hb = pc.cast(html, pa.large_binary())
     bad = mod_np == BADUTF8_MOD
