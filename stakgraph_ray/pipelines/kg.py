@@ -28,7 +28,7 @@ from ..functions.textutils import host_of_url_column
 from ..schema import node_key_array
 from ..stages.extract import (ExtractTextStage, bigram_rows, link_edge_rows,
                               mention_rows)
-from ..stages.link import BigramLinker, TermLinker, make_linker_stage
+from ..stages.link import TermLinker, bigram_linker_fn, make_linker_stage
 from ..ops.dedup import (dedup_by_key_min, distinct, distinct_per_batch,
                          first_per_key_batch)
 from ..ops.partition import (dedup_min_hp, first_wins_hp, grouped_aggregate)
@@ -316,9 +316,8 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     bigrams = extracted.map_batches(bigram_rows, batch_format="pyarrow") \
         .map_batches(bigram_surface_partial, batch_format="pyarrow")
     bigrams = bigrams.map_batches(
-        BigramLinker, fn_constructor_kwargs=linker_kwargs,
-        batch_format="pyarrow", batch_size=None,
-        concurrency=_pool())
+        bigram_linker_fn(linker_kwargs),
+        batch_format="pyarrow", batch_size=None)
     bigram_agg = grouped_aggregate(
         bigrams.map_batches(bigram_weight_partial, batch_format="pyarrow"),
         ["a", "b"], [("weight", "sum")], ["weight"])

@@ -18,7 +18,7 @@ from ..config import DEFAULT_CONFIG
 from ..functions import vocab
 from ..sources.pages import read_pages
 from ..stages.extract import ExtractTextStage, bigram_rows, mention_rows
-from ..stages.link import BigramLinker, TermLinker, make_linker_stage
+from ..stages.link import TermLinker, bigram_linker_fn, make_linker_stage
 
 # ---------------------------------------------------------------- SQL pieces
 
@@ -64,6 +64,21 @@ SANITIZE_SQL = "lower(regexp_replace({c}, '[^a-zA-Z0-9]', '', 'g'))"
 
 
 _EXTRACT_CACHE: dict[str, object] = {}
+_PAGES_CACHE: dict[str, object] = {}
+
+
+def pages_cached(sf_dir: str):
+    """Materialized synthetic pages corpus shared across queries in a
+    session. Five query families consume the RAW html column (the probe
+    extractors live in comments that text extraction strips), and each was
+    re-deriving the corpus from documents.parquet per query — the dominant
+    cost of the probe suite at sf0.1. Same session-cache pattern as
+    ``_extracted`` below; object-store backed (sf0.1 ≈ 10 MB), spillable."""
+    ds = _PAGES_CACHE.get(sf_dir)
+    if ds is None:
+        ds = read_pages(sf_dir).materialize()
+        _PAGES_CACHE[sf_dir] = ds
+    return ds
 
 
 def _extracted(sf_dir: str):
@@ -73,7 +88,7 @@ def _extracted(sf_dir: str):
     from the materialized blocks instead of re-executing the chain."""
     ds = _EXTRACT_CACHE.get(sf_dir)
     if ds is None:
-        ds = read_pages(sf_dir).map_batches(
+        ds = pages_cached(sf_dir).map_batches(
             ExtractTextStage(), batch_format="pyarrow",
             batch_size=DEFAULT_CONFIG.batch_size).materialize()
         _EXTRACT_CACHE[sf_dir] = ds
@@ -328,9 +343,8 @@ def _follows_edges_ds(sf_dir: str):
     ds = _extracted(sf_dir).map_batches(bigram_rows, batch_format="pyarrow") \
         .map_batches(bigram_surface_partial, batch_format="pyarrow")
     kw = make_linker_stage()
-    ds = ds.map_batches(BigramLinker, fn_constructor_kwargs=kw,
-                        batch_format="pyarrow", batch_size=None,
-                        concurrency=_pool())
+    ds = ds.map_batches(bigram_linker_fn(kw),
+                        batch_format="pyarrow", batch_size=None)
     return grouped_aggregate(
         ds.map_batches(bigram_weight_partial, batch_format="pyarrow"),
         ["a", "b"], [("weight", "sum")], ["weight"])

@@ -635,8 +635,6 @@ def q_url_filter(sf_dir: str):
     the shape of a C4-style URL/domain cleaning pass."""
     import ray.data as rd
 
-    from ..sources.pages import read_pages
-
     # derive the blocklist distributed: per-batch distinct + min-2 partials
     # (each block contributes at most 2 rows to the driver — O(blocks)
     # driver state, never the full source column)
@@ -652,7 +650,9 @@ def q_url_filter(sf_dir: str):
 
     from ..functions.textutils import host_of_url_column
 
-    ds = read_pages(sf_dir)
+    from .queries_kg import pages_cached
+
+    ds = pages_cached(sf_dir)
 
     def gate(t: pa.Table) -> pa.Table:
         host = pc.cast(host_of_url_column(

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..sources.pages import read_pages
+from .queries_kg import pages_cached
 from ..stages.probes import (http_probe_rows, link_section_rows,
                              page_kind_rows, data_testid_rows)
 from .queries_kg import NOT_SKIP_SQL, URL_SQL
@@ -16,7 +16,7 @@ from .queries_kg import NOT_SKIP_SQL, URL_SQL
 
 def q_test_ids(sf_dir: str):
     """data-testid capture (extract_test_ids analog, linker.rs:302-314)."""
-    return read_pages(sf_dir).map_batches(data_testid_rows, batch_format="pyarrow")
+    return pages_cached(sf_dir).map_batches(data_testid_rows, batch_format="pyarrow")
 
 
 SQL_TEST_IDS = f"""
@@ -30,7 +30,7 @@ from documents where {NOT_SKIP_SQL} and doc_id % 3 = 0
 
 def q_http_probes(sf_dir: str):
     """HTTP verb+route mentions from raw bodies (linker.rs:329-360)."""
-    return read_pages(sf_dir).map_batches(http_probe_rows,
+    return pages_cached(sf_dir).map_batches(http_probe_rows,
                                           batch_format="pyarrow")
 
 
@@ -45,7 +45,7 @@ from documents where {NOT_SKIP_SQL} and doc_id % 5 = 0
 
 def q_page_kinds(sf_dir: str):
     """Page classification (collect_tests family, collect.rs:222-253)."""
-    return read_pages(sf_dir).map_batches(page_kind_rows,
+    return pages_cached(sf_dir).map_batches(page_kind_rows,
                                           batch_format="pyarrow")
 
 
@@ -138,7 +138,7 @@ def q_probe_endpoint_links(sf_dir: str):
     from ..ops.relational import endpoint_match_join
     from ..stages.probes import http_probe_rows
 
-    probes = read_pages(sf_dir).map_batches(http_probe_rows,
+    probes = pages_cached(sf_dir).map_batches(http_probe_rows,
                                             batch_format="pyarrow")
     sources = sorted(set(
         pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])

@@ -168,3 +168,20 @@ def make_linker_stage(cfg: PipelineConfig = DEFAULT_CONFIG, dictionary: dict | N
     d = dictionary or default_dictionary()
     ref = ray.put(d) if ray.is_initialized() else d
     return {"dict_ref": ref, "cfg": cfg}
+
+
+def bigram_linker_fn(linker_kwargs: dict):
+    """Task-pool form of BigramLinker (util.make_task_stage): a plain batch
+    fn with a per-worker-process Cascade cache. BigramLinker's input is
+    per-batch surface PARTIALS (dictionary-scale, short stream), so the
+    actor-pool form paid startup for little work — and inside the flagship's
+    five-branch edges union its ActorPoolMapOperator pinned a CPU that, on a
+    tiny cluster (num_cpus=2), livelocked the whole execution against the
+    plan's four Sort exchanges. The cache key carries the broadcast ref and
+    the two cfg fields the Cascade reads."""
+    from ..util import make_task_stage, ref_key
+
+    cfg = linker_kwargs.get("cfg", DEFAULT_CONFIG)
+    key = (ref_key(linker_kwargs.get("dict_ref")), cfg.keep_unverified,
+           cfg.link_confidences)
+    return make_task_stage(BigramLinker, key, **linker_kwargs)

@@ -212,7 +212,7 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     from ..ops.dedup import distinct, first_per_key_batch
     from ..ops.partition import dedup_min_hp, first_wins_hp, grouped_aggregate
     from ..stages.extract import ExtractTextStage, bigram_rows, link_edge_rows, mention_rows
-    from ..stages.link import BigramLinker, TermLinker, make_linker_stage
+    from ..stages.link import TermLinker, bigram_linker_fn, make_linker_stage
     from ..stages.canonicalize import (alias_of_edges, canonical_roots,
                                        canonicalize_column)
     from ..pipelines import kg
@@ -281,9 +281,8 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         .map_batches(kg.mention_edge_final, batch_format="pyarrow")
     bigrams = ex.map_batches(bigram_rows, batch_format="pyarrow") \
         .map_batches(kg.bigram_surface_partial, batch_format="pyarrow") \
-        .map_batches(BigramLinker, fn_constructor_kwargs=linker_kwargs,
-                     batch_format="pyarrow", batch_size=None,
-                     concurrency=_pool())
+        .map_batches(bigram_linker_fn(linker_kwargs),
+                     batch_format="pyarrow", batch_size=None)
     bigrams = canonicalize_column(bigrams, "a", roots)
     bigrams = canonicalize_column(bigrams, "b", roots)
     bigram_edges = grouped_aggregate(
@@ -338,18 +337,32 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         # inputs — run them from two driver threads so their executors
         # interleave (each spends much of its wall in barriers/stragglers
         # the other can fill); measured ~25% off the build's tail.
-        from concurrent.futures import ThreadPoolExecutor
+        # ONLY when the cluster can host two executors: on a tiny cluster
+        # (observed at num_cpus=2) each execution's actor-pool stage pins a
+        # CPU and the two executors starve each other's map tasks — a
+        # livelock, not slowness (0 output files after 22 min on an idle
+        # box; 4+ CPUs measured fine across three rounds). Below 4 CPUs
+        # the tail-filling win is noise anyway; write sequentially.
+        import ray
 
         m_nodes: list = []
         m_edges: list = []
-        with ThreadPoolExecutor(2) as pool:
-            f_nodes = pool.submit(checkpoint, nodes,
-                                  os.path.join(workdir, "nodes_raw"),
-                                  "nodes_raw", m_nodes)
-            f_edges = pool.submit(checkpoint, edges,
-                                  os.path.join(workdir, "edges_raw"),
-                                  "edges_raw", m_edges)
-            nodes, edges = f_nodes.result(), f_edges.result()
+        if int(ray.cluster_resources().get("CPU", 0)) >= 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as pool:
+                f_nodes = pool.submit(checkpoint, nodes,
+                                      os.path.join(workdir, "nodes_raw"),
+                                      "nodes_raw", m_nodes)
+                f_edges = pool.submit(checkpoint, edges,
+                                      os.path.join(workdir, "edges_raw"),
+                                      "edges_raw", m_edges)
+                nodes, edges = f_nodes.result(), f_edges.result()
+        else:
+            nodes = checkpoint(nodes, os.path.join(workdir, "nodes_raw"),
+                               "nodes_raw", m_nodes)
+            edges = checkpoint(edges, os.path.join(workdir, "edges_raw"),
+                               "edges_raw", m_edges)
         metrics.extend(m_nodes + m_edges)
         t0 = time.time()
         nodes, edges = apply_epilogue(nodes, edges)
