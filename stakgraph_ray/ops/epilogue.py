@@ -35,17 +35,24 @@ DEFAULT_TYPE_PRIORITY = (
 
 
 def _endpoint_keys(edges_ds):
-    """Distinct node keys referenced by any edge (src or dst)."""
-    from .partition import distinct_hp
+    """Node keys referenced by any edge (src or dst), unique PER BLOCK.
+
+    Deliberately not globally distinct: the only consumer is the membership
+    co-filter (membership_filter_hp), whose ``is_in`` tolerates duplicate
+    keys across blocks — so a per-batch ``pc.unique`` combiner cuts the
+    shuffled key volume (terms repeat heavily within a block) without
+    paying a second all-to-all for exact distinctness. The previous
+    ``distinct_hp`` pre-pass doubled the epilogue's shuffle cost for no
+    semantic gain (measured: the final-nodes stage scaled only 1.8x from
+    4 to 16 CPUs on the x64 build)."""
 
     def sides(t: pa.Table) -> pa.Table:
         src = t["src_key"].combine_chunks() if isinstance(t["src_key"], pa.ChunkedArray) else t["src_key"]
         dst = t["dst_key"].combine_chunks() if isinstance(t["dst_key"], pa.ChunkedArray) else t["dst_key"]
-        return pa.table({"node_key": pa.concat_arrays(
-            [pc.cast(src, pa.string()), pc.cast(dst, pa.string())])})
+        return pa.table({"node_key": pc.unique(pa.concat_arrays(
+            [pc.cast(src, pa.string()), pc.cast(dst, pa.string())]))})
 
-    return distinct_hp(edges_ds.map_batches(sides, batch_format="pyarrow"),
-                       "node_key")
+    return edges_ds.map_batches(sides, batch_format="pyarrow")
 
 
 def prune_orphan_nodes(nodes_ds, edges_ds, exempt_types: tuple = ("Corpus",)):

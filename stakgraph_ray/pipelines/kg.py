@@ -6,7 +6,7 @@ Ray-Data re-expression of the reference's 16-stage builder
   read pages ->
     ExtractTextStage        (stateless mb; html dropped immediately)
     mention_rows            (stateless mb; vectorized token explode)
-    TermLinker              (actor pool; broadcast alias dictionary)
+    TermLinker              (task fn, per-worker cache; broadcast dictionary)
     node tables             (Page / Host / Language / Term entity nodes)
     edge tables             (CONTAINS / LINKS_TO / OF / MENTIONS / FOLLOWS)
     exact dedup + aggregate (one hash shuffle per table, combiner first)
@@ -17,7 +17,6 @@ to_pandas (small results only).
 
 from __future__ import annotations
 
-from ..util import pool_size as _pool
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +27,7 @@ from ..functions.textutils import host_of_url_column
 from ..schema import node_key_array
 from ..stages.extract import (ExtractTextStage, bigram_rows, link_edge_rows,
                               mention_rows)
-from ..stages.link import TermLinker, bigram_linker_fn, make_linker_stage
+from ..stages.link import bigram_linker_fn, make_linker_stage, term_linker_fn
 from ..ops.dedup import (dedup_by_key_min, distinct, distinct_per_batch,
                          first_per_key_batch)
 from ..ops.partition import (dedup_min_hp, first_wins_hp, grouped_aggregate)
@@ -274,9 +273,8 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     mentions = extracted.map_batches(mention_rows, batch_format="pyarrow")
     linker_kwargs = make_linker_stage(cfg, dictionary)
     linked = mentions.map_batches(
-        TermLinker, fn_constructor_kwargs=linker_kwargs,
-        batch_format="pyarrow", batch_size=None,
-        concurrency=_pool())
+        term_linker_fn(linker_kwargs),
+        batch_format="pyarrow", batch_size=None)
 
     # --- nodes -------------------------------------------------------------
     page_nodes = extracted.map_batches(page_node_rows, batch_format="pyarrow")

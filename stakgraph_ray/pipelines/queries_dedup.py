@@ -4,7 +4,6 @@ result (planted near-dups, see stakgraph_ray.sources.augmented)."""
 
 from __future__ import annotations
 
-from ..util import pool_size as _pool
 
 from ..util import adaptive_num_blocks as _anb
 
@@ -137,10 +136,11 @@ def q_simhash_fingerprints(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
                          override_num_blocks=_anb(f"{sf_dir}/documents.parquet"))
-    return ds.map_batches(SimHashStage,
-                          fn_constructor_kwargs={"id_col": "doc_id",
-                                                 "text_col": "text"},
-                          batch_format="pyarrow", concurrency=_pool())
+    from ..util import make_task_stage
+
+    return ds.map_batches(make_task_stage(SimHashStage, ("doc_id", "text"),
+                                          id_col="doc_id", text_col="text"),
+                          batch_format="pyarrow")
 
 
 SQL_SIMHASH = """
@@ -390,14 +390,13 @@ def q_node_embedding_ann(sf_dir: str):
     from ..ops.dedup import distinct
     from ..stages.enrich import embed_nodes
     from ..stages.extract import mention_rows
-    from ..stages.link import TermLinker, make_linker_stage
+    from ..stages.link import make_linker_stage, term_linker_fn
     from .queries_kg import _extracted
 
     ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
     kw = make_linker_stage()
-    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", batch_size=None,
-                            concurrency=_pool())
+    linked = ds.map_batches(term_linker_fn(kw),
+                            batch_format="pyarrow", batch_size=None)
     terms = distinct(linked.map_batches(
         lambda t: t.select(["canonical"]), batch_format="pyarrow"),
         ["canonical"])

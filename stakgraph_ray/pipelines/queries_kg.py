@@ -9,7 +9,6 @@ and the SQL must agree on row count, schema and values.
 
 from __future__ import annotations
 
-from ..util import pool_size as _pool
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -18,7 +17,7 @@ from ..config import DEFAULT_CONFIG
 from ..functions import vocab
 from ..sources.pages import read_pages
 from ..stages.extract import ExtractTextStage, bigram_rows, mention_rows
-from ..stages.link import TermLinker, bigram_linker_fn, make_linker_stage
+from ..stages.link import bigram_linker_fn, make_linker_stage, term_linker_fn
 
 # ---------------------------------------------------------------- SQL pieces
 
@@ -142,9 +141,8 @@ def q_mention_edges(sf_dir: str):
 
     ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
     kw = make_linker_stage()
-    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", batch_size=None,
-                            concurrency=_pool())
+    linked = ds.map_batches(term_linker_fn(kw),
+                            batch_format="pyarrow", batch_size=None)
     agg = grouped_aggregate(
         linked.map_batches(mention_edge_partial, batch_format="pyarrow"),
         ["url", "canonical"], [("confidence", "max"), ("weight", "sum")],
@@ -231,9 +229,8 @@ def q_term_nodes(sf_dir: str):
 
     ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
     kw = make_linker_stage()
-    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", batch_size=None,
-                            concurrency=_pool())
+    linked = ds.map_batches(term_linker_fn(kw),
+                            batch_format="pyarrow", batch_size=None)
     d = distinct(linked.map_batches(
         lambda t: t.select(["canonical"]), batch_format="pyarrow"), ["canonical"])
 
@@ -317,9 +314,8 @@ def q_term_frequencies(sf_dir: str):
 
     ds = _extracted(sf_dir).map_batches(mention_rows, batch_format="pyarrow")
     kw = make_linker_stage()
-    linked = ds.map_batches(TermLinker, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", batch_size=None,
-                            concurrency=_pool())
+    linked = ds.map_batches(term_linker_fn(kw),
+                            batch_format="pyarrow", batch_size=None)
     out = salted_sum_count(linked, "canonical")
     return out.map_batches(lambda t: t.select(["canonical", "n"]),
                            batch_format="pyarrow")
@@ -644,9 +640,8 @@ def q_epilogue_pages(sf_dir: str):
     page_nodes = ex.map_batches(page_node_rows, batch_format="pyarrow")
     kw = make_linker_stage()
     linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
-        .map_batches(TermLinker, fn_constructor_kwargs=kw,
-                     batch_format="pyarrow", batch_size=None,
-                     concurrency=_pool())
+        .map_batches(term_linker_fn(kw),
+                     batch_format="pyarrow", batch_size=None)
 
     def mention_edges(t: pa.Table) -> pa.Table:
         from ..ops.dedup import distinct_per_batch

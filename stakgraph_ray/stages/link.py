@@ -170,6 +170,25 @@ def make_linker_stage(cfg: PipelineConfig = DEFAULT_CONFIG, dictionary: dict | N
     return {"dict_ref": ref, "cfg": cfg}
 
 
+def term_linker_fn(linker_kwargs: dict):
+    """Task-pool form of TermLinker (util.make_task_stage): a plain batch fn
+    with a per-worker-process Cascade cache. The linking stage is a pure
+    vectorized batch transform whose only state is dictionary-scale, so an
+    actor pool bought nothing and cost twice: pool startup sat on the build's
+    critical path, and the pool's static CPU split (capped at 8 actors)
+    left the stage at ~half the cluster while map tasks held the rest —
+    measured 4-vs-16-CPU stage scaling of only 1.9x on the x64 build. As a
+    task fn every CPU runs link work interleaved with the surrounding map
+    stages and the broadcast dictionary still resolves once per worker
+    process (cache key carries the ref + the cfg fields Cascade reads)."""
+    from ..util import make_task_stage, ref_key
+
+    cfg = linker_kwargs.get("cfg", DEFAULT_CONFIG)
+    key = (ref_key(linker_kwargs.get("dict_ref")), cfg.keep_unverified,
+           cfg.link_confidences)
+    return make_task_stage(TermLinker, key, **linker_kwargs)
+
+
 def bigram_linker_fn(linker_kwargs: dict):
     """Task-pool form of BigramLinker (util.make_task_stage): a plain batch
     fn with a per-worker-process Cascade cache. BigramLinker's input is

@@ -24,7 +24,6 @@ read only the columns it needs.
 
 from __future__ import annotations
 
-from ..util import pool_size as _pool
 
 import json
 import os
@@ -212,7 +211,7 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     from ..ops.dedup import distinct, first_per_key_batch
     from ..ops.partition import dedup_min_hp, first_wins_hp, grouped_aggregate
     from ..stages.extract import ExtractTextStage, bigram_rows, link_edge_rows, mention_rows
-    from ..stages.link import TermLinker, bigram_linker_fn, make_linker_stage
+    from ..stages.link import bigram_linker_fn, make_linker_stage, term_linker_fn
     from ..stages.canonicalize import (alias_of_edges, canonical_roots,
                                        canonicalize_column)
     from ..pipelines import kg
@@ -236,9 +235,8 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     # ---- stage 2: mentions + linking (actor pool, broadcast dictionary) ---
     linker_kwargs = make_linker_stage(cfg, dictionary)
     linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
-        .map_batches(TermLinker, fn_constructor_kwargs=linker_kwargs,
-                     batch_format="pyarrow", batch_size=None,
-                     concurrency=_pool())
+        .map_batches(term_linker_fn(linker_kwargs),
+                     batch_format="pyarrow", batch_size=None)
     li = checkpoint(linked, os.path.join(workdir, "linked"), "link", metrics)
 
     # ---- stage 3: canonicalization (LSH merge over distinct names) --------
