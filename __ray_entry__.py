@@ -57,12 +57,15 @@ def _catalog() -> dict[str, tuple]:
         "rel_top_customers", "rel_running_value",
         "rel_promo_events", "kg_mention_edges", "kg_mention_edges_sharded",
         "kg_term_components", "sim_knn_bruteforce",
-        # tier 3 — changed this round
+        # tier 3 — changed this round (incl. the TermLinker task-fn and
+        # single-shuffle orphan-prune rewrites late in round 4)
         "rel_orders_lineitem_join", "rel_shipping_priority",
         "rel_priority_mode", "kg_rich_triples", "kg_epilogue_pages",
+        "kg_term_nodes", "kg_term_frequencies", "dedup_simhash",
         "sim_knn_ivf", "sim_knn_pq", "mm_media_features",
         "kg_term_link_prediction", "kg_adamic_adar",
         "kg_probe_endpoint_links", "rel_endpoint_requests", "sim_knn_lsh",
+        "sim_node_embedding_ann",
     ]
     every: dict[str, tuple] = {}
     every.update(TYPED_QUERIES)
