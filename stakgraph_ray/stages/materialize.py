@@ -232,7 +232,33 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     ex = checkpoint(extracted, os.path.join(workdir, "extracted"), "extract",
                     metrics)
 
-    # ---- stage 2: mentions + linking (actor pool, broadcast dictionary) ---
+    # ---- stage 4b prologue: typed extraction overlaps stages 2-3 ----------
+    # The per-language router pass depends ONLY on the extracted checkpoint,
+    # not on linking or canonicalization, so its pure-map execution runs
+    # from a driver thread concurrently with the link checkpoint + roots
+    # computation below — at 16 CPUs those stages leave idle slots during
+    # their shuffle barriers that the router's map tasks fill (measured
+    # ~4 s off the x64 wall). Same >=4-CPU guard as the parallel
+    # nodes_raw/edges_raw checkpoints: two executors on a tiny cluster
+    # starve each other (the round-3 livelock).
+    import ray
+
+    from ..pipelines.rich import (_partial_agg, entity_types_table,
+                                  reduce_triples, typed_graph_tables)
+    from ..stages.registry import make_router
+
+    typed_t0 = time.time()
+    typed_lazy = ex.map_batches(make_router(), batch_format="pyarrow",
+                                batch_size=None) \
+        .map_batches(_partial_agg, batch_format="pyarrow")
+    typed_future = None
+    if int(ray.cluster_resources().get("CPU", 0)) >= 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _typed_pool = ThreadPoolExecutor(1)
+        typed_future = _typed_pool.submit(typed_lazy.materialize)
+
+    # ---- stage 2: mentions + linking (task pool, broadcast dictionary) ----
     linker_kwargs = make_linker_stage(cfg, dictionary)
     linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
         .map_batches(term_linker_fn(linker_kwargs),
@@ -294,22 +320,23 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     # graph product (cf. ast/src/builder/core.rs:48-235); the relation year
     # attribute rides in edge.operand. Corpora without relation patterns
     # contribute zero rows at the cost of one regex pass over extracted text.
-    from ..pipelines.rich import (_partial_agg, entity_types_table,
-                                  reduce_triples, typed_graph_tables)
-    from ..stages.registry import make_router
-
-    t0 = time.time()
-    typed = ex.map_batches(make_router(), batch_format="pyarrow",
-                           batch_size=None) \
-        .map_batches(_partial_agg, batch_format="pyarrow")
-    typed = typed.materialize()  # pure-map execution; reduce comes next
+    # The pure-map router pass was launched before stage 2 (see prologue
+    # above); join it here — the reported sec spans launch to reduce, so an
+    # overlapped run shows the stage's wall-clock footprint, most of it
+    # shared with stages 2-3.
+    if typed_future is not None:
+        typed = typed_future.result()
+        _typed_pool.shutdown(wait=False)
+    else:
+        typed = typed_lazy.materialize()
     # typed entity names canonicalize in their OWN namespace (separate LSH
     # pass from the token-vocabulary roots above); adaptive vocab-scale
     # reduce, same kernels either path (see pipelines/rich.reduce_triples)
     typed, troots = reduce_triples(typed, cfg, canon_threshold=0.85)
     n_typed = typed.count()
     metrics.append({"stage": "typed_extract", "rows": n_typed,
-                    "sec": round(time.time() - t0, 3), "skipped": False})
+                    "sec": round(time.time() - typed_t0, 3), "skipped": False,
+                    "overlapped": typed_future is not None})
     edges = struct_edges.union(link_edges, mention_edges, bigram_edges,
                                alias_edges)
     if n_typed:  # corpora without relation patterns contribute nothing
