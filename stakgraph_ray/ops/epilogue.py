@@ -55,22 +55,55 @@ def _endpoint_keys(edges_ds):
     return edges_ds.map_batches(sides, batch_format="pyarrow")
 
 
+def _key_hash(arr: pa.Array | pa.ChunkedArray):
+    """uint64 fingerprint of a string key column (shared by both sides of
+    the broadcast orphan filter — MUST be the same function on both)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = pc.cast(arr, pa.string()).to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(vals).astype(np.uint64)
+
+
+def _endpoint_hashes(edges_ds):
+    """uint64 fingerprints of node keys referenced by any edge, unique per
+    block: 8 bytes/key instead of ~70 for the string. Cross-block key
+    duplication is structural (a page key rides ~17 edge rows spread over
+    unrelated branch blocks), so the per-block-unique stream is ~17x the
+    distinct set — at the x256 build that was 22 M rows / 1.6 GB of
+    STRINGS (over any sane broadcast guard) but only ~170 MB of hashes."""
+    import numpy as np
+
+    def sides(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays(
+            [pc.cast(t["src_key"].combine_chunks() if isinstance(
+                t["src_key"], pa.ChunkedArray) else t["src_key"], pa.string()),
+             pc.cast(t["dst_key"].combine_chunks() if isinstance(
+                 t["dst_key"], pa.ChunkedArray) else t["dst_key"], pa.string())]))
+        return pa.table({"h": pa.array(np.unique(_key_hash(u)), pa.uint64())})
+
+    return edges_ds.map_batches(sides, batch_format="pyarrow")
+
+
 def prune_orphan_nodes(nodes_ds, edges_ds, exempt_types: tuple = ("Corpus",),
                        broadcast_byte_limit: int = 512 << 20):
     """Drop nodes with no incident edge (cf. prune_orphan_functions).
 
-    Adaptive: the distinct endpoint-key set is node-vocabulary-scale (far
-    smaller than the edge table that produced it), so under
-    ``broadcast_byte_limit`` the per-block-unique keys are gathered once,
-    deduplicated, ``ray.put`` once, and the node filter runs MAP-ONLY
-    against the shared value set — no node-side all-to-all. Measured: the
-    co-partition path cost a flat ~8 s at both 4 and 16 CPUs on the x64
-    build's 320 k nodes (sort barriers + scheduling, not compute). Above
-    the byte guard (keys no longer dictionary-scale) the keyed-shuffle
-    membership filter runs as before."""
+    Adaptive: the DISTINCT endpoint-key set is node-table-scale, so the
+    filter broadcasts it and runs MAP-ONLY over nodes — no node-side
+    all-to-all (the co-partition path cost a flat ~8 s at both 4 and 16
+    CPUs on the x64 build, and its 1.6 GB key sort 65 s at x256). To keep
+    the broadcast probe small the keys travel as uint64 fingerprints
+    (``_key_hash``, 8 bytes/key); a fingerprint collision would FALSELY
+    KEEP an orphan (never drop a live node) with probability ~n^2/2^64 —
+    ~5e-8 at a million keys, the md5low64 trade-off used elsewhere
+    (pipelines/queries_kg.py). Above ``broadcast_byte_limit`` of hashed
+    keys (~70 M distinct endpoints per 512 MB) the keyed-shuffle
+    membership filter over the exact strings runs instead."""
     import ray
 
-    keys = _endpoint_keys(edges_ds)
     exempt = nodes_ds.map_batches(
         lambda t: t.filter(pc.is_in(t["node_type"],
                                     value_set=pa.array(sorted(exempt_types)))),
@@ -80,28 +113,30 @@ def prune_orphan_nodes(nodes_ds, edges_ds, exempt_types: tuple = ("Corpus",),
             t["node_type"], value_set=pa.array(sorted(exempt_types))))),
         batch_format="pyarrow")
 
-    keys = keys.materialize()  # small: per-block-unique over the edges
-    kb = keys.size_bytes()
+    hashes = _endpoint_hashes(edges_ds).materialize()
+    kb = hashes.size_bytes()
     if kb is not None and kb <= broadcast_byte_limit:
+        import numpy as np
+
         chunks = []
-        for t in ray.get(keys.to_arrow_refs()):
+        for t in ray.get(hashes.to_arrow_refs()):
             if isinstance(t, pa.RecordBatch):
                 t = pa.Table.from_batches([t])
             if t.num_rows:
-                chunks.append(pc.cast(t["node_key"].combine_chunks(),
-                                      pa.string()))
-        uniq = (pc.unique(pa.chunked_array(chunks)) if chunks
-                else pa.array([], pa.string()))
-        ref = ray.put(uniq)
+                chunks.append(t["h"].combine_chunks().to_numpy())
+        uniq = (np.unique(np.concatenate(chunks)) if chunks
+                else np.array([], np.uint64))
+        ref = ray.put(pa.array(uniq, pa.uint64()))
 
         def keep_fn(t: pa.Table) -> pa.Table:
             vs = ray.get(ref)  # plasma shared-memory, zero-copy per worker
-            return t.filter(pc.is_in(pc.cast(t["node_key"], pa.string()),
-                                     value_set=vs))
+            h = pa.array(_key_hash(t["node_key"]), pa.uint64())
+            return t.filter(pc.is_in(h, value_set=vs))
 
         kept = rest.map_batches(keep_fn, batch_format="pyarrow")
     else:
-        kept = membership_filter_hp(rest, keys, "node_key", keep=True,
+        kept = membership_filter_hp(rest, _endpoint_keys(edges_ds),
+                                    "node_key", keep=True,
                                     payload_schema=NODES_SCHEMA)
     return exempt.union(kept)
 
