@@ -98,9 +98,19 @@ def write_manifest(stage_dir: str, *, rows: int, stage: str, extra: dict | None 
 
 
 def checkpoint(ds, stage_dir: str, stage: str, metrics: list | None = None,
-               extra: dict | None = None):
+               extra: dict | None = None, min_rows_per_file: int = 100_000):
     """Write ``ds`` to ``stage_dir`` unless a complete manifest exists;
-    return a fresh Dataset reading the checkpoint."""
+    return a fresh Dataset reading the checkpoint.
+
+    ``min_rows_per_file`` balances two failure modes at the stage handoff:
+    KB-sized files (lazy union DAGs emit hundreds of tiny blocks; per-file
+    overhead dominates and re-reads inherit the fragmentation) vs TOO FEW
+    files — ReadParquet parallelism is bounded by file count, so a
+    100 k-row floor on a 320 k-row pages table yields 3 files and every
+    downstream consumer trickles through 3 serial read tasks (measured:
+    the link stage's mention explode ran a FLAT ~3.5 s at 4 and 16 CPUs).
+    Stages with few, wide rows (the extracted pages corpus) should pass a
+    smaller floor so the file count stays ≳ the cluster's CPU count."""
     import shutil
 
     import ray.data as rd
@@ -111,10 +121,7 @@ def checkpoint(ds, stage_dir: str, stage: str, metrics: list | None = None,
     if not manifest_complete(stage_dir):
         shutil.rmtree(stage_dir, ignore_errors=True)  # write_parquet appends
         os.makedirs(stage_dir, exist_ok=True)
-        # coalesce tiny blocks at the file boundary: lazy union DAGs emit
-        # hundreds of KB-sized blocks; writing one file per block pays
-        # per-file overhead and re-reads would inherit the fragmentation
-        ds.write_parquet(stage_dir, min_rows_per_file=100_000)
+        ds.write_parquet(stage_dir, min_rows_per_file=min_rows_per_file)
         rows = _parquet_rows(stage_dir)  # metadata scan, no Ray execution
         out = rd.read_parquet(stage_dir,
                               override_num_blocks=default_num_blocks())
@@ -229,8 +236,12 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
             lambda t: first_per_key_batch(t, "url", "warc_ts"),
             batch_format="pyarrow")
         extracted = first_wins_hp(extracted, "url", "warc_ts")
+    # 8 k-row files: the pages table has FEW, WIDE rows, and this checkpoint
+    # is re-read by ~6 downstream branches — at 100 k rows/file a 320 k-page
+    # corpus became 3 files = 3 serial read tasks per consumer (see
+    # checkpoint docstring)
     ex = checkpoint(extracted, os.path.join(workdir, "extracted"), "extract",
-                    metrics)
+                    metrics, min_rows_per_file=8_000)
 
     # ---- stage 4b prologue: typed extraction overlaps stages 2-3 ----------
     # The per-language router pass depends ONLY on the extracted checkpoint,
@@ -376,16 +387,18 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(2) as pool:
-                f_nodes = pool.submit(checkpoint, nodes,
-                                      os.path.join(workdir, "nodes_raw"),
-                                      "nodes_raw", m_nodes)
+                f_nodes = pool.submit(
+                    lambda: checkpoint(nodes,
+                                       os.path.join(workdir, "nodes_raw"),
+                                       "nodes_raw", m_nodes,
+                                       min_rows_per_file=8_000))
                 f_edges = pool.submit(checkpoint, edges,
                                       os.path.join(workdir, "edges_raw"),
                                       "edges_raw", m_edges)
                 nodes, edges = f_nodes.result(), f_edges.result()
         else:
             nodes = checkpoint(nodes, os.path.join(workdir, "nodes_raw"),
-                               "nodes_raw", m_nodes)
+                               "nodes_raw", m_nodes, min_rows_per_file=8_000)
             edges = checkpoint(edges, os.path.join(workdir, "edges_raw"),
                                "edges_raw", m_edges)
         metrics.extend(m_nodes + m_edges)
