@@ -57,6 +57,25 @@ def test_prune_orphan_nodes(ray_session):
             "person-x-"} <= keys
 
 
+def test_prune_broadcast_and_shuffle_paths_agree(ray_session):
+    """The uint64-fingerprint broadcast path and the exact-string keyed
+    shuffle fallback (broadcast_byte_limit=0 forces it) must keep the same
+    node set — the fallback is the 100-TB path when the key stream
+    outgrows the broadcast guard."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.epilogue import prune_orphan_nodes
+
+    nodes, edges = rd.from_arrow(_nodes(NODES)), rd.from_arrow(_edges(EDGES))
+    bcast = {r["node_key"]
+             for r in prune_orphan_nodes(nodes, edges).take_all()}
+    shuffled = {r["node_key"]
+                for r in prune_orphan_nodes(
+                    nodes, edges, broadcast_byte_limit=0).take_all()}
+    assert bcast == shuffled
+    assert "term-orphan-" not in bcast
+
+
 def test_filter_childless_parents_and_cascade(ray_session):
     import ray.data as rd
 
