@@ -17,6 +17,17 @@ def test_sanitize_array_unicode_agrees_with_scalar():
     assert vec[1] == "北京大学" and vec[2] == "ελλάδα2024" and vec[3] == "москва"
 
 
+def test_sanitize_array_dict_encode_edges():
+    # the dictionary-encode fast path must keep scalar parity through
+    # heavy duplication, nulls, and chunked inputs
+    vals = ["A b!", "A b!", None, "", "A b!", "çÇ 9", None, "çÇ 9"] * 5
+    vec = sanitize_array(pa.array(vals, pa.string())).to_pylist()
+    assert vec == [sanitize(v) if v is not None else None for v in vals]
+    chunked = pa.chunked_array([pa.array(vals[:10], pa.string()),
+                                pa.array(vals[10:], pa.string())])
+    assert sanitize_array(chunked).to_pylist() == vec
+
+
 def test_node_key_array_distinct_for_nonascii_names():
     names = pa.array(["北京大学", "Москва", "Ελλάδα"], pa.string())
     keys = node_key_array("Term", names, pa.array([""] * 3)).to_pylist()
