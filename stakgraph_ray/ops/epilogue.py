@@ -34,30 +34,18 @@ DEFAULT_TYPE_PRIORITY = (
 )
 
 
-def _endpoint_keys(edges_ds):
-    """Node keys referenced by any edge (src or dst), unique PER BLOCK.
-
-    Deliberately not globally distinct: the only consumer is the membership
-    co-filter (membership_filter_hp), whose ``is_in`` tolerates duplicate
-    keys across blocks — so a per-batch ``pc.unique`` combiner cuts the
-    shuffled key volume (terms repeat heavily within a block) without
-    paying a second all-to-all for exact distinctness. The previous
-    ``distinct_hp`` pre-pass doubled the epilogue's shuffle cost for no
-    semantic gain (measured: the final-nodes stage scaled only 1.8x from
-    4 to 16 CPUs on the x64 build)."""
-
-    def sides(t: pa.Table) -> pa.Table:
-        src = t["src_key"].combine_chunks() if isinstance(t["src_key"], pa.ChunkedArray) else t["src_key"]
-        dst = t["dst_key"].combine_chunks() if isinstance(t["dst_key"], pa.ChunkedArray) else t["dst_key"]
-        return pa.table({"node_key": pc.unique(pa.concat_arrays(
-            [pc.cast(src, pa.string()), pc.cast(dst, pa.string())]))})
-
-    return edges_ds.map_batches(sides, batch_format="pyarrow")
-
-
 def _key_hash(arr: pa.Array | pa.ChunkedArray):
     """uint64 fingerprint of a string key column (shared by both sides of
-    the broadcast orphan filter — MUST be the same function on both)."""
+    the orphan filter — MUST be the same function on both).
+
+    ``pd.util.hash_array`` is an implementation detail of the INSTALLED
+    pandas: the probe side (node batches) and build side (edge batches) run
+    in different worker processes, so a cluster mixing pandas versions could
+    fingerprint the same key differently and falsely DROP a live node. A
+    homogeneous pandas version across workers is therefore a deployment
+    REQUIREMENT of this operator (standard for Ray clusters — one image per
+    cluster); a version-stable primitive (md5low64, ~10x slower per key)
+    is the fallback if that ever can't be guaranteed."""
     import numpy as np
     import pandas as pd
 
@@ -82,6 +70,9 @@ def _endpoint_hashes(edges_ds):
                 t["src_key"], pa.ChunkedArray) else t["src_key"], pa.string()),
              pc.cast(t["dst_key"].combine_chunks() if isinstance(
                  t["dst_key"], pa.ChunkedArray) else t["dst_key"], pa.string())]))
+        # a null endpoint must not whitelist null-key nodes: drop it here so
+        # both prune paths treat null keys identically (see prune docstring)
+        u = u.drop_null()
         return pa.table({"h": pa.array(np.unique(_key_hash(u)), pa.uint64())})
 
     return edges_ds.map_batches(sides, batch_format="pyarrow")
@@ -101,7 +92,14 @@ def prune_orphan_nodes(nodes_ds, edges_ds, exempt_types: tuple = ("Corpus",),
     ~5e-8 at a million keys, the md5low64 trade-off used elsewhere
     (pipelines/queries_kg.py). Above ``broadcast_byte_limit`` of hashed
     keys (~70 M distinct endpoints per 512 MB) the keyed-shuffle
-    membership filter over the exact strings runs instead."""
+    membership filter runs over the SAME materialized fingerprint scan
+    (no second edges pass; 8 bytes/key through the shuffle instead of the
+    ~70-byte strings whose sort cost 65 s at x256) — identical collision
+    direction, so both paths keep the never-drop-a-live-node invariant.
+
+    Null keys are dropped on BOTH paths: a null-key node is an orphan by
+    construction and a null edge endpoint whitelists nothing (keys are
+    built non-null today; this pins the semantics either way)."""
     import ray
 
     exempt = nodes_ds.map_batches(
@@ -109,8 +107,10 @@ def prune_orphan_nodes(nodes_ds, edges_ds, exempt_types: tuple = ("Corpus",),
                                     value_set=pa.array(sorted(exempt_types)))),
         batch_format="pyarrow")
     rest = nodes_ds.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(
-            t["node_type"], value_set=pa.array(sorted(exempt_types))))),
+        lambda t: t.filter(pc.and_(
+            pc.invert(pc.is_in(
+                t["node_type"], value_set=pa.array(sorted(exempt_types)))),
+            pc.is_valid(t["node_key"]))),
         batch_format="pyarrow")
 
     hashes = _endpoint_hashes(edges_ds).materialize()
@@ -135,9 +135,18 @@ def prune_orphan_nodes(nodes_ds, edges_ds, exempt_types: tuple = ("Corpus",),
 
         kept = rest.map_batches(keep_fn, batch_format="pyarrow")
     else:
-        kept = membership_filter_hp(rest, _endpoint_keys(edges_ds),
-                                    "node_key", keep=True,
-                                    payload_schema=NODES_SCHEMA)
+        hashed_schema = pa.schema(list(NODES_SCHEMA)
+                                  + [pa.field("h", pa.uint64())])
+
+        def tag_hash(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "h", pa.array(_key_hash(t["node_key"]), pa.uint64()))
+
+        kept = membership_filter_hp(
+            rest.map_batches(tag_hash, batch_format="pyarrow"), hashes,
+            "h", keep=True, payload_schema=hashed_schema,
+        ).map_batches(lambda t: t.drop_columns(["h"]),
+                      batch_format="pyarrow")
     return exempt.union(kept)
 
 

@@ -89,8 +89,19 @@ def _roots_label_propagation(eligible, pairs_ds) -> dict[str, str]:
     mask63 = (1 << 63) - 1
 
     def hash_col(col) -> pa.Array:
-        return pa.array([_md5low64_raw(s) & mask63 for s in col.to_pylist()],
-                        pa.int64())
+        """md5low64 per DISTINCT value only (the sanitize_array
+        dictionary-encode trick): the pair table repeats each name ~degree
+        times, so hashing the dictionary and gathering by indices keeps the
+        Python md5 loop vocabulary-bounded, not row-bounded — and md5 stays
+        version-stable across workers (unlike pd.util.hash_array)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        distinct = d.dictionary.to_pylist()
+        hd = np.fromiter((_md5low64_raw(s) & mask63 for s in distinct),
+                         dtype=np.int64, count=len(distinct))
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array(hd[idx], pa.int64())
 
     hashed_names = eligible.map_batches(
         lambda t: pa.table({"id": hash_col(t["name"]), "name": t["name"]}),
@@ -132,10 +143,13 @@ def _roots_label_propagation(eligible, pairs_ds) -> dict[str, str]:
     return {r["name"]: r["canonical"] for r in rows}
 
 
-def _roots_driver_side(names: list[str], threshold: float) -> dict[str, str]:
+def _roots_driver_side(names: list[str], threshold: float,
+                       band_cap: int | None = None) -> dict[str, str]:
+    from ..config import DEFAULT_CONFIG
     from ..functions.minhash import (_perm_params, band_keys,
                                      char_shingle_hashes, minhash_signature)
 
+    band_cap = band_cap or DEFAULT_CONFIG.salt_group_limit
     if len(names) < 2:
         return {}
     a, b = _perm_params(64)
@@ -154,6 +168,18 @@ def _roots_driver_side(names: list[str], threshold: float) -> dict[str, str]:
     pairs = set()
     for members in buckets.values():
         if len(members) < 2:
+            continue
+        if len(members) > band_cap:
+            # degenerate shared band (template vocabulary): STAR pairing
+            # against the min-NAME member — O(n) pairs, connectivity
+            # preserved, same hub rule as the distributed path's
+            # _pairs_in_partition skew guard (ops/neardup.py band_cap)
+            members = sorted(members, key=lambda i: names[i])
+            hub = members[0]
+            for j in members[1:]:
+                if (sigs[hub] == sigs[j]).mean() >= threshold:
+                    pairs.add((min(names[hub], names[j]),
+                               max(names[hub], names[j])))
             continue
         for x in range(len(members)):
             for y in range(x + 1, len(members)):

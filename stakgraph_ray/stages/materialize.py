@@ -270,21 +270,33 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         typed_future = _typed_pool.submit(typed_lazy.materialize)
 
     # ---- stage 2: mentions + linking (task pool, broadcast dictionary) ----
-    linker_kwargs = make_linker_stage(cfg, dictionary)
-    linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
-        .map_batches(term_linker_fn(linker_kwargs),
-                     batch_format="pyarrow", batch_size=None)
-    li = checkpoint(linked, os.path.join(workdir, "linked"), "link", metrics)
+    # Stages 2-3 run while the typed-extract future is in flight: if they
+    # raise, cancel the future and release the pool WITHOUT waiting —
+    # otherwise concurrent.futures' atexit join blocks process exit until
+    # the orphaned background materialize finishes (a failed build would
+    # hang for the length of the overlapped pass).
+    try:
+        linker_kwargs = make_linker_stage(cfg, dictionary)
+        linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
+            .map_batches(term_linker_fn(linker_kwargs),
+                         batch_format="pyarrow", batch_size=None)
+        li = checkpoint(linked, os.path.join(workdir, "linked"), "link",
+                        metrics)
 
-    # ---- stage 3: canonicalization (LSH merge over distinct names) --------
-    t0 = time.time()
-    names = distinct(
-        li.map_batches(lambda t: pa.table({"name": t["canonical"]}),
-                       batch_format="pyarrow"), ["name"])
-    roots = canonical_roots(names, cfg)
-    metrics.append({"stage": "canonicalize", "rows": len(roots),
-                    "sec": round(time.time() - t0, 3), "skipped": False})
-    li = canonicalize_column(li, "canonical", roots)
+        # ---- stage 3: canonicalization (LSH merge over distinct names) ----
+        t0 = time.time()
+        names = distinct(
+            li.map_batches(lambda t: pa.table({"name": t["canonical"]}),
+                           batch_format="pyarrow"), ["name"])
+        roots = canonical_roots(names, cfg)
+        metrics.append({"stage": "canonicalize", "rows": len(roots),
+                        "sec": round(time.time() - t0, 3), "skipped": False})
+        li = canonicalize_column(li, "canonical", roots)
+    except BaseException:
+        if typed_future is not None:
+            typed_future.cancel()
+            _typed_pool.shutdown(wait=False)
+        raise
 
     # ---- stage 4: node + edge tables (each branch reads checkpoints) ------
     node_cols = [f.name for f in kg._NODES_ORDER]

@@ -58,15 +58,18 @@ def test_prune_orphan_nodes(ray_session):
 
 
 def test_prune_broadcast_and_shuffle_paths_agree(ray_session):
-    """The uint64-fingerprint broadcast path and the exact-string keyed
-    shuffle fallback (broadcast_byte_limit=0 forces it) must keep the same
-    node set — the fallback is the 100-TB path when the key stream
-    outgrows the broadcast guard."""
+    """The uint64-fingerprint broadcast path and the keyed-shuffle fallback
+    (broadcast_byte_limit=0 forces it) must keep the same node set — the
+    fallback is the 100-TB path when the key stream outgrows the broadcast
+    guard. Includes a null node_key + null edge endpoint: both paths must
+    DROP the null-key node (a null endpoint whitelists nothing)."""
     import ray.data as rd
 
     from stakgraph_ray.ops.epilogue import prune_orphan_nodes
 
-    nodes, edges = rd.from_arrow(_nodes(NODES)), rd.from_arrow(_edges(EDGES))
+    nodes_t = _nodes(NODES + [(None, "Term", "nullkey")])
+    edges_t = _edges(EDGES + [("page-p1-p1", "MENTIONS", None)])
+    nodes, edges = rd.from_arrow(nodes_t), rd.from_arrow(edges_t)
     bcast = {r["node_key"]
              for r in prune_orphan_nodes(nodes, edges).take_all()}
     shuffled = {r["node_key"]
@@ -74,6 +77,7 @@ def test_prune_broadcast_and_shuffle_paths_agree(ray_session):
                     nodes, edges, broadcast_byte_limit=0).take_all()}
     assert bcast == shuffled
     assert "term-orphan-" not in bcast
+    assert None not in bcast
 
 
 def test_filter_childless_parents_and_cascade(ray_session):

@@ -211,3 +211,22 @@ def test_canonical_roots_guarded_paths_identical(ray_session, monkeypatch):
     # above-guard path reduced a multi-member component correctly
     assert driver["standalone entity number 0039 unique"] == \
         "standalone entity number 0000 unique"
+
+
+def test_roots_driver_side_band_cap_star_pairing():
+    """A degenerate vocabulary where every name shares LSH bands (500
+    near-identical template names) must complete in O(n) pairs under the
+    band_cap star guard and merge IDENTICALLY to the uncapped all-pairs
+    path — the driver-side mirror of _pairs_in_partition's skew guard."""
+    from stakgraph_ray.stages.canonicalize import _roots_driver_side
+
+    # identical long stem, 1-char suffix -> one near-identical cluster whose
+    # members all land in the same buckets (signatures ~equal)
+    names = [f"shared template boilerplate entity name {i:03d}"
+             for i in range(500)]
+    capped = _roots_driver_side(names, 0.85, band_cap=2)
+    uncapped = _roots_driver_side(names, 0.85, band_cap=10**9)
+    assert capped == uncapped
+    assert capped  # the cluster really merged
+    root = min(names)
+    assert all(v == root for v in capped.values())
