@@ -26,6 +26,58 @@ def entry() -> Any:
     return g["edges"]
 
 
+_REPO = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+
+
+def _latest_checked_round() -> tuple[dict[str, int], str | None]:
+    """Scan the driver's CORRECTNESS_r*.json records: per query name, the
+    newest round that produced ANY row (PASS / no_oracle / FAIL all count as
+    'checked against current code of that round'). Also returns the path of
+    the newest record file (the staleness baseline for _git_ts)."""
+    import json
+    import os
+    import re
+
+    rounds: dict[str, int] = {}
+    newest: tuple[int, str | None] = (0, None)
+    for f in os.listdir(_REPO):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(os.path.join(_REPO, f)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if n > newest[0]:
+            newest = (n, f)
+        for name in data:
+            rounds[name] = max(rounds.get(name, 0), n)
+    return rounds, newest[1]
+
+
+def _git_ts(rel_path: str) -> int:
+    """Last-commit unix time of a repo file (mtime fallback when git is
+    unavailable in the driver's environment)."""
+    import os
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", _REPO, "log", "-1", "--format=%ct", "--", rel_path],
+            capture_output=True, text=True, timeout=10)
+        ts = out.stdout.strip()
+        if ts:
+            return int(ts)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        return int(os.path.getmtime(os.path.join(_REPO, rel_path)))
+    except OSError:
+        return 0
+
+
 def _catalog() -> dict[str, tuple]:
     from stakgraph_ray.pipelines.queries_dedup import DEDUP_QUERIES
     from stakgraph_ray.pipelines.queries_kg import KG_QUERIES
@@ -34,39 +86,6 @@ def _catalog() -> dict[str, tuple]:
     from stakgraph_ray.pipelines.queries_probes import PROBE_QUERIES
     from stakgraph_ray.pipelines.queries_typed import TYPED_QUERIES
 
-    # Insertion order matters: the driver walks this catalog in order under a
-    # time budget (r03 stopped at entry 50 of 102). Round-4 tiers — every
-    # entry whose CURRENT code has no driver row goes first:
-    #   1. never driver-checked (past r03's budget, or new this round);
-    #   2. changed in round 3 AFTER their last green row (r02), so their
-    #      green rows predate the dtype-cast / task-pool rewrites;
-    #   3. changed THIS round (join fusions, finisher batch_size, ANN
-    #      sampling, canonicalize guard consumers);
-    #   4. r02-green KG/REL entries not re-proved since;
-    #   5. the r03-green remainder (freshest rows).
-    priority = [
-        # tier 1 — never checked (incl. round-4 additions)
-        "rel_except_custkeys", "rel_semi_join_bloom",
-        "rel_status_distinct_customers", "txt_sentence_split",
-        "mm_media_feature_stats", "rel_local_supplier_volume",
-        "rel_order_quartiles", "llm_token_entropy",
-        "rel_status_priority_sets",
-        # tier 2 — r03-changed, green row predates the change
-        "rel_hourly_event_stats", "rel_hopping_event_stats",
-        "rel_nation_balance_stats", "rel_funnel_conversion",
-        "rel_top_customers", "rel_running_value",
-        "rel_promo_events", "kg_mention_edges", "kg_mention_edges_sharded",
-        "kg_term_components", "sim_knn_bruteforce",
-        # tier 3 — changed this round (incl. the TermLinker task-fn and
-        # single-shuffle orphan-prune rewrites late in round 4)
-        "rel_orders_lineitem_join", "rel_shipping_priority",
-        "rel_priority_mode", "kg_rich_triples", "kg_epilogue_pages",
-        "kg_term_nodes", "kg_term_frequencies", "dedup_simhash",
-        "sim_knn_ivf", "sim_knn_pq", "mm_media_features",
-        "kg_term_link_prediction", "kg_adamic_adar",
-        "kg_probe_endpoint_links", "rel_endpoint_requests", "sim_knn_lsh",
-        "sim_node_embedding_ann",
-    ]
     every: dict[str, tuple] = {}
     every.update(TYPED_QUERIES)
     every.update(PROBE_QUERIES)
@@ -74,27 +93,39 @@ def _catalog() -> dict[str, tuple]:
     every.update(DEDUP_QUERIES)
     every.update(KG_QUERIES)
     every.update(REL_QUERIES)
-    # tier 4 — r02-green, never re-proved in r03 (everything KG/REL that is
-    # neither in `priority` nor in the r03-checked set below)
-    r03_checked = {
-        "kg_typed_nodes", "kg_typed_edges", "kg_test_ids", "kg_http_probes",
-        "kg_page_kinds", "kg_link_sections", "kg_maximal_mentions",
-        "kg_probe_endpoint_links", "kg_shortest_path", "kg_adamic_adar",
-        "kg_term_importance", "rel_event_weekday_pivot", "rel_pricing_cube",
-        "rel_qty_price_corr", "rel_nation_balance_disc",
-        "rel_intersect_custkeys", "rel_nation_balance_mad",
-        "rel_nation_customer_list",
-    }
-    cat: dict[str, tuple] = {}
-    for name in priority:
-        if name in every:
-            cat[name] = every[name]
-    for name, v in every.items():
-        if name not in cat and name not in r03_checked \
-                and (name in KG_QUERIES or name in REL_QUERIES):
-            cat[name] = v
-    cat.update({k: v for k, v in every.items() if k not in cat})
-    return cat
+
+    # Insertion order matters: the driver walks this catalog in order under
+    # a time budget (~50 entries/round). The priority order is DERIVED, not
+    # hand-listed (rounds 2-4 hand-maintained tiers; a forgotten retier
+    # could silently strand a changed query):
+    #   effective_round(name) =
+    #     0                 if never driver-checked (new this round)
+    #     min checked round if its defining module was committed AFTER the
+    #                       newest CORRECTNESS record (changed this round —
+    #                       its green row predates the current code)
+    #     latest checked round otherwise
+    #   sorted ascending, stable on the original dict order — so the
+    #   stalest rows always lead and fresh green rows go last.
+    rounds, newest_file = _latest_checked_round()
+    base_ts = _git_ts(newest_file) if newest_file else 0
+    stalest = min((r for r in rounds.values()), default=0)
+    mod_changed: dict[str, bool] = {}
+
+    def changed(fn) -> bool:
+        mod = getattr(fn, "__module__", "") or ""
+        if mod not in mod_changed:
+            rel = mod.replace(".", "/") + ".py"
+            mod_changed[mod] = base_ts > 0 and _git_ts(rel) > base_ts
+        return mod_changed[mod]
+
+    def eff_round(name: str, fn) -> int:
+        r = rounds.get(name, 0)
+        if r and changed(fn):
+            return min(r, stalest)
+        return r
+
+    order = sorted(every, key=lambda n: eff_round(n, every[n][0]))
+    return {name: every[name] for name in order}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
