@@ -112,14 +112,17 @@ class ProbedScorer:
 
 
 def _per_query_topk(q: np.ndarray, n: np.ndarray, c: np.ndarray,
-                    k: int) -> pa.Table:
+                    k: int, score_name: str = "cos",
+                    score_type=pa.float64()) -> pa.Table:
     """Batch-local top-k per query id — the combiner that keeps ANN scoring
-    from shipping every (query, candidate) row into the final exchange."""
+    from shipping every (query, candidate) row into the final exchange.
+    ``score_name``/``score_type`` let the deterministic integer-score
+    variants (knn_lsh_det / knn_pq_det) reuse the same kernel."""
     if len(q) == 0:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
-    order = np.lexsort((n, -c, q))   # by query, cos desc, id asc
+                         score_name: pa.array([], score_type)})
+    order = np.lexsort((n, -c, q))   # by query, score desc, id asc
     qs, ns, cs = q[order], n[order], c[order]
     starts = np.concatenate(([0], np.flatnonzero(qs[1:] != qs[:-1]) + 1,
                              [len(qs)]))
@@ -127,7 +130,7 @@ def _per_query_topk(q: np.ndarray, n: np.ndarray, c: np.ndarray,
                            for s, e in zip(starts[:-1], starts[1:])])
     return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
                      "neighbor_id": pa.array(ns[keep], pa.int64()),
-                     "cos": pa.array(cs[keep], pa.float64())})
+                     score_name: pa.array(cs[keep]).cast(score_type)})
 
 
 def _vecs_of(col) -> np.ndarray:
@@ -454,6 +457,176 @@ def knn_pq(ds, query_table: pa.Table, k: int = 5, n_sub: int = 8,
 
     def topk(g: pa.Table) -> pa.Table:
         return g.sort_by([("cos", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (oracle-checkable) ANN variants
+#
+# The float-arithmetic knn_lsh / knn_ivf / knn_pq above are the production
+# operators (recall gated vs brute force in tests); their results depend on
+# seeded-Gaussian planes and float summation order, which no SQL engine can
+# reproduce bit-for-bit. These _det variants make the SAME index structures
+# SQL-expressible so the driver's DuckDB oracle can hash-check them:
+#   - vectors quantize to int64 (round-half-away(v * scale); v*2^10 is an
+#     exact float op, so both sides see identical integers)
+#   - LSH planes are +-1 signs derived from md5 (version-stable, computable
+#     in SQL) instead of Gaussians; buckets/dots are integer arithmetic
+#   - PQ codebooks are the quantized subvectors of the n_codes smallest-id
+#     rows (deterministic anchors) instead of k-means; encode = integer-L2
+#     argmin (ties to the lowest code), ADC score = integer table lookups
+# Integer arithmetic is associative, so numpy matmuls and SQL SUMs agree
+# exactly — the recall-vs-bruteforce property still holds and is pytest'd.
+# ---------------------------------------------------------------------------
+
+
+def _md5_sign_planes(dim: int, n_bits: int) -> np.ndarray:
+    """+-1 hyperplane signs from md5('lshplane:{bit}:{dim}') last-hex-digit
+    parity — reproducible in SQL as instr('13579bdf', substr(md5(..),32,1))."""
+    import hashlib
+
+    s = np.empty((n_bits, dim), dtype=np.int64)
+    for b in range(n_bits):
+        for j in range(dim):
+            h = hashlib.md5(f"lshplane:{b}:{j}".encode()).hexdigest()
+            s[b, j] = -1 if int(h[-1], 16) % 2 else 1
+    return s
+
+
+def _quantize(m: np.ndarray, scale: int) -> np.ndarray:
+    """int64 quantization matching DuckDB CAST(round(v * scale) AS BIGINT):
+    v*scale is exact for power-of-two scales; round_half_away is the one
+    oracle-safe rounding kernel (util.py)."""
+    from ..util import round_half_away
+
+    return round_half_away(np.asarray(m, np.float64) * float(scale),
+                           0).astype(np.int64)
+
+
+def _int_bucket(vq: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vq @ planes.T) > 0                      # integer dots: exact
+    w = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ w
+
+
+def knn_lsh_det(ds, query_table: pa.Table, k: int = 5, n_bits: int = 4,
+                scale: int = 1024, vec_col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Deterministic LSH top-k: (query_id, neighbor_id, score int64).
+
+    Same shape as knn_lsh (bucket the corpus, scan only colliding buckets,
+    per-batch top-k combiner, one small final exchange) with md5-sign planes
+    over quantized vectors, Hamming<=1 multi-probe (x = b XOR qb;
+    x & (x-1) == 0 — the same predicate the SQL oracle uses) and integer-dot
+    scoring — every value is exactly reproducible by the DuckDB oracle
+    (queries_dedup.SQL_KNN_LSH_DET)."""
+    qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
+    dim = qm.shape[1]
+    planes = _md5_sign_planes(dim, n_bits)
+    qvq = _quantize(qm, scale)                       # (nq, dim) int64
+    qb = _int_bucket(qvq, planes)                    # (nq,)
+    qids = query_table[id_col].to_numpy(zero_copy_only=False)
+
+    # state is ~KBs (signs + quantized queries): plain closure capture, no
+    # broadcast machinery needed
+    def score_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _per_query_topk(np.empty(0, np.int64),
+                                   np.empty(0, np.int64),
+                                   np.empty(0, np.int64), k,
+                                   "score", pa.int64())
+        vq = _quantize(_vecs_of(t[vec_col]), scale)
+        b = _int_bucket(vq, planes)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            x = b ^ qb[j]
+            hit = (x & (x - 1)) == 0     # Hamming distance 0 or 1
+            if hit.any():
+                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+                out_n.append(ids[hit])
+                out_s.append(vq[hit] @ qvq[j])       # int64 matmul: exact
+        if not out_q:
+            return _per_query_topk(np.empty(0, np.int64),
+                                   np.empty(0, np.int64),
+                                   np.empty(0, np.int64), k,
+                                   "score", pa.int64())
+        return _per_query_topk(np.concatenate(out_q), np.concatenate(out_n),
+                               np.concatenate(out_s), k, "score", pa.int64())
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("score", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+def _smallest_id_rows(ds, id_col: str, vec_col: str, n: int) -> list:
+    """The n smallest-id rows — per-batch top-n-min combiner, driver merge
+    of at most n rows per block (never the corpus)."""
+    def part(t: pa.Table) -> pa.Table:
+        return t.select([id_col, vec_col]).sort_by(id_col).slice(0, n)
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return rows[:n]
+
+
+def knn_pq_det(ds, query_table: pa.Table, k: int = 5, n_sub: int = 4,
+               n_codes: int = 16, scale: int = 1024,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Deterministic PQ/ADC top-k: (query_id, neighbor_id, score int64).
+
+    Same scan shape as knn_pq (encode each batch to n_sub uint8 codes, score
+    every query by ADC table lookups, per-batch top-k combiner) with anchor
+    codebooks — the quantized subvectors of the ``n_codes`` smallest-id rows
+    — instead of k-means, and integer arithmetic end to end, so the DuckDB
+    oracle (queries_dedup.SQL_KNN_PQ_DET) reproduces it exactly. Encode ties
+    break toward the LOWEST code (np.argmin first-min == SQL row_number
+    ORDER BY d, code)."""
+    anchors = _smallest_id_rows(ds, id_col, vec_col, n_codes)
+    aq = _quantize(np.array([r[vec_col] for r in anchors], np.float64), scale)
+    kk, dim = aq.shape
+    assert dim % n_sub == 0, "dim must divide into n_sub subspaces"
+    sd = dim // n_sub
+    books = aq.reshape(kk, n_sub, sd).transpose(1, 0, 2)   # [n_sub, K, sd]
+
+    qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
+    qq = _quantize(qm, scale)
+    qt = np.stack([qq[:, s * sd:(s + 1) * sd] @ books[s].T
+                   for s in range(n_sub)])                 # [n_sub, nq, K]
+    qids = query_table[id_col].to_numpy(zero_copy_only=False)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _per_query_topk(np.empty(0, np.int64),
+                                   np.empty(0, np.int64),
+                                   np.empty(0, np.int64), k,
+                                   "score", pa.int64())
+        vq = _quantize(_vecs_of(t[vec_col]), scale)
+        n = vq.shape[0]
+        codes = np.empty((n, n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            x = vq[:, s * sd:(s + 1) * sd]
+            c = books[s]
+            d = (c * c).sum(1)[None, :] - 2 * (x @ c.T)    # int64: exact
+            codes[:, s] = np.argmin(d, axis=1)             # ties -> low code
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        scores = np.zeros((len(qids), n), dtype=np.int64)
+        for s in range(n_sub):
+            scores += qt[s][:, codes[:, s]]
+        q = np.repeat(qids.astype(np.int64), n)
+        nn = np.tile(ids, len(qids))
+        return _per_query_topk(q, nn, scores.ravel(), k, "score", pa.int64())
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("score", "descending"),
                           ("neighbor_id", "ascending")]).slice(0, k)
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")

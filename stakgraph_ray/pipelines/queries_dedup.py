@@ -263,21 +263,24 @@ SQL_RICH_TRIPLES = _sql_rich_triples()
 
 
 def q_knn_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-k (IVF-style partition pruning;
-    rows-only — approximate by design, recall tested vs the brute-force
-    oracle in tests/test_ann_multimodal.py)."""
+    """LSH-bucketed approximate top-k, deterministic variant: md5-sign
+    planes over int64-quantized vectors, bucket-collision pruning, integer
+    dot scores — exactly reproducible by SQL_KNN_LSH_DET (the float
+    Gaussian-plane knn_lsh stays the production operator, recall-gated in
+    tests/test_ann_multimodal.py and exercised by sim_node_embedding_ann)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    from ..ops.ann import knn_lsh
+    from ..ops.ann import knn_lsh_det
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
-    queries = emb.slice(0, 5)
+    queries = emb.filter(pc.less(emb["vec_id"], 5))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"], override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
-    return knn_lsh(ds, queries, k=5)
+    return knn_lsh_det(ds, queries, k=5, n_bits=4)
 
 
 def q_knn_ivf(sf_dir: str):
@@ -299,23 +302,25 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_knn_pq(sf_dir: str):
-    """Product-quantization approximate top-k: uint8 codes (192x memory cut
-    on 384-d float32 at scale) + ADC table-lookup scan (rows-only —
-    approximate by design, recall gated vs brute force in
-    tests/test_ann_multimodal.py)."""
+    """Product-quantization approximate top-k, deterministic variant:
+    anchor codebooks (quantized subvectors of the 16 smallest-id rows),
+    integer-L2 encode, integer ADC table-lookup scores — exactly
+    reproducible by SQL_KNN_PQ_DET (the k-means knn_pq stays the
+    production operator, recall-gated in tests/test_ann_multimodal.py)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    from ..ops.ann import knn_pq
+    from ..ops.ann import knn_pq_det
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
-    queries = emb.slice(0, 5)
+    queries = emb.filter(pc.less(emb["vec_id"], 5))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"],
                          override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
-    return knn_pq(ds, queries, k=5, n_sub=8, n_codes=64)
+    return knn_pq_det(ds, queries, k=5, n_sub=4, n_codes=16)
 
 
 def q_media_features(sf_dir: str):
@@ -551,15 +556,116 @@ from t a join t b on a.nm < b.nm and levenshtein(a.nm, b.nm) = 1
 """
 
 
+# Deterministic LSH ANN (ops/ann.knn_lsh_det): int64-quantized vectors,
+# md5-sign planes (last hex digit parity), bucket-equality candidates,
+# integer dot scores. Every step is integer arithmetic, so SUM order
+# cannot change values — bit-exact vs the Ray path.
+SQL_KNN_LSH_DET = """
+with eq as (
+  select vec_id, i.i as dim,
+         cast(round(cast(list_extract(embedding, i.i + 1) as double) * 1024)
+              as bigint) as v
+  from embeddings, range(0, 64) as i(i)
+),
+planes as (
+  select b.b as b, j.j as dim,
+         case when instr('13579bdf',
+                         substr(md5('lshplane:' || b.b || ':' || j.j), 32, 1)) > 0
+              then -1 else 1 end as s
+  from range(0, 4) b(b), range(0, 64) j(j)
+),
+dots as (
+  select eq.vec_id, p.b, cast(sum(p.s * eq.v) as bigint) as dp
+  from eq join planes p on p.dim = eq.dim
+  group by eq.vec_id, p.b
+),
+bk as (
+  select vec_id,
+         cast(sum(case when dp > 0 then (1::bigint << b) else 0 end) as bigint)
+           as bucket
+  from dots group by vec_id
+),
+cand as (
+  -- Hamming<=1 multi-probe: bucket XOR is 0 or a power of two
+  select q.vec_id as query_id, e.vec_id as neighbor_id
+  from bk q join bk e
+    on (xor(q.bucket, e.bucket) & (xor(q.bucket, e.bucket) - 1)) = 0
+  where q.vec_id < 5
+),
+sc as (
+  select c.query_id, c.neighbor_id, cast(sum(a.v * b.v) as bigint) as score
+  from cand c
+  join eq a on a.vec_id = c.query_id
+  join eq b on b.vec_id = c.neighbor_id and b.dim = a.dim
+  group by c.query_id, c.neighbor_id
+)
+select query_id, neighbor_id, score from (
+  select sc.*, row_number() over (
+    partition by query_id order by score desc, neighbor_id) as rn
+  from sc) where rn <= 5
+"""
+
+
+# Deterministic PQ ANN (ops/ann.knn_pq_det): codebooks = quantized
+# subvectors of the 16 smallest vec_ids (4 subspaces x 16 dims), encode =
+# integer-L2 argmin with ties to the lowest code, ADC score = integer
+# table lookups summed over subspaces.
+SQL_KNN_PQ_DET = """
+with eq as (
+  select vec_id, i.i as dim,
+         cast(round(cast(list_extract(embedding, i.i + 1) as double) * 1024)
+              as bigint) as v
+  from embeddings, range(0, 64) as i(i)
+),
+anch as (
+  select vec_id, row_number() over (order by vec_id) - 1 as code
+  from (select vec_id from embeddings order by vec_id limit 16)
+),
+cb as (
+  select a.code, eq.dim // 16 as s, eq.dim % 16 as sd, eq.v
+  from eq join anch a using (vec_id)
+),
+d2 as (
+  select eq.vec_id, cb.s, cb.code,
+         cast(sum((eq.v - cb.v) * (eq.v - cb.v)) as bigint) as d
+  from eq join cb on cb.s = eq.dim // 16 and cb.sd = eq.dim % 16
+  group by eq.vec_id, cb.s, cb.code
+),
+best as (
+  select vec_id, s, code from (
+    select d2.*, row_number() over (
+      partition by vec_id, s order by d, code) as rn
+    from d2) where rn = 1
+),
+qt as (
+  select eq.vec_id as query_id, cb.s, cb.code,
+         cast(sum(eq.v * cb.v) as bigint) as dp
+  from eq join cb on cb.s = eq.dim // 16 and cb.sd = eq.dim % 16
+  where eq.vec_id < 5
+  group by eq.vec_id, cb.s, cb.code
+),
+sc as (
+  select qt.query_id, b.vec_id as neighbor_id,
+         cast(sum(qt.dp) as bigint) as score
+  from best b join qt on qt.s = b.s and qt.code = b.code
+  group by qt.query_id, b.vec_id
+)
+select query_id, neighbor_id, score from (
+  select sc.*, row_number() over (
+    partition by query_id order by score desc, neighbor_id) as rn
+  from sc) where rn <= 5
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_fuzzy_names": (q_fuzzy_name_pairs, SQL_FUZZY_NAMES),
     "search_fulltext_topk": (q_fulltext_topk, SQL_FULLTEXT_TOPK),
     "sim_node_embedding_ann": (q_node_embedding_ann, None),
     "kg_rich_triples": (q_rich_triples, SQL_RICH_TRIPLES),
     "search_hybrid_rrf": (q_hybrid_search, None),
-    "sim_knn_lsh": (q_knn_lsh, None),
+    "sim_knn_lsh": (q_knn_lsh, SQL_KNN_LSH_DET),
     "sim_knn_ivf": (q_knn_ivf, None),
-    "sim_knn_pq": (q_knn_pq, None),
+    "sim_knn_pq": (q_knn_pq, SQL_KNN_PQ_DET),
     "mm_media_features": (q_media_features, None),
     "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),
     "dedup_token_jaccard": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD),

@@ -244,3 +244,41 @@ def test_hash_sample_string_and_no_id(ray_session, sf_tiny):
     assert np.array_equal(m_none, m_none2)
     m_str2 = hash_sample_vectors(str_ids.repartition(5), "embedding", 40, "sid")
     assert np.array_equal(m_str, m_str2)
+
+
+def test_knn_det_variants_recall_and_self(ray_session, sf_tiny):
+    """The deterministic oracle-checkable variants (md5-sign LSH, anchor-
+    codebook PQ over quantized ints) still behave like ANN: self is its own
+    top hit and recall@5 vs quantized-dot brute force is reasonable."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from stakgraph_ray.ops.ann import knn_lsh_det, knn_pq_det, _quantize
+
+    emb = pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.filter(pc.less(emb["vec_id"], 5))
+    ds = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    lsh = knn_lsh_det(ds, queries, k=5, n_bits=4).take_all()
+    pq_ = knn_pq_det(ds, queries, k=5, n_sub=4, n_codes=16).take_all()
+
+    vq = _quantize(np.array(emb["embedding"].to_pylist(), np.float64), 1024)
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    hits_lsh = hits_pq = total = 0
+    for qi in range(5):
+        score = vq @ vq[qi]
+        order = np.lexsort((ids, -score))[:5]
+        want = set(ids[order])
+        got_lsh = {r["neighbor_id"] for r in lsh if r["query_id"] == ids[qi]}
+        got_pq = {r["neighbor_id"] for r in pq_ if r["query_id"] == ids[qi]}
+        assert ids[qi] in got_lsh  # self shares its own bucket
+        hits_lsh += len(got_lsh & want)
+        hits_pq += len(got_pq & want)
+        total += len(want)
+    assert hits_lsh / total >= 0.5, f"lsh_det recall {hits_lsh / total}"
+    assert hits_pq / total >= 0.3, f"pq_det recall {hits_pq / total}"
+    # integer scores only
+    assert all(isinstance(r["score"], int) for r in lsh + pq_)
