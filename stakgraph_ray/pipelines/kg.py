@@ -151,8 +151,16 @@ def entity_node_rows(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------- edge stages
 
 def page_edge_rows(batch: pa.Table) -> pa.Table:
-    """Extract-stage batch -> structural edges for each page:
-    Host CONTAINS Page, Page OF Language, Corpus CONTAINS Host (distinct)."""
+    """Extract-stage batch -> per-page structural edges: Host CONTAINS Page,
+    Page OF Language. One edge of each kind per page row, and urls are
+    globally unique after extraction (first-wins dedup when
+    cfg.dedup_pages, the source contract otherwise), so these ref_ids are
+    unique ACROSS batches by construction — no keyed dedup exchange needed
+    downstream (the r04 build paid a corpus-scale sort here for an
+    identity dedup). Corpus CONTAINS Host edges moved to
+    ``corpus_host_edge_rows`` over the distinct-host table: the same host
+    repeats in every batch, which is exactly the cross-batch duplication
+    this stage no longer has."""
     n = batch.num_rows
     url = batch["url"].combine_chunks() if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
     host = pc.cast(host_of_url_column(url), pa.string())
@@ -163,10 +171,17 @@ def page_edge_rows(batch: pa.Table) -> pa.Table:
 
     contains = _edge_table(n, host_key, "CONTAINS", page_key)
     of = _edge_table(n, page_key, "OF", lang_key)
+    return pa.concat_tables([contains, of])
 
-    hosts = distinct_per_batch(pa.table({"host_key": host_key}), ["host_key"])
-    corpus = _edge_table(hosts.num_rows, _CORPUS_KEY, "CONTAINS", hosts["host_key"])
-    return pa.concat_tables([contains, of, corpus])
+
+def corpus_host_edge_rows(batch: pa.Table) -> pa.Table:
+    """Distinct-host batch (column ``host``) -> Corpus CONTAINS Host edges.
+    Runs over the SAME vocabulary-scale distinct-host table that feeds
+    host_node_rows (one shared tiny exchange), not over page batches."""
+    n = batch.num_rows
+    host = pc.cast(batch["host"], pa.string())
+    host_key = node_key_array(_const(n, "Host"), host, host)
+    return _edge_table(n, _CORPUS_KEY, "CONTAINS", host_key)
 
 
 def links_to_edge_rows(batch: pa.Table) -> pa.Table:
@@ -278,12 +293,16 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     # --- nodes -------------------------------------------------------------
     page_nodes = extracted.map_batches(page_node_rows, batch_format="pyarrow")
-    host_nodes = distinct(extracted.map_batches(host_rows, batch_format="pyarrow"), ["host"]) \
-        .map_batches(host_node_rows, batch_format="pyarrow")
+    # vocabulary-scale distinct hosts, shared by Host nodes AND the
+    # Corpus CONTAINS Host edges (materialized: rows = |hosts|, tiny)
+    host_distinct = distinct(
+        extracted.map_batches(host_rows, batch_format="pyarrow"),
+        ["host"]).materialize()
+    host_nodes = host_distinct.map_batches(host_node_rows,
+                                           batch_format="pyarrow")
     lang_nodes = distinct(extracted.map_batches(lang_rows, batch_format="pyarrow"), ["lang"]) \
         .map_batches(lang_node_rows, batch_format="pyarrow")
     node_cols = [f.name for f in _NODES_ORDER]
-    edge_cols = [f.name for f in _EDGES_ORDER]
     term_nodes = dedup_min_hp(
         linked.map_batches(entity_node_rows, batch_format="pyarrow"), "node_key",
         columns=node_cols)
@@ -296,13 +315,17 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     nodes = corpus_node.union(host_nodes, lang_nodes, page_nodes, term_nodes)
 
     # --- edges -------------------------------------------------------------
+    # struct/link ref_ids are unique across batches by construction (see
+    # page_edge_rows docstring; LINKS_TO rows are per-batch distinct and a
+    # url's hrefs never leave its row's batch) -> pure map branches, no
+    # keyed dedup exchange. Corpus edges ride the tiny host_distinct table.
     struct_edges = extracted.map_batches(page_edge_rows, batch_format="pyarrow")
-    struct_edges = dedup_min_hp(struct_edges, "ref_id", columns=edge_cols)
+    struct_edges = struct_edges.union(host_distinct.map_batches(
+        corpus_host_edge_rows, batch_format="pyarrow"))
     struct_edges = struct_edges.map_batches(_cast_edges, batch_format="pyarrow")
 
     link_edges = extracted.map_batches(link_edge_rows, batch_format="pyarrow")
     link_edges = link_edges.map_batches(links_to_edge_rows, batch_format="pyarrow")
-    link_edges = dedup_min_hp(link_edges, "ref_id", columns=edge_cols)
     link_edges = link_edges.map_batches(_cast_edges, batch_format="pyarrow")
 
     mention_partial = linked.map_batches(mention_edge_partial, batch_format="pyarrow")

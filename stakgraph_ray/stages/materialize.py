@@ -262,12 +262,23 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     typed_lazy = ex.map_batches(make_router(), batch_format="pyarrow",
                                 batch_size=None) \
         .map_batches(_partial_agg, batch_format="pyarrow")
+
+    def _typed_job():
+        # the WHOLE typed branch — router materialize AND the vocab-scale
+        # reduce (its own LSH canonicalization + re-aggregate) — runs off
+        # the critical path; round 4 overlapped only the materialize, so
+        # reduce_triples sat serially between stage 3 and the stage-4
+        # checkpoints (part of the profiled non-scaling driver fraction)
+        typed = typed_lazy.materialize()
+        typed, troots = reduce_triples(typed, cfg, canon_threshold=0.85)
+        return typed, troots, typed.count()
+
     typed_future = None
     if int(ray.cluster_resources().get("CPU", 0)) >= 4:
         from concurrent.futures import ThreadPoolExecutor
 
         _typed_pool = ThreadPoolExecutor(1)
-        typed_future = _typed_pool.submit(typed_lazy.materialize)
+        typed_future = _typed_pool.submit(_typed_job)
 
     # ---- stage 2: mentions + linking (task pool, broadcast dictionary) ----
     # Stages 2-3 run while the typed-extract future is in flight: if they
@@ -300,11 +311,15 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
 
     # ---- stage 4: node + edge tables (each branch reads checkpoints) ------
     node_cols = [f.name for f in kg._NODES_ORDER]
-    edge_cols = [f.name for f in kg._EDGES_ORDER]
 
     page_nodes = ex.map_batches(kg.page_node_rows, batch_format="pyarrow")
-    host_nodes = distinct(ex.map_batches(kg.host_rows, batch_format="pyarrow"),
-                          ["host"]).map_batches(kg.host_node_rows, batch_format="pyarrow")
+    # distinct hosts shared by Host nodes and Corpus CONTAINS Host edges
+    # (materialized: |hosts| rows, tiny)
+    host_distinct = distinct(
+        ex.map_batches(kg.host_rows, batch_format="pyarrow"),
+        ["host"]).materialize()
+    host_nodes = host_distinct.map_batches(kg.host_node_rows,
+                                           batch_format="pyarrow")
     lang_nodes = distinct(ex.map_batches(kg.lang_rows, batch_format="pyarrow"),
                           ["lang"]).map_batches(kg.lang_node_rows, batch_format="pyarrow")
     term_nodes = dedup_min_hp(
@@ -314,13 +329,16 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     corpus_node = rd.from_arrow(kg._node_table(1, "Corpus", "webcorpus", "webcorpus"))
     nodes = corpus_node.union(host_nodes, lang_nodes, page_nodes, term_nodes)
 
-    struct_edges = dedup_min_hp(
-        ex.map_batches(kg.page_edge_rows, batch_format="pyarrow"),
-        "ref_id", columns=edge_cols).map_batches(kg._cast_edges, batch_format="pyarrow")
-    link_edges = dedup_min_hp(
-        ex.map_batches(kg.link_edge_rows, batch_format="pyarrow")
-          .map_batches(kg.links_to_edge_rows, batch_format="pyarrow"),
-        "ref_id", columns=edge_cols).map_batches(kg._cast_edges, batch_format="pyarrow")
+    # struct/link ref_ids are unique across batches by construction
+    # (kg.page_edge_rows docstring) -> pure map branches, no keyed dedup
+    # exchange; two of the four edges_raw sort barriers deleted
+    struct_edges = ex.map_batches(kg.page_edge_rows, batch_format="pyarrow") \
+        .union(host_distinct.map_batches(kg.corpus_host_edge_rows,
+                                         batch_format="pyarrow")) \
+        .map_batches(kg._cast_edges, batch_format="pyarrow")
+    link_edges = ex.map_batches(kg.link_edge_rows, batch_format="pyarrow") \
+        .map_batches(kg.links_to_edge_rows, batch_format="pyarrow") \
+        .map_batches(kg._cast_edges, batch_format="pyarrow")
     mention_edges = grouped_aggregate(
         li.map_batches(kg.mention_edge_partial, batch_format="pyarrow"),
         ["url", "canonical"], [("confidence", "max"), ("weight", "sum")],
@@ -343,20 +361,19 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     # graph product (cf. ast/src/builder/core.rs:48-235); the relation year
     # attribute rides in edge.operand. Corpora without relation patterns
     # contribute zero rows at the cost of one regex pass over extracted text.
-    # The pure-map router pass was launched before stage 2 (see prologue
+    # The full typed branch (router materialize + vocab-scale reduce; typed
+    # entity names canonicalize in their OWN namespace, see
+    # pipelines/rich.reduce_triples) was launched before stage 2 (prologue
     # above); join it here — the reported sec spans launch to reduce, so an
     # overlapped run shows the stage's wall-clock footprint, most of it
     # shared with stages 2-3.
     if typed_future is not None:
-        typed = typed_future.result()
+        typed, troots, n_typed = typed_future.result()
         _typed_pool.shutdown(wait=False)
     else:
         typed = typed_lazy.materialize()
-    # typed entity names canonicalize in their OWN namespace (separate LSH
-    # pass from the token-vocabulary roots above); adaptive vocab-scale
-    # reduce, same kernels either path (see pipelines/rich.reduce_triples)
-    typed, troots = reduce_triples(typed, cfg, canon_threshold=0.85)
-    n_typed = typed.count()
+        typed, troots = reduce_triples(typed, cfg, canon_threshold=0.85)
+        n_typed = typed.count()
     metrics.append({"stage": "typed_extract", "rows": n_typed,
                     "sec": round(time.time() - typed_t0, 3), "skipped": False,
                     "overlapped": typed_future is not None})
@@ -419,8 +436,31 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         metrics.append({"stage": "epilogue", "rows": None,
                         "sec": round(time.time() - t0, 3), "skipped": False})
 
-    nodes_out = checkpoint(nodes, os.path.join(workdir, "nodes"), "nodes", metrics)
-    edges_out = checkpoint(edges, os.path.join(workdir, "edges"), "edges", metrics)
+    # Final product checkpoints are independent branches (epilogue's edges
+    # are already materialized; nodes is a map-only filter over nodes_raw):
+    # same two-driver-thread interleave as nodes_raw/edges_raw above, same
+    # >=4-CPU guard — the final-nodes write was a profiled non-scaling
+    # phase (9.7 -> 8.3 s at 4 -> 16 CPUs on the x64 build) that the edges
+    # write's idle slots can absorb.
+    m_fn: list = []
+    m_fe: list = []
+    if int(ray.cluster_resources().get("CPU", 0)) >= 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_nodes = pool.submit(checkpoint, nodes,
+                                  os.path.join(workdir, "nodes"), "nodes",
+                                  m_fn)
+            f_edges = pool.submit(checkpoint, edges,
+                                  os.path.join(workdir, "edges"), "edges",
+                                  m_fe)
+            nodes_out, edges_out = f_nodes.result(), f_edges.result()
+    else:
+        nodes_out = checkpoint(nodes, os.path.join(workdir, "nodes"),
+                               "nodes", m_fn)
+        edges_out = checkpoint(edges, os.path.join(workdir, "edges"),
+                               "edges", m_fe)
+    metrics.extend(m_fn + m_fe)
 
     append_metrics(workdir, metrics)
     return {"workdir": workdir, "metrics": metrics,
