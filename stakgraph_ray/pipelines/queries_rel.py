@@ -956,12 +956,15 @@ def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape — the 3-table join composition: BUILDING-segment
     customers -> orders before 1998 (pruned read + filter) -> lineitem
     revenue (cogroup hash join on orderkey) -> grouped sum -> top 10.
-    TWO exchanges total: the customer-key distinct shuffle is gone
-    (c_custkey is the table's primary key and the membership filter's
-    is_in tolerates duplicates anyway), and the revenue rollup + top-10
-    partials are FUSED into the join's per-partition apply via ``post``
-    (rows are still co-located by l_orderkey there) — the r03 version
-    paid 4 all-to-alls for the same result."""
+    ONE exchange total (r03: 4, r04: 2): the BUILDING customer-key set is
+    dimension-scale, so under a 1 M-key guard it broadcasts (ray.put once,
+    is_in per batch — the Q5 dim pattern) and the orders semi-filter is a
+    pure map; above the guard the keyed membership co-filter runs instead.
+    The revenue rollup + top-10 partials stay FUSED into the cogroup
+    join's per-partition apply via ``post`` (rows are co-located by
+    l_orderkey there)."""
+    import ray
+
     from ..ops.partition import cogroup_join_hp, membership_filter_hp
     from ..ops.search import partial_topk
 
@@ -980,13 +983,25 @@ def q_shipping_priority(sf_dir: str):
                          "l_orderkey": pc.cast(t.filter(keep)["o_orderkey"],
                                                pa.int64())})
 
-    orders = membership_filter_hp(
-        _read(sf_dir, "orders",
-              columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(before, batch_format="pyarrow"),
-        cust, "o_custkey", keep=True,
-        payload_schema=pa.schema([("o_custkey", pa.int64()),
-                                  ("l_orderkey", pa.int64())]))
+    orders_pre = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(before, batch_format="pyarrow")
+    dim_guard = 1_000_000
+    key_rows = cust.take(dim_guard + 1)
+    if len(key_rows) <= dim_guard:
+        keys_ref = ray.put(pa.array(
+            [r["o_custkey"] for r in key_rows], pa.int64()))
+
+        def semi(t: pa.Table, _ref=keys_ref) -> pa.Table:
+            vs = ray.get(_ref)  # plasma shared-memory, zero-copy per worker
+            return t.filter(pc.is_in(t["o_custkey"], value_set=vs))
+
+        orders = orders_pre.map_batches(semi, batch_format="pyarrow")
+    else:
+        orders = membership_filter_hp(
+            orders_pre, cust, "o_custkey", keep=True,
+            payload_schema=pa.schema([("o_custkey", pa.int64()),
+                                      ("l_orderkey", pa.int64())]))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
