@@ -30,22 +30,33 @@ def _ilog2_u64(x: np.ndarray) -> np.ndarray:
                     np.floor(np.log2(np.maximum(lo, 1)))).astype(np.int64)
 
 
-def hll_batch_registers(values: np.ndarray, p: int) -> np.ndarray:
-    """Fold one batch of values into a fresh 2^p uint8 register array."""
+def hll_fold_hashes(h: np.ndarray, p: int,
+                    reg: np.ndarray | None = None) -> np.ndarray:
+    """Fold precomputed uint64 hashes into a 2^p uint8 register array (the
+    hash-agnostic HLL kernel shared by the siphash and md5 variants)."""
     m = 1 << p
-    reg = np.zeros(m, dtype=np.uint8)
-    if len(values) == 0:
+    if reg is None:
+        reg = np.zeros(m, dtype=np.uint8)
+    if len(h) == 0:
         return reg
-    h = pd.util.hash_array(values)  # deterministic 64-bit siphash
+    h = np.asarray(h, dtype=np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    w = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    # rank = leading zeros + 1. The (64-p)-bit window was shifted into the
-    # top of the 64-bit word, so for w != 0 the leading-zero count is
-    # 63 - floor(log2(w)) and rho = 64 - floor(log2(w)); an all-zero window
-    # gives the saturated rank 64 - p + 1.
-    rho = np.where(w == 0, 64 - p + 1, 64 - _ilog2_u64(w)).astype(np.uint8)
+    # rank = leading zeros of the low (64-p)-bit window + 1: for w != 0
+    # rho = (64-p) - floor(log2(w)); an all-zero window gives the saturated
+    # rank 64 - p + 1. (Equivalent to the shift-window formulation, but the
+    # mask form mirrors the SQL oracle, which has no wrapping <<.)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    rho = np.where(w == 0, 64 - p + 1,
+                   (64 - p) - _ilog2_u64(w)).astype(np.uint8)
     np.maximum.at(reg, idx, rho)
     return reg
+
+
+def hll_batch_registers(values: np.ndarray, p: int) -> np.ndarray:
+    """Fold one batch of values into a fresh 2^p uint8 register array."""
+    if len(values) == 0:
+        return np.zeros(1 << p, dtype=np.uint8)
+    return hll_fold_hashes(pd.util.hash_array(values), p)
 
 
 def hll_estimate(reg: np.ndarray) -> float:
@@ -58,6 +69,135 @@ def hll_estimate(reg: np.ndarray) -> float:
     if e <= 2.5 * m and zeros > 0:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+def hll_estimate_exact(reg: np.ndarray) -> int:
+    """Integer HLL estimate whose arithmetic a SQL oracle reproduces
+    BIT-FOR-BIT: the harmonic sum is carried as the exact integer
+    S = sum_j 2^(64 - r_j) (<= m * 2^64, fits Python int / DuckDB HUGEINT),
+    so the only float ops are one literal-mirrored multiply/divide chain
+    plus ln() on the linear-counting branch — each a single correctly-
+    rounded operation on identical inputs on both sides. Same estimator as
+    ``hll_estimate`` (values agree to float rounding); this variant exists
+    so sketch queries can be driver-hash-checked against DuckDB."""
+    import math
+
+    m = len(reg)
+    cnt = int((reg > 0).sum())
+    rs, counts = np.unique(reg[reg > 0], return_counts=True)
+    s = sum(int(c) << (64 - int(r)) for r, c in zip(rs, counts)) \
+        + (m - cnt) * (1 << 64)
+    mf = float(m)
+    # keep this chain literal-identical to the SQL oracle (left-assoc)
+    e = 0.7213 / (1.0 + 1.079 / mf) * mf * mf \
+        * 18446744073709551616.0 / float(s)
+    zeros = m - cnt
+    if e <= 2.5 * mf and zeros > 0:
+        e = mf * math.log(mf / float(zeros))
+    return int(math.floor(e + 0.5))
+
+
+def _md5_hashes_distinct(arr, cache: bool = False) -> np.ndarray:
+    """md5-low-64 hashes of an Arrow array's DISTINCT non-null values,
+    hashed as str(value) == DuckDB ``md5_number_lower(cast(v as varchar))``.
+    Dedup-before-hash bounds the per-row Python md5 loop to the batch
+    vocabulary (duplicates are no-ops for a max-fold); version-stable
+    across pandas/numpy upgrades, unlike ``pd.util.hash_array`` —
+    heterogeneous workers all agree on md5."""
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import _md5low64_raw, md5low64
+
+    u = pc.unique(arr.combine_chunks() if hasattr(arr, "combine_chunks")
+                  else arr).drop_null().to_pylist()
+    fn = md5low64 if cache else _md5low64_raw
+    return np.fromiter((fn(str(v)) for v in u), np.uint64, len(u))
+
+
+def approx_distinct_stable(ds, col: str, p: int = 12) -> int:
+    """``approx_distinct`` with the version-stable md5 hash family and the
+    exact-integer estimate — ONE pure-map pass, O(blocks) register rows,
+    driver max-merge, and a SQL oracle can reproduce the integer result
+    exactly (see queries_dedup.SQL_HLL_DISTINCT)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        reg = hll_fold_hashes(_md5_hashes_distinct(t[col]), p)
+        return pa.table({"reg": pa.array([reg], pa.list_(pa.uint8(), len(reg)))})
+
+    m = 1 << p
+    merged = np.zeros(m, dtype=np.uint8)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged = np.maximum(merged, np.asarray(r["reg"], dtype=np.uint8))
+    return hll_estimate_exact(merged)
+
+
+def grouped_approx_distinct_stable(ds, key: str, col: str,
+                                   p: int = 12) -> dict:
+    """Grouped ``approx_distinct_stable`` for LOW-cardinality keys: each
+    batch emits one (key, registers) row per key present, the driver
+    max-merges G x blocks rows and reads off exact-integer estimates.
+    Null keys form ONE group (SQL GROUP BY semantics); null values are
+    dropped (SQL count-distinct semantics)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = pa.table({"k": t[key], "v": t[col]}).filter(
+            pc.is_valid(t[col]))
+        keys_np = np.array(sub["k"].to_pylist(), dtype=object)
+        codes, uniques = pd.factorize(keys_np, use_na_sentinel=False)
+        out_keys, out_regs = [], []
+        vcol = sub["v"].combine_chunks()
+        for gi, k in enumerate(uniques):
+            hs = _md5_hashes_distinct(
+                vcol.filter(pa.array(codes == gi)))
+            out_keys.append(None if (k is None or k != k) else k)
+            out_regs.append(hll_fold_hashes(hs, p))
+        return pa.table({key: pa.array(out_keys),
+                         "reg": pa.array(out_regs, pa.list_(pa.uint8(),
+                                                            1 << p))})
+
+    merged: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        reg = np.asarray(r["reg"], dtype=np.uint8)
+        k = r[key]
+        merged[k] = np.maximum(merged[k], reg) if k in merged else reg
+    return {k: hll_estimate_exact(reg) for k, reg in merged.items()}
+
+
+def cms_frequencies_stable(ds, col: str, probes, width: int = 8192,
+                           depth: int = 4) -> dict:
+    """``cms_frequencies`` with the md5 hash family (row d hashes token t
+    as md5low64(f"{d}:{t}") % width == DuckDB
+    ``md5_number_lower(d || ':' || t) % width``): counters are exact
+    integer sums and the estimate is an integer min, so a SQL oracle
+    reproduces every output exactly. Per-batch value_counts bounds the
+    md5 loop to the batch VOCABULARY (cached kernel — web-corpus tokens
+    repeat heavily across batches within a worker)."""
+    from ..functions.minhash import md5low64
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        import pyarrow.compute as pc
+        vc = pc.value_counts(c.drop_null())
+        toks = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        cms = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            cells = np.fromiter(
+                (md5low64(f"{d}:{tok}") % width for tok in toks),
+                np.int64, len(toks))
+            np.add.at(cms[d], cells, cnts)
+        return pa.table({"cms": pa.array([cms.ravel()],
+                                         pa.list_(pa.int64(), depth * width))})
+
+    merged = np.zeros(depth * width, dtype=np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged += np.asarray(r["cms"], dtype=np.int64)
+    merged = merged.reshape(depth, width)
+    return {p_: int(min(merged[d][md5low64(f"{d}:{p_}") % width]
+                        for d in range(depth)))
+            for p_ in probes}
 
 
 def _splitmix64(h: np.ndarray, seed: int) -> np.ndarray:

@@ -775,24 +775,71 @@ def q_hll_distinct(sf_dir: str):
     (ops/sketch.py): one pure-map pass emitting O(blocks) mergeable
     register rows — the cardinality analog of the MinHash family, for
     columns where exact distinct would be a vocabulary-scale shuffle.
-    Deterministic (fixed-key siphash), so the rows-only driver check is
-    stable; the accuracy gate (<5% vs exact at p=12) is a pytest
-    (tests/test_windows_quantile.py)."""
+    Hash family is md5-low-64 over the cents string (version-stable across
+    pandas upgrades AND == DuckDB md5_number_lower), and the estimate
+    carries its harmonic sum as an exact integer, so the SQL oracle
+    reproduces the integer result bit-for-bit; the accuracy gate (<5% vs
+    exact at p=12) stays in pytest (tests/test_windows_quantile.py)."""
     import ray.data as rd
 
-    from ..ops.sketch import approx_distinct
+    from ..ops.sketch import approx_distinct_stable
     from ..util import adaptive_num_blocks
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_extendedprice"],
                          override_num_blocks=adaptive_num_blocks(
                              f"{sf_dir}/lineitem.parquet"))
-    est = approx_distinct(ds, "l_extendedprice", p=12)
-    return pa.table({"approx_distinct_prices": pa.array([round(est)],
-                                                        pa.int64())})
+    # float prices -> exact integer cents (floor(x*100 + 0.5), the same
+    # IEEE ops the oracle runs) so both sides hash identical strings
+    cents = ds.map_batches(
+        lambda t: pa.table({"cents": pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())}),
+        batch_format="pyarrow")
+    est = approx_distinct_stable(cents, "cents", p=12)
+    return pa.table({"approx_distinct_prices": pa.array([est], pa.int64())})
 
 
-DEDUP_QUERIES["agg_hll_distinct"] = (q_hll_distinct, None)
+# The SQL mirror of ops/sketch.py hll_fold_hashes + hll_estimate_exact at
+# p=12: bucket = h >> 52 via integer division, rho from the low-52-bit
+# window with the same 32-bit-split floor(log2) (float64 log2 of a full
+# 64-bit value can round up across a 2^k boundary), harmonic sum as an
+# exact HUGEINT, and a literal-identical float chain for the estimate.
+_SQL_HLL_BODY = """
+parts as (select cast(h // 4503599627370496 as bigint) as bucket,
+                 h % 4503599627370496 as w {kcol} from h),
+rho as (select bucket,
+    case when w = 0 then 53
+         when w >= 4294967296
+           then 52 - (32 + cast(floor(log2(cast(w // 4294967296 as double)))
+                               as bigint))
+         else 52 - cast(floor(log2(cast(w as double))) as bigint)
+    end as rho {kcol} from parts),
+reg as (select {kgrp} bucket, max(rho) as r from rho group by {kgrp} bucket),
+s as (select {kgrp}
+        coalesce(sum(cast(power(2, 64 - r) as hugeint)), 0)
+          + (4096 - count(*)) * cast(18446744073709551616 as hugeint) as S,
+        4096 - count(*) as zeros
+      from reg {kgroupby}),
+est as (select {kgrp} case
+    when 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         * 18446744073709551616.0 / cast(S as double) <= 2.5 * 4096.0
+         and zeros > 0
+    then 4096.0 * ln(4096.0 / cast(zeros as double))
+    else 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         * 18446744073709551616.0 / cast(S as double)
+    end as e from s)
+"""
+
+SQL_HLL_DISTINCT = ("""
+with v as (select distinct cast(floor(l_extendedprice * 100.0 + 0.5)
+                                as bigint) as cents
+           from lineitem where l_extendedprice is not null),
+h as (select md5_number_lower(cast(cents as varchar)) as h from v),
+""" + _SQL_HLL_BODY.format(kcol="", kgrp="", kgroupby="") + """
+select cast(floor(e + 0.5) as bigint) as approx_distinct_prices from est
+""")
+
+DEDUP_QUERIES["agg_hll_distinct"] = (q_hll_distinct, SQL_HLL_DISTINCT)
 
 
 def q_cms_token_freq(sf_dir: str):
@@ -800,11 +847,11 @@ def q_cms_token_freq(sf_dir: str):
     over the documents corpus: one tokenize map emits O(blocks) mergeable
     (depth x width) sketches, the driver sums them — the heavy-hitter
     companion of the HLL sketch (never underestimates; one-sided error
-    bound gated in pytest). Deterministic fixed-key hashing keeps the
-    rows-only driver check stable."""
+    bound gated in pytest). md5 cell hashing + pure-integer counters make
+    every output SQL-reproducible, so this is a full hash-checked row."""
     import ray.data as rd
 
-    from ..ops.sketch import cms_frequencies
+    from ..ops.sketch import cms_frequencies_stable
     from ..util import adaptive_num_blocks
     from .queries_llm import _tokens
 
@@ -816,36 +863,72 @@ def q_cms_token_freq(sf_dir: str):
                                            pa.string())}),
         batch_format="pyarrow")
     probes = ["the", "a", "spark", "join", "window"]
-    freqs = cms_frequencies(toks, "tok", probes)
+    freqs = cms_frequencies_stable(toks, "tok", probes)
     return pa.table({"token": pa.array(probes, pa.string()),
                      "est_count": pa.array([freqs[p] for p in probes],
                                            pa.int64())})
 
 
-DEDUP_QUERIES["agg_cms_token_freq"] = (q_cms_token_freq, None)
+# Exact mirror of cms_frequencies_stable (width 8192, depth 4): counters
+# are integer sums over md5 cell hashes, the estimate an integer min —
+# no float anywhere, so the driver hash matches bit-for-bit.
+SQL_CMS_TOKEN_FREQ = """
+with tok as (select unnest(string_split(text, ' ')) as tok
+             from documents where text is not null),
+d as (select unnest([0, 1, 2, 3]) as d),
+cells as (select d.d,
+                 md5_number_lower(cast(d.d as varchar) || ':' || tok) % 8192
+                   as cell,
+                 count(*) as c
+          from tok cross join d group by 1, 2),
+probes(token) as (values ('the'), ('a'), ('spark'), ('join'), ('window')),
+p as (select token, d.d,
+             md5_number_lower(cast(d.d as varchar) || ':' || token) % 8192
+               as cell
+      from probes cross join d)
+select p.token, cast(min(coalesce(cells.c, 0)) as bigint) as est_count
+from p left join cells on p.d = cells.d and p.cell = cells.cell
+group by p.token
+"""
+
+DEDUP_QUERIES["agg_cms_token_freq"] = (q_cms_token_freq, SQL_CMS_TOKEN_FREQ)
 
 
 def q_hll_distinct_by_type(sf_dir: str):
     """Grouped HLL: approximate distinct users per event_type (the sketch
     composed with a low-cardinality group-by — per-batch per-group register
-    rows, driver merges G x blocks sketches). Deterministic; accuracy gated
-    in pytest alongside the global sketch."""
+    rows, driver merges G x blocks sketches). md5 hash family + exact-
+    integer estimates make each group's value SQL-reproducible; accuracy
+    stays gated in pytest alongside the global sketch."""
     import ray.data as rd
 
-    from ..ops.sketch import grouped_approx_distinct
+    from ..ops.sketch import grouped_approx_distinct_stable
     from ..util import adaptive_num_blocks
 
     path = f"{sf_dir}/events.parquet"
     ds = rd.read_parquet(path, columns=["event_type", "user_id"],
                          override_num_blocks=adaptive_num_blocks(path))
-    est = grouped_approx_distinct(ds, "event_type", "user_id", p=12)
+    est = grouped_approx_distinct_stable(ds, "event_type", "user_id", p=12)
     keys = sorted(est, key=lambda k: (k is None, k))  # null group sorts last
     return pa.table({"event_type": pa.array(keys, pa.string()),
                      "approx_distinct_users": pa.array(
-                         [int(round(est[k])) for k in keys], pa.int64())})
+                         [est[k] for k in keys], pa.int64())})
 
 
-DEDUP_QUERIES["agg_hll_distinct_by_type"] = (q_hll_distinct_by_type, None)
+SQL_HLL_DISTINCT_BY_TYPE = ("""
+with v as (select distinct event_type, user_id from events
+           where user_id is not null),
+h as (select event_type as k,
+             md5_number_lower(cast(user_id as varchar)) as h from v),
+""" + _SQL_HLL_BODY.format(kcol=", k", kgrp="k,", kgroupby="group by k")
+    + """
+select k as event_type,
+       cast(floor(e + 0.5) as bigint) as approx_distinct_users
+from est
+""")
+
+DEDUP_QUERIES["agg_hll_distinct_by_type"] = (q_hll_distinct_by_type,
+                                             SQL_HLL_DISTINCT_BY_TYPE)
 
 
 def q_media_feature_stats(sf_dir: str):

@@ -198,6 +198,50 @@ def test_cms_one_sided_and_mergeable(ray_session):
     assert (cms_estimate(merged, probe_arr) == cms_estimate(whole, probe_arr)).all()
 
 
+def test_stable_sketches_accuracy_and_exact_estimate(ray_session):
+    """The md5/oracle-checkable sketch variants: same accuracy as the
+    siphash family, and hll_estimate_exact agrees with the float-path
+    hll_estimate to rounding (identical registers -> same estimator)."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import (approx_distinct_stable,
+                                          cms_frequencies_stable,
+                                          grouped_approx_distinct_stable,
+                                          hll_batch_registers, hll_estimate,
+                                          hll_estimate_exact)
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 50_000, 150_000)
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    est = approx_distinct_stable(ds, "x", p=12)
+    assert isinstance(est, int)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # exact-integer estimate == float estimate to rounding, both regimes
+    for n in (40, 300, 60_000):
+        reg = hll_batch_registers(np.arange(n, dtype=np.int64), 12)
+        assert abs(hll_estimate_exact(reg) - hll_estimate(reg)) <= 1.0
+
+    # grouped: null keys form one group, null values dropped
+    t = pa.table({"k": pa.array(["a", "a", None, "b", "a", None]),
+                  "v": pa.array([1, 2, 3, 1, None, 3], pa.int64())})
+    g = grouped_approx_distinct_stable(rd.from_arrow(t), "k", "v", p=12)
+    assert g == {"a": 2, None: 1, "b": 1}, g
+
+    # CMS stable: never undercounts, one-sided bound
+    toks = np.array([f"tok{i}" for i in rng.zipf(1.5, 20_000) if i < 5000],
+                    dtype=object)
+    ds2 = rd.from_arrow(pa.table({"x": pa.array(toks.tolist(), pa.string())}))
+    probes = [f"tok{i}" for i in range(1, 10)] + ["absent"]
+    est2 = cms_frequencies_stable(ds2, "x", probes, width=8192, depth=4)
+    counts = pd.Series(toks).value_counts()
+    for p in probes:
+        true = int(counts.get(p, 0))
+        assert est2[p] >= true, p
+        assert est2[p] <= true + 2 * len(toks) // 8192 + 1, p
+
+
 def test_cms_depth_rows_independent_on_numeric_values():
     from stakgraph_ray.ops.sketch import cms_batch_counts
 
