@@ -576,6 +576,66 @@ def _smallest_id_rows(ds, id_col: str, vec_col: str, n: int) -> list:
     return rows[:n]
 
 
+def knn_ivf_det(ds, query_table: pa.Table, k: int = 5, n_centroids: int = 16,
+                n_probe: int = 4, scale: int = 1024,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Deterministic IVF top-k: (query_id, neighbor_id, score int64).
+
+    Same scan shape as knn_ivf (assign each batch row to its nearest coarse
+    centroid, scan only rows whose cell is in the query's probe list,
+    per-batch top-k combiner, one small final exchange) with anchor
+    centroids — the quantized vectors of the ``n_centroids`` smallest-id
+    rows — instead of k-means, integer-L2 assignment with ties to the
+    LOWEST centroid (np.argmin first-min == SQL row_number ORDER BY d,
+    code), and integer-dot scoring, so the DuckDB oracle
+    (queries_dedup.SQL_KNN_IVF_DET) reproduces every value exactly."""
+    anchors = _smallest_id_rows(ds, id_col, vec_col, n_centroids)
+    cq = _quantize(np.array([r[vec_col] for r in anchors], np.float64),
+                   scale)                                   # [C, dim] int64
+    cc = (cq * cq).sum(1)                                   # ||c||^2 int64
+    qm = np.array(query_table[vec_col].to_pylist(), dtype=np.float64)
+    qq = _quantize(qm, scale)
+    qids = query_table[id_col].to_numpy(zero_copy_only=False)
+    # probe lists: n_probe nearest centroids per query; dropping the
+    # constant ||q||^2 keeps the argsort order identical, and stable sort
+    # on integer distances breaks ties toward the lowest code
+    qd = cc[None, :] - 2 * (qq @ cq.T)
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _per_query_topk(np.empty(0, np.int64),
+                                   np.empty(0, np.int64),
+                                   np.empty(0, np.int64), k,
+                                   "score", pa.int64())
+        vq = _quantize(_vecs_of(t[vec_col]), scale)
+        d = cc[None, :] - 2 * (vq @ cq.T)                   # int64: exact
+        assign = np.argmin(d, axis=1)                       # ties -> low code
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            hit = np.isin(assign, probes[j])
+            if hit.any():
+                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+                out_n.append(ids[hit])
+                out_s.append(vq[hit] @ qq[j])               # int64 matmul
+        if not out_q:
+            return _per_query_topk(np.empty(0, np.int64),
+                                   np.empty(0, np.int64),
+                                   np.empty(0, np.int64), k,
+                                   "score", pa.int64())
+        return _per_query_topk(np.concatenate(out_q), np.concatenate(out_n),
+                               np.concatenate(out_s), k, "score", pa.int64())
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("score", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
 def knn_pq_det(ds, query_table: pa.Table, k: int = 5, n_sub: int = 4,
                n_codes: int = 16, scale: int = 1024,
                vec_col: str = "embedding", id_col: str = "vec_id"):

@@ -284,21 +284,26 @@ def q_knn_lsh(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF approximate top-k: coarse k-means cells trained on a bounded
-    sample, probe-pruned distributed scan (rows-only — approximate by
-    design, recall gated vs brute force in tests/test_ann_multimodal.py)."""
+    """IVF approximate top-k, deterministic variant: anchor centroids (the
+    quantized vectors of the 16 smallest-id rows), integer-L2 cell
+    assignment with ties to the lowest centroid, probe-pruned scan with
+    integer dot scores — exactly reproducible by SQL_KNN_IVF_DET (the
+    k-means knn_ivf stays the production operator, recall-gated in
+    tests/test_ann_multimodal.py)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    from ..ops.ann import knn_ivf
+    from ..ops.ann import knn_ivf_det
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
-    queries = emb.slice(0, 5)
+    queries = emb.filter(pc.less(emb["vec_id"], 5))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"], override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
-    return knn_ivf(ds, queries, k=5, n_centroids=16, n_probe=6)
+                         columns=["vec_id", "embedding"],
+                         override_num_blocks=_anb(f"{sf_dir}/embeddings.parquet"))
+    return knn_ivf_det(ds, queries, k=5, n_centroids=16, n_probe=4)
 
 
 def q_knn_pq(sf_dir: str):
@@ -606,6 +611,61 @@ select query_id, neighbor_id, score from (
 """
 
 
+# Deterministic IVF ANN (ops/ann.knn_ivf_det): anchor centroids = the
+# quantized vectors of the 16 smallest vec_ids, integer-L2 assignment
+# (ties to the lowest code — the constant ||x||^2 term is dropped on both
+# sides, preserving order), queries probe their 4 nearest cells, integer
+# dot scores. All-integer, so the driver hash matches bit-for-bit.
+SQL_KNN_IVF_DET = """
+with eq as (
+  select vec_id, i.i as dim,
+         cast(round(cast(list_extract(embedding, i.i + 1) as double) * 1024)
+              as bigint) as v
+  from embeddings, range(0, 64) as i(i)
+),
+anch as (
+  select vec_id, row_number() over (order by vec_id) - 1 as code
+  from (select vec_id from embeddings order by vec_id limit 16)
+),
+cb as (
+  select a.code, eq.dim, eq.v from eq join anch a using (vec_id)
+),
+d2 as (
+  select eq.vec_id, cb.code,
+         cast(sum(cb.v * cb.v) - 2 * sum(eq.v * cb.v) as bigint) as d
+  from eq join cb on cb.dim = eq.dim
+  group by eq.vec_id, cb.code
+),
+assign as (
+  select vec_id, code from (
+    select d2.*, row_number() over (
+      partition by vec_id order by d, code) as rn
+    from d2) where rn = 1
+),
+probes as (
+  select vec_id as query_id, code from (
+    select d2.*, row_number() over (
+      partition by vec_id order by d, code) as rn
+    from d2 where vec_id < 5) where rn <= 4
+),
+cand as (
+  select p.query_id, a.vec_id as neighbor_id
+  from probes p join assign a using (code)
+),
+sc as (
+  select c.query_id, c.neighbor_id, cast(sum(a.v * b.v) as bigint) as score
+  from cand c
+  join eq a on a.vec_id = c.query_id
+  join eq b on b.vec_id = c.neighbor_id and b.dim = a.dim
+  group by c.query_id, c.neighbor_id
+)
+select query_id, neighbor_id, score from (
+  select sc.*, row_number() over (
+    partition by query_id order by score desc, neighbor_id) as rn
+  from sc) where rn <= 5
+"""
+
+
 # Deterministic PQ ANN (ops/ann.knn_pq_det): codebooks = quantized
 # subvectors of the 16 smallest vec_ids (4 subspaces x 16 dims), encode =
 # integer-L2 argmin with ties to the lowest code, ADC score = integer
@@ -664,7 +724,7 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "kg_rich_triples": (q_rich_triples, SQL_RICH_TRIPLES),
     "search_hybrid_rrf": (q_hybrid_search, None),
     "sim_knn_lsh": (q_knn_lsh, SQL_KNN_LSH_DET),
-    "sim_knn_ivf": (q_knn_ivf, None),
+    "sim_knn_ivf": (q_knn_ivf, SQL_KNN_IVF_DET),
     "sim_knn_pq": (q_knn_pq, SQL_KNN_PQ_DET),
     "mm_media_features": (q_media_features, None),
     "dedup_minhash_lsh": (q_minhash_lsh_clusters, SQL_MINHASH),

@@ -255,7 +255,8 @@ def test_knn_det_variants_recall_and_self(ray_session, sf_tiny):
 
     import ray.data as rd
 
-    from stakgraph_ray.ops.ann import knn_lsh_det, knn_pq_det, _quantize
+    from stakgraph_ray.ops.ann import (knn_ivf_det, knn_lsh_det, knn_pq_det,
+                                       _quantize)
 
     emb = pq.read_table(f"{sf_tiny}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
@@ -264,21 +265,26 @@ def test_knn_det_variants_recall_and_self(ray_session, sf_tiny):
                          columns=["vec_id", "embedding"])
     lsh = knn_lsh_det(ds, queries, k=5, n_bits=4).take_all()
     pq_ = knn_pq_det(ds, queries, k=5, n_sub=4, n_codes=16).take_all()
+    ivf = knn_ivf_det(ds, queries, k=5, n_centroids=16, n_probe=4).take_all()
 
     vq = _quantize(np.array(emb["embedding"].to_pylist(), np.float64), 1024)
     ids = emb["vec_id"].to_numpy(zero_copy_only=False)
-    hits_lsh = hits_pq = total = 0
+    hits_lsh = hits_pq = hits_ivf = total = 0
     for qi in range(5):
         score = vq @ vq[qi]
         order = np.lexsort((ids, -score))[:5]
         want = set(ids[order])
         got_lsh = {r["neighbor_id"] for r in lsh if r["query_id"] == ids[qi]}
         got_pq = {r["neighbor_id"] for r in pq_ if r["query_id"] == ids[qi]}
+        got_ivf = {r["neighbor_id"] for r in ivf if r["query_id"] == ids[qi]}
         assert ids[qi] in got_lsh  # self shares its own bucket
+        assert ids[qi] in got_ivf  # self's cell is always probed first
         hits_lsh += len(got_lsh & want)
         hits_pq += len(got_pq & want)
+        hits_ivf += len(got_ivf & want)
         total += len(want)
     assert hits_lsh / total >= 0.5, f"lsh_det recall {hits_lsh / total}"
     assert hits_pq / total >= 0.3, f"pq_det recall {hits_pq / total}"
+    assert hits_ivf / total >= 0.3, f"ivf_det recall {hits_ivf / total}"
     # integer scores only
-    assert all(isinstance(r["score"], int) for r in lsh + pq_)
+    assert all(isinstance(r["score"], int) for r in lsh + pq_ + ivf)
