@@ -184,6 +184,67 @@ def running_sum(ds, group_key: str, order_keys, value_col: str,
     return partitioned_apply(ds, group_key, cum, num_partitions)
 
 
+def global_running_sum(ds, order_col: str, value_col: str,
+                       out_col: str = "running", bucket_size: int = 4096,
+                       num_partitions=None):
+    """GLOBAL prefix sum over a total order (int64-exact, includes the
+    row's own value — SQL ``rows unbounded preceding``), without a global
+    sort barrier: rows bucket by ``order_col // bucket_size``; a combiner
+    pass reduces one (bucket, sum) row per bucket per block to the driver
+    — bounded by the bucket count, never the corpus — whose prefix sums
+    broadcast back as per-bucket carry-ins; ONE balanced keyed shuffle
+    computes within-bucket segmented cumsums and adds the carry. The
+    100-TB shape of an ordered scan: the only all-to-all moves each row
+    once, keyed on a uniform integer, and the driver holds O(id_range /
+    bucket_size) ints. ``order_col`` must be non-negative integers,
+    unique per row; ``value_col`` non-null integers."""
+    from .partition import partitioned_apply
+
+    bs = pa.scalar(bucket_size, pa.int64())
+
+    def part(t: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "b": pc.cast(pc.divide(pc.cast(t[order_col], pa.int64()), bs),
+                         pa.int64()),
+            "v": pc.cast(t[value_col], pa.int64())})
+        g = tb.group_by("b").aggregate([("v", "sum")])
+        return g.rename_columns(["b", "s"])
+
+    sums: dict[int, int] = {}
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        sums[r["b"]] = sums.get(r["b"], 0) + r["s"]
+    if sums:
+        tot = np.zeros(max(sums) + 1, dtype=np.int64)
+        for b, s in sums.items():
+            tot[b] = s
+        carry = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    else:
+        carry = np.zeros(1, dtype=np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_grs_b", pc.cast(
+            pc.divide(pc.cast(t[order_col], pa.int64()), bs), pa.int64()))
+
+    def cum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_grs_b"]).append_column(
+                out_col, pa.array([], pa.int64()))
+        t = t.sort_by([("_grs_b", "ascending"), (order_col, "ascending")])
+        b = t["_grs_b"].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        run = np.cumsum(v)
+        starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(b)])))
+        base = np.repeat(run[starts] - v[starts], counts)
+        out = run - base + carry[b]
+        return t.drop_columns(["_grs_b"]).append_column(
+            out_col, pa.array(out, pa.int64()))
+
+    return partitioned_apply(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_grs_b", cum, num_partitions)
+
+
 def sessionize(ds, group_key: str, ts_col: str, gap_seconds: float,
                out_col: str = "session_id", num_partitions=None):
     """Gap-based session ids per key (0-based), one keyed shuffle +

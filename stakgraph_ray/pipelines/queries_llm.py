@@ -769,3 +769,60 @@ group by c.doc_id, n.n
 """
 
 LLM_QUERIES["llm_token_entropy"] = (q_token_entropy, SQL_TOKEN_ENTROPY)
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: concatenate documents in doc_id order
+    and split into fixed 2048-token training bins (docs may span bins) —
+    the standard pretraining batch-packing layout. Per doc: token count
+    and its (start_bin, end_bin) span. Scale shape (ops/relational.py
+    global_running_sum): one combiner pass reduces per-bucket token totals
+    to the driver (bounded by id_range/4096, never the corpus), carry-ins
+    broadcast back, ONE balanced keyed shuffle computes the exact int64
+    global prefix — no global sort, no driver materialization. Bins are
+    contiguous in doc_id order, so a 256-node writer can emit per-bin
+    shards independently."""
+    from ..ops.relational import global_running_sum
+
+    budget = 2048
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        n = pc.cast(pc.list_value_length(_tokens(t)), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    r = global_running_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                           "doc_id", "n_tokens", out_col="_run")
+
+    def bins(t: pa.Table) -> pa.Table:
+        run = t["_run"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        off = run - n
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "start_bin": pa.array(off // budget, pa.int64()),
+            "end_bin": pa.array((off + n - 1) // budget, pa.int64()),
+        })
+
+    return r.map_batches(bins, batch_format="pyarrow")
+
+
+# Pure-integer mirror: the window prefix sum IS the packing (n >= 1 always
+# — string_split of any non-null string yields at least one token — so
+# end_bin >= start_bin and integer division agrees exactly).
+SQL_PACK_SEQUENCES = """
+with t as (select doc_id, len(string_split(text, ' ')) as n
+           from documents where text is not null),
+o as (select doc_id, n,
+        coalesce(sum(n) over (order by doc_id
+          rows between unbounded preceding and 1 preceding), 0) as off
+      from t)
+select doc_id, cast(n as bigint) as n_tokens,
+       cast(off // 2048 as bigint) as start_bin,
+       cast((off + n - 1) // 2048 as bigint) as end_bin
+from o
+"""
+
+LLM_QUERIES["llm_pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)

@@ -242,6 +242,33 @@ def test_stable_sketches_accuracy_and_exact_estimate(ray_session):
         assert est2[p] <= true + 2 * len(toks) // 8192 + 1, p
 
 
+def test_global_running_sum_exact_and_bucketed(ray_session):
+    """Exact int64 global prefix (includes own value) across bucket and
+    block boundaries; shuffled input order must not matter."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.relational import global_running_sum
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.randint(1, 10_000, n).astype(np.int64)
+    perm = rng.permutation(n)  # out-of-order arrival, many blocks
+    ds = rd.from_arrow(pa.table({"i": ids[perm], "v": vals[perm]})) \
+        .repartition(13)
+    out = global_running_sum(ds, "i", "v", out_col="r",
+                             bucket_size=64).take_all()
+    got = {r["i"]: r["r"] for r in out}
+    want = np.cumsum(vals)
+    assert len(got) == n
+    assert all(got[i] == int(want[i]) for i in range(n))
+
+    # empty input
+    empty = rd.from_arrow(pa.table({"i": pa.array([], pa.int64()),
+                                    "v": pa.array([], pa.int64())}))
+    assert global_running_sum(empty, "i", "v").take_all() == []
+
+
 def test_cms_depth_rows_independent_on_numeric_values():
     from stakgraph_ray.ops.sketch import cms_batch_counts
 
