@@ -195,9 +195,11 @@ def global_running_sum(ds, order_col: str, value_col: str,
     broadcast back as per-bucket carry-ins; ONE balanced keyed shuffle
     computes within-bucket segmented cumsums and adds the carry. The
     100-TB shape of an ordered scan: the only all-to-all moves each row
-    once, keyed on a uniform integer, and the driver holds O(id_range /
-    bucket_size) ints. ``order_col`` must be non-negative integers,
-    unique per row; ``value_col`` non-null integers."""
+    once, keyed on a uniform integer, and the driver holds O(observed
+    buckets) ints (sorted keys + prefix sums — sparse/hashed id spaces
+    never allocate a dense id-range array). ``order_col`` must be
+    non-negative integers, unique per row; ``value_col`` non-null
+    integers."""
     from .partition import partitioned_apply
 
     bs = pa.scalar(bucket_size, pa.int64())
@@ -213,13 +215,15 @@ def global_running_sum(ds, order_col: str, value_col: str,
     sums: dict[int, int] = {}
     for r in ds.map_batches(part, batch_format="pyarrow").take_all():
         sums[r["b"]] = sums.get(r["b"], 0) + r["s"]
-    if sums:
-        tot = np.zeros(max(sums) + 1, dtype=np.int64)
-        for b, s in sums.items():
-            tot[b] = s
-        carry = np.concatenate(([0], np.cumsum(tot)[:-1]))
-    else:
-        carry = np.zeros(1, dtype=np.int64)
+    # carry state is keyed on OBSERVED buckets (sorted keys + prefix sums,
+    # searchsorted lookup) — sparse/hashed id spaces must not allocate a
+    # dense max_bucket-sized array on the driver
+    bkeys = np.array(sorted(sums), dtype=np.int64)
+    bpref = np.cumsum(np.array([sums[b] for b in bkeys], dtype=np.int64))
+
+    def carry_of(b: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(bkeys, b)        # buckets exist by construction
+        return np.where(idx > 0, bpref[np.maximum(idx - 1, 0)], 0)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("_grs_b", pc.cast(
@@ -236,7 +240,7 @@ def global_running_sum(ds, order_col: str, value_col: str,
         starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
         counts = np.diff(np.concatenate((starts, [len(b)])))
         base = np.repeat(run[starts] - v[starts], counts)
-        out = run - base + carry[b]
+        out = run - base + carry_of(b)
         return t.drop_columns(["_grs_b"]).append_column(
             out_col, pa.array(out, pa.int64()))
 

@@ -263,6 +263,18 @@ def test_global_running_sum_exact_and_bucketed(ray_session):
     assert len(got) == n
     assert all(got[i] == int(want[i]) for i in range(n))
 
+    # sparse/hashed id space: driver carry must key on OBSERVED buckets,
+    # not allocate a dense max_bucket array
+    sparse_ids = (ids * 982_451_653 + 7) % (1 << 52)
+    order = np.argsort(sparse_ids)
+    ds2 = rd.from_arrow(pa.table({"i": sparse_ids[perm],
+                                  "v": vals[perm]})).repartition(7)
+    out2 = {r["i"]: r["r"]
+            for r in global_running_sum(ds2, "i", "v", out_col="r").take_all()}
+    want2 = np.cumsum(vals[order])
+    assert all(out2[int(sparse_ids[order][j])] == int(want2[j])
+               for j in range(n))
+
     # empty input
     empty = rd.from_arrow(pa.table({"i": pa.array([], pa.int64()),
                                     "v": pa.array([], pa.int64())}))
