@@ -56,25 +56,56 @@ def _latest_checked_round() -> tuple[dict[str, int], dict[int, str]]:
     return rounds, files
 
 
+_TS_CACHE: dict[str, int] = {}
+_DIRTY_FILES: set[str] | None = None
+
+
+def _dirty_files() -> set[str]:
+    """Repo-relative paths with uncommitted working-tree changes (one git
+    status for the whole repo, cached). An edited-but-uncommitted query
+    module must count as stale even though its last COMMIT predates the
+    CORRECTNESS record."""
+    import subprocess
+
+    global _DIRTY_FILES
+    if _DIRTY_FILES is None:
+        try:
+            out = subprocess.run(
+                ["git", "-C", _REPO, "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10).stdout
+            _DIRTY_FILES = {ln[3:].split(" -> ")[-1].strip()
+                            for ln in out.splitlines() if len(ln) > 3}
+        except (OSError, subprocess.SubprocessError):
+            _DIRTY_FILES = set()
+    return _DIRTY_FILES
+
+
 def _git_ts(rel_path: str) -> int:
-    """Last-commit unix time of a repo file (mtime fallback when git is
-    unavailable in the driver's environment)."""
+    """Last-change unix time of a repo file: last-commit time, bumped to
+    file mtime when the working tree has uncommitted edits to it (mtime
+    fallback when git is unavailable in the driver's environment)."""
     import os
     import subprocess
 
+    if rel_path in _TS_CACHE:
+        return _TS_CACHE[rel_path]
+    ts = 0
     try:
         out = subprocess.run(
             ["git", "-C", _REPO, "log", "-1", "--format=%ct", "--", rel_path],
             capture_output=True, text=True, timeout=10)
-        ts = out.stdout.strip()
-        if ts:
-            return int(ts)
+        s = out.stdout.strip()
+        if s:
+            ts = int(s)
     except (OSError, ValueError, subprocess.SubprocessError):
         pass
-    try:
-        return int(os.path.getmtime(os.path.join(_REPO, rel_path)))
-    except OSError:
-        return 0
+    if ts == 0 or rel_path in _dirty_files():
+        try:
+            ts = max(ts, int(os.path.getmtime(os.path.join(_REPO, rel_path))))
+        except OSError:
+            pass
+    _TS_CACHE[rel_path] = ts
+    return ts
 
 
 _DIFF_CACHE: dict[tuple[str, str], str | None] = {}
@@ -122,7 +153,91 @@ def _diff_ranges(rel_path: str, rec_file: str | None):
                                  text, re.M)]
 
 
+_DEP_CLOSURE_CACHE: dict[str, frozenset[str]] = {}
+
+
+def _mod_file(dotted: str) -> str | None:
+    import os
+
+    p = dotted.replace(".", "/")
+    for cand in (p + ".py", p + "/__init__.py"):
+        if os.path.exists(os.path.join(_REPO, cand)):
+            return cand
+    return None
+
+
+def _direct_deps(rel: str) -> set[str]:
+    """Repo-relative .py files the module imports from stakgraph_ray
+    (absolute and relative forms, module-level and function-local)."""
+    import ast
+    import os
+
+    try:
+        with open(os.path.join(_REPO, rel)) as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError, ValueError):
+        return set()
+    pkg_parts = rel[:-3].split("/")          # strip .py
+    if pkg_parts[-1] == "__init__":
+        pkg_parts = pkg_parts[:-1]
+    else:
+        pkg_parts = pkg_parts[:-1]           # module's parent package
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            names.update(a.name for a in node.names
+                         if a.name.startswith("stakgraph_ray"))
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_parts[:len(pkg_parts) - (node.level - 1)]
+                mod = ".".join(base + ([node.module] if node.module else []))
+            else:
+                mod = node.module or ""
+            if mod.startswith("stakgraph_ray"):
+                names.add(mod)
+                # ``from pkg import mod`` — the imported name may itself
+                # be a module
+                names.update(f"{mod}.{a.name}" for a in node.names)
+    return {f for f in (_mod_file(n) for n in names) if f}
+
+
+def _dep_closure(dotted_mod: str) -> frozenset[str]:
+    """Transitive stakgraph_ray file closure of a module, excluding the
+    module's own file (whose staleness is judged function-granularly)."""
+    start = _mod_file(dotted_mod)
+    if start is None:
+        return frozenset()
+    if start in _DEP_CLOSURE_CACHE:
+        return _DEP_CLOSURE_CACHE[start]
+    seen: set[str] = {start}
+    frontier = [start]
+    while frontier:
+        for dep in _direct_deps(frontier.pop()):
+            if dep not in seen:
+                seen.add(dep)
+                frontier.append(dep)
+    out = frozenset(seen - {start})
+    _DEP_CLOSURE_CACHE[start] = out
+    return out
+
+
+def _dep_ts(dotted_mod: str) -> int:
+    """Newest last-change time across the module's transitive stakgraph_ray
+    dependencies. A query whose shared helpers (ops/, stages/, sources/,
+    pipelines/kg.py, ...) changed after its green CORRECTNESS row must
+    re-lead the catalog even though its defining queries_* module did not
+    change — round-5 review finding: epilogue.py / kg.py edits postdating
+    CORRECTNESS_r04 left every kg_* query classified 'fresh'."""
+    return max((_git_ts(f) for f in _dep_closure(dotted_mod)), default=0)
+
+
+_CATALOG_CACHE: dict[str, tuple] | None = None
+
+
 def _catalog() -> dict[str, tuple]:
+    global _CATALOG_CACHE
+    if _CATALOG_CACHE is not None:
+        return dict(_CATALOG_CACHE)
     from stakgraph_ray.pipelines.queries_dedup import DEDUP_QUERIES
     from stakgraph_ray.pipelines.queries_kg import KG_QUERIES
     from stakgraph_ray.pipelines.queries_rel import REL_QUERIES
@@ -144,11 +259,13 @@ def _catalog() -> dict[str, tuple]:
     # could silently strand a changed query). Per entry with latest checked
     # round r:
     #   tier 0  never driver-checked (new this round)
-    #   tier 1  its defining module was committed AFTER the CORRECTNESS
-    #           record of ITS OWN round r (its green row predates the code
-    #           it would run today) — compared against the entry's own
-    #           record, not the newest one, so a query edited in round N
-    #           but last checked in round N-1 is still caught
+    #   tier 1  its defining module OR any module in its transitive
+    #           stakgraph_ray import closure was changed AFTER the
+    #           CORRECTNESS record of ITS OWN round r (its green row
+    #           predates the code it would run today) — compared against
+    #           the entry's own record, not the newest one, so a query
+    #           edited in round N but last checked in round N-1 is still
+    #           caught; uncommitted working-tree edits count (mtime bump)
     #   tier 2  green row postdates the code — fresh
     # sorted by (tier, r), stable on the original dict order: the stalest
     # rows always lead and fresh green rows go last.
@@ -170,9 +287,15 @@ def _catalog() -> dict[str, tuple]:
 
     def fn_stale(name: str, r: int) -> bool:
         fn = every[name][0]
-        if module_ts(fn) <= rec_ts.get(r, 0):
+        mod = getattr(fn, "__module__", "") or ""
+        rec = rec_ts.get(r, 0)
+        # a shared helper in the module's transitive import closure changed
+        # after the green row -> stale regardless of the defining module
+        if _dep_ts(mod) > rec:
+            return True
+        if module_ts(fn) <= rec:
             return False
-        rel = (getattr(fn, "__module__", "") or "").replace(".", "/") + ".py"
+        rel = mod.replace(".", "/") + ".py"
         ranges = _diff_ranges(rel, rec_files.get(r))
         if ranges is None:        # no diff evidence -> module-level verdict
             return True
@@ -196,7 +319,8 @@ def _catalog() -> dict[str, tuple]:
         return (1, r) if fn_stale(name, r) else (2, r)
 
     order = sorted(every, key=key)
-    return {name: every[name] for name in order}
+    _CATALOG_CACHE = {name: every[name] for name in order}
+    return dict(_CATALOG_CACHE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

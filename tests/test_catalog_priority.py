@@ -25,6 +25,8 @@ def test_catalog_complete_and_unique():
 def test_priority_tiers(monkeypatch):
     """never-checked < stale-since-own-record < fresh, each tier sorted by
     the entry's own latest round."""
+    monkeypatch.setattr(ent, "_CATALOG_CACHE", None)
+    monkeypatch.setattr(ent, "_dep_ts", lambda mod: 0)
     fns_all = ent.queries()
     names = list(fns_all)
     a, b = names[:2]
@@ -46,6 +48,7 @@ def test_priority_tiers(monkeypatch):
     monkeypatch.setattr(ent, "_git_ts", lambda rel: rec_ts.get(rel, 100))
     # diff evidence: for b the whole module counts changed (fall back to
     # the module-timestamp verdict); for c the diff shows no hunks
+    ent._CATALOG_CACHE = None
     fns = ent.queries()
     c_mod = (getattr(fns[c], "__module__", "") or "").replace(".", "/") \
         + ".py"
@@ -54,9 +57,72 @@ def test_priority_tiers(monkeypatch):
         lambda rel, rec: "" if (rel == c_mod and rec ==
                                 "CORRECTNESS_r02.json") else None)
     ent._DIFF_CACHE.clear()
+    ent._CATALOG_CACHE = None
     order = list(ent.queries())
     ia, ib, ic, id_ = (order.index(x) for x in (a, b, c, d))
     assert ia < ib < ic < id_, (ia, ib, ic, id_)
+
+
+def test_dep_closure_staleness(monkeypatch):
+    """A shared-helper change (ops/, stages/, pipelines/kg.py, ...) after a
+    query's green row marks it stale even when its defining queries_*
+    module is untouched — the round-5 review gap: epilogue.py edits after
+    CORRECTNESS_r04 left kg_* entries classified fresh."""
+    monkeypatch.setattr(ent, "_CATALOG_CACHE", None)
+    names = list(ent.queries())
+    x = names[0]
+    monkeypatch.setattr(ent, "_latest_checked_round",
+                        lambda: ({n: 4 for n in names},
+                                 {4: "CORRECTNESS_r04.json"}))
+    # defining modules are all OLDER than the record -> without dep info
+    # everything is fresh
+    monkeypatch.setattr(ent, "_git_ts",
+                        lambda rel: 100 if rel.endswith(".json") else 10)
+    monkeypatch.setattr(ent, "_dep_ts", lambda mod: 0)
+    ent._CATALOG_CACHE = None
+    fresh = ent.queries()
+    assert len(fresh) == len(names)
+    # now one dependency of x's module changed after the record
+    x_mod = getattr(fresh[x], "__module__", "")
+    monkeypatch.setattr(ent, "_dep_ts",
+                        lambda mod: 10 ** 9 if mod == x_mod else 0)
+    ent._CATALOG_CACHE = None
+    order = list(ent.queries())
+    stale = [n for n in order
+             if getattr(ent.queries()[n], "__module__", "") == x_mod]
+    # every entry of the dep-stale module now leads every fresh entry
+    n_stale = len(stale)
+    assert order[:n_stale] == stale or set(order[:n_stale]) == set(stale)
+
+
+def test_dep_closure_real_modules():
+    """The real import-closure walk finds shared helpers for the query
+    modules (no monkeypatching): queries_kg must transitively depend on
+    pipelines/kg.py and at least one ops/ module."""
+    clo = ent._dep_closure("stakgraph_ray.pipelines.queries_kg")
+    assert "stakgraph_ray/pipelines/kg.py" in clo
+    assert any(f.startswith("stakgraph_ray/ops/") for f in clo)
+    assert "stakgraph_ray/pipelines/queries_kg.py" not in clo
+    clo_rel = ent._dep_closure("stakgraph_ray.pipelines.queries_rel")
+    assert "stakgraph_ray/ops/relational.py" in clo_rel
+
+
+def test_git_ts_dirty_file_bumps(tmp_path, monkeypatch):
+    """An uncommitted working-tree edit counts as a change: _git_ts returns
+    at least the file's mtime when git reports it dirty."""
+    import os
+
+    monkeypatch.setattr(ent, "_DIRTY_FILES", {"somefile.py"})
+    ent._TS_CACHE.pop("somefile.py", None)
+    p = os.path.join(ent._REPO, "somefile.py")
+    try:
+        with open(p, "w") as fh:
+            fh.write("x = 1\n")
+        ts = ent._git_ts("somefile.py")
+        assert ts >= int(os.path.getmtime(p))
+    finally:
+        os.unlink(p)
+        ent._TS_CACHE.pop("somefile.py", None)
 
 
 def test_diff_ranges_hunk_parsing(monkeypatch):
