@@ -65,6 +65,39 @@ def _pin_fsspec_http_stub() -> None:
 _pin_fsspec_http_stub()
 
 
+class _DaemonJob:
+    """Run ``fn`` on a daemon thread; ``result()`` joins and re-raises.
+
+    Replaces the single-slot ThreadPoolExecutor for the typed-extract
+    overlap: pool worker threads are non-daemon and concurrent.futures
+    joins them at interpreter exit, so a build that raised while the
+    overlapped materialize was in flight blocked process exit until the
+    orphaned background pass finished. A daemon thread dies with the
+    process; mid-process, ``result()`` re-raises the job's exception."""
+
+    def __init__(self, fn):
+        import threading
+
+        self._value = None
+        self._exc = None
+
+        def _run():
+            try:
+                self._value = fn()
+            except BaseException as e:  # noqa: BLE001 - re-raised in result()
+                self._exc = e
+
+        self._thread = threading.Thread(target=_run, daemon=True,
+                                        name="typed-extract-overlap")
+        self._thread.start()
+
+    def result(self):
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._value
+
+
 def _manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_MANIFEST.json")
 
@@ -273,41 +306,35 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         typed, troots = reduce_triples(typed, cfg, canon_threshold=0.85)
         return typed, troots, typed.count()
 
+    # The overlap runs on a DAEMON thread, not a ThreadPoolExecutor: pool
+    # worker threads are non-daemon and concurrent.futures joins them at
+    # interpreter exit, so if stages 2-4 raise while the typed materialize
+    # is in flight, a failed build would block process exit until the
+    # orphaned background pass finished (cancel() is a no-op once the
+    # single-slot pool has started the job). A daemon thread dies with the
+    # process; mid-process the exception propagates immediately and the
+    # stray Ray tasks are reaped when the driver exits.
     typed_future = None
     if int(ray.cluster_resources().get("CPU", 0)) >= 4:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _typed_pool = ThreadPoolExecutor(1)
-        typed_future = _typed_pool.submit(_typed_job)
+        typed_future = _DaemonJob(_typed_job)
 
     # ---- stage 2: mentions + linking (task pool, broadcast dictionary) ----
-    # Stages 2-3 run while the typed-extract future is in flight: if they
-    # raise, cancel the future and release the pool WITHOUT waiting —
-    # otherwise concurrent.futures' atexit join blocks process exit until
-    # the orphaned background materialize finishes (a failed build would
-    # hang for the length of the overlapped pass).
-    try:
-        linker_kwargs = make_linker_stage(cfg, dictionary)
-        linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
-            .map_batches(term_linker_fn(linker_kwargs),
-                         batch_format="pyarrow", batch_size=None)
-        li = checkpoint(linked, os.path.join(workdir, "linked"), "link",
-                        metrics)
+    linker_kwargs = make_linker_stage(cfg, dictionary)
+    linked = ex.map_batches(mention_rows, batch_format="pyarrow") \
+        .map_batches(term_linker_fn(linker_kwargs),
+                     batch_format="pyarrow", batch_size=None)
+    li = checkpoint(linked, os.path.join(workdir, "linked"), "link",
+                    metrics)
 
-        # ---- stage 3: canonicalization (LSH merge over distinct names) ----
-        t0 = time.time()
-        names = distinct(
-            li.map_batches(lambda t: pa.table({"name": t["canonical"]}),
-                           batch_format="pyarrow"), ["name"])
-        roots = canonical_roots(names, cfg)
-        metrics.append({"stage": "canonicalize", "rows": len(roots),
-                        "sec": round(time.time() - t0, 3), "skipped": False})
-        li = canonicalize_column(li, "canonical", roots)
-    except BaseException:
-        if typed_future is not None:
-            typed_future.cancel()
-            _typed_pool.shutdown(wait=False)
-        raise
+    # ---- stage 3: canonicalization (LSH merge over distinct names) ----
+    t0 = time.time()
+    names = distinct(
+        li.map_batches(lambda t: pa.table({"name": t["canonical"]}),
+                       batch_format="pyarrow"), ["name"])
+    roots = canonical_roots(names, cfg)
+    metrics.append({"stage": "canonicalize", "rows": len(roots),
+                    "sec": round(time.time() - t0, 3), "skipped": False})
+    li = canonicalize_column(li, "canonical", roots)
 
     # ---- stage 4: node + edge tables (each branch reads checkpoints) ------
     node_cols = [f.name for f in kg._NODES_ORDER]
@@ -369,7 +396,6 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     # shared with stages 2-3.
     if typed_future is not None:
         typed, troots, n_typed = typed_future.result()
-        _typed_pool.shutdown(wait=False)
     else:
         typed = typed_lazy.materialize()
         typed, troots = reduce_triples(typed, cfg, canon_threshold=0.85)

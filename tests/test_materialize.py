@@ -165,3 +165,22 @@ def test_build_emits_stage_events(ray_session, tmp_path):
                                    on_event=events.append)
     assert [e["stage"] for e in events] == [m["stage"] for m in out["metrics"]]
     assert {"extract", "link", "nodes", "edges"} <= {e["stage"] for e in events}
+
+
+def test_daemon_job_result_and_reraise():
+    """_DaemonJob replaces the typed-overlap ThreadPoolExecutor so a build
+    that raises mid-overlap can't block interpreter exit: the thread must be
+    daemon, result() returns the value, and a job exception re-raises at
+    result() (not silently swallowed)."""
+    from stakgraph_ray.stages.materialize import _DaemonJob
+
+    ok = _DaemonJob(lambda: 41 + 1)
+    assert ok._thread.daemon
+    assert ok.result() == 42
+
+    def boom():
+        raise ValueError("typed branch failed")
+
+    bad = _DaemonJob(boom)
+    with pytest.raises(ValueError, match="typed branch failed"):
+        bad.result()
