@@ -273,17 +273,41 @@ def _catalog() -> dict[str, tuple]:
     # pulls forward only the entries whose own def overlaps the diff since
     # their record commit — otherwise editing one query in a 40-query
     # module would flood tier 1 with 39 unchanged module-mates and push
-    # the genuinely-edited one past the driver's budget. Falls back to
+    # the genuinely-edited one past the driver's budget. A hunk landing
+    # OUTSIDE every entry's def is a shared region of the module (a local
+    # helper like _read/_round_cols, an SQL-oracle constant, the
+    # registration dict) whose change can alter any module-mate's output,
+    # so it marks the WHOLE module stale — function granularity only
+    # applies to edits the def map can actually attribute. Falls back to
     # module-timestamp staleness when the diff is unavailable.
     rounds, rec_files = _latest_checked_round()
     rec_ts = {n: _git_ts(f) for n, f in rec_files.items()}
     mod_ts: dict[str, int] = {}
+    mod_defs: dict[str, list[tuple[int, int]]] = {}
 
     def module_ts(fn) -> int:
         mod = getattr(fn, "__module__", "") or ""
         if mod not in mod_ts:
             mod_ts[mod] = _git_ts(mod.replace(".", "/") + ".py")
         return mod_ts[mod]
+
+    def fn_span(fn) -> tuple[int, int] | None:
+        import inspect
+
+        try:
+            lines, start = inspect.getsourcelines(fn)
+        except (OSError, TypeError):
+            return None
+        return start, start + len(lines)
+
+    def module_def_spans(mod: str) -> list[tuple[int, int]]:
+        # def ranges of ALL catalog entries defined in this module
+        if mod not in mod_defs:
+            mod_defs[mod] = [
+                s for f, _sql in every.values()
+                if (getattr(f, "__module__", "") or "") == mod
+                and (s := fn_span(f)) is not None]
+        return mod_defs[mod]
 
     def fn_stale(name: str, r: int) -> bool:
         fn = every[name][0]
@@ -303,14 +327,16 @@ def _catalog() -> dict[str, tuple]:
         # diff line naming the entry (its *_QUERIES wiring) also marks it
         if f'"{name}"' in (_module_diff(rel, rec_files.get(r)) or ""):
             return True
-        import inspect
-
-        try:
-            lines, start = inspect.getsourcelines(fn)
-        except (OSError, TypeError):
+        span = fn_span(fn)
+        if span is None:
             return True
-        end = start + len(lines)
-        return any(a < end and start < b for a, b in ranges)
+        start, end = span
+        if any(a < end and start < b for a, b in ranges):
+            return True
+        # a hunk attributable to NO entry's def = shared-region change
+        spans = module_def_spans(mod)
+        return any(not any(a < e and s < b for s, e in spans)
+                   for a, b in ranges)
 
     def key(name: str) -> tuple[int, int]:
         r = rounds.get(name, 0)

@@ -511,6 +511,31 @@ def _int_bucket(vq: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ w
 
 
+def _empty_int_topk(k: int) -> pa.Table:
+    e = np.empty(0, np.int64)
+    return _per_query_topk(e, e, e, k, "score", pa.int64())
+
+
+def _hits_topk(out_q: list, out_n: list, out_s: list, k: int) -> pa.Table:
+    """Per-batch partial top-k from the per-query hit accumulators shared
+    by the deterministic variants (int64 scores)."""
+    if not out_q:
+        return _empty_int_topk(k)
+    return _per_query_topk(np.concatenate(out_q), np.concatenate(out_n),
+                           np.concatenate(out_s), k, "score", pa.int64())
+
+
+def _int_topk_per_query(scored, k: int):
+    """Final exact top-k per query over int64 scores; the tie-break
+    (score desc, neighbor_id asc) is the contract the SQL oracles
+    reproduce — change it here and in queries_dedup's ORDER BY together."""
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("score", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
 def knn_lsh_det(ds, query_table: pa.Table, k: int = 5, n_bits: int = 4,
                 scale: int = 1024, vec_col: str = "embedding",
                 id_col: str = "vec_id"):
@@ -533,10 +558,7 @@ def knn_lsh_det(ds, query_table: pa.Table, k: int = 5, n_bits: int = 4,
     # broadcast machinery needed
     def score_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _per_query_topk(np.empty(0, np.int64),
-                                   np.empty(0, np.int64),
-                                   np.empty(0, np.int64), k,
-                                   "score", pa.int64())
+            return _empty_int_topk(k)
         vq = _quantize(_vecs_of(t[vec_col]), scale)
         b = _int_bucket(vq, planes)
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -548,21 +570,10 @@ def knn_lsh_det(ds, query_table: pa.Table, k: int = 5, n_bits: int = 4,
                 out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
                 out_n.append(ids[hit])
                 out_s.append(vq[hit] @ qvq[j])       # int64 matmul: exact
-        if not out_q:
-            return _per_query_topk(np.empty(0, np.int64),
-                                   np.empty(0, np.int64),
-                                   np.empty(0, np.int64), k,
-                                   "score", pa.int64())
-        return _per_query_topk(np.concatenate(out_q), np.concatenate(out_n),
-                               np.concatenate(out_s), k, "score", pa.int64())
+        return _hits_topk(out_q, out_n, out_s, k)
 
-    scored = ds.map_batches(score_batch, batch_format="pyarrow")
-
-    def topk(g: pa.Table) -> pa.Table:
-        return g.sort_by([("score", "descending"),
-                          ("neighbor_id", "ascending")]).slice(0, k)
-
-    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    return _int_topk_per_query(
+        ds.map_batches(score_batch, batch_format="pyarrow"), k)
 
 
 def _smallest_id_rows(ds, id_col: str, vec_col: str, n: int) -> list:
@@ -604,10 +615,7 @@ def knn_ivf_det(ds, query_table: pa.Table, k: int = 5, n_centroids: int = 16,
 
     def score_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _per_query_topk(np.empty(0, np.int64),
-                                   np.empty(0, np.int64),
-                                   np.empty(0, np.int64), k,
-                                   "score", pa.int64())
+            return _empty_int_topk(k)
         vq = _quantize(_vecs_of(t[vec_col]), scale)
         d = cc[None, :] - 2 * (vq @ cq.T)                   # int64: exact
         assign = np.argmin(d, axis=1)                       # ties -> low code
@@ -619,21 +627,10 @@ def knn_ivf_det(ds, query_table: pa.Table, k: int = 5, n_centroids: int = 16,
                 out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
                 out_n.append(ids[hit])
                 out_s.append(vq[hit] @ qq[j])               # int64 matmul
-        if not out_q:
-            return _per_query_topk(np.empty(0, np.int64),
-                                   np.empty(0, np.int64),
-                                   np.empty(0, np.int64), k,
-                                   "score", pa.int64())
-        return _per_query_topk(np.concatenate(out_q), np.concatenate(out_n),
-                               np.concatenate(out_s), k, "score", pa.int64())
+        return _hits_topk(out_q, out_n, out_s, k)
 
-    scored = ds.map_batches(score_batch, batch_format="pyarrow")
-
-    def topk(g: pa.Table) -> pa.Table:
-        return g.sort_by([("score", "descending"),
-                          ("neighbor_id", "ascending")]).slice(0, k)
-
-    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    return _int_topk_per_query(
+        ds.map_batches(score_batch, batch_format="pyarrow"), k)
 
 
 def knn_pq_det(ds, query_table: pa.Table, k: int = 5, n_sub: int = 4,
@@ -663,10 +660,7 @@ def knn_pq_det(ds, query_table: pa.Table, k: int = 5, n_sub: int = 4,
 
     def score_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _per_query_topk(np.empty(0, np.int64),
-                                   np.empty(0, np.int64),
-                                   np.empty(0, np.int64), k,
-                                   "score", pa.int64())
+            return _empty_int_topk(k)
         vq = _quantize(_vecs_of(t[vec_col]), scale)
         n = vq.shape[0]
         codes = np.empty((n, n_sub), dtype=np.int64)
@@ -683,10 +677,5 @@ def knn_pq_det(ds, query_table: pa.Table, k: int = 5, n_sub: int = 4,
         nn = np.tile(ids, len(qids))
         return _per_query_topk(q, nn, scores.ravel(), k, "score", pa.int64())
 
-    scored = ds.map_batches(score_batch, batch_format="pyarrow")
-
-    def topk(g: pa.Table) -> pa.Table:
-        return g.sort_by([("score", "descending"),
-                          ("neighbor_id", "ascending")]).slice(0, k)
-
-    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    return _int_topk_per_query(
+        ds.map_batches(score_batch, batch_format="pyarrow"), k)

@@ -186,28 +186,45 @@ def running_sum(ds, group_key: str, order_keys, value_col: str,
 
 def global_running_sum(ds, order_col: str, value_col: str,
                        out_col: str = "running", bucket_size: int = 4096,
-                       num_partitions=None):
+                       num_partitions=None, max_buckets: int = 65_536):
     """GLOBAL prefix sum over a total order (int64-exact, includes the
     row's own value — SQL ``rows unbounded preceding``), without a global
-    sort barrier: rows bucket by ``order_col // bucket_size``; a combiner
+    sort barrier: rows bucket by ``(order_col - min) // width``; a combiner
     pass reduces one (bucket, sum) row per bucket per block to the driver
-    — bounded by the bucket count, never the corpus — whose prefix sums
-    broadcast back as per-bucket carry-ins; ONE balanced keyed shuffle
-    computes within-bucket segmented cumsums and adds the carry. The
-    100-TB shape of an ordered scan: the only all-to-all moves each row
-    once, keyed on a uniform integer, and the driver holds O(observed
-    buckets) ints (sorted keys + prefix sums — sparse/hashed id spaces
-    never allocate a dense id-range array). ``order_col`` must be
-    non-negative integers, unique per row; ``value_col`` non-null
-    integers."""
+    whose prefix sums broadcast back as per-bucket carry-ins; ONE balanced
+    keyed shuffle computes within-bucket segmented cumsums and adds the
+    carry. The 100-TB shape of an ordered scan: the only all-to-all moves
+    each row once, keyed on a uniform integer.
+
+    The width is ADAPTIVE: a one-pass min/max aggregate (the cheapest
+    extra pass there is — two ints reach the driver) sets
+    ``width = max(bucket_size, ceil(range / max_buckets))``, so the
+    driver's carry state is capped at ``max_buckets`` (bucket, prefix)
+    pairs even for sparse/hashed id spaces, where a fixed width would
+    observe ~one bucket per row and the combiner take_all would pull
+    O(rows) to the driver. ``order_col`` must be non-negative integers,
+    unique per row; ``value_col`` non-null integers."""
+    from ray.data.aggregate import Max, Min
+
     from .partition import partitioned_apply
 
-    bs = pa.scalar(bucket_size, pa.int64())
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    mn = stats.get(f"min({order_col})")
+    mx = stats.get(f"max({order_col})")
+    if mn is None or mx is None:          # empty input
+        mn, mx = 0, 0
+    span = int(mx) - int(mn) + 1
+    width = max(int(bucket_size), -(-span // int(max_buckets)))
+    base_id = pa.scalar(int(mn), pa.int64())
+    bs = pa.scalar(width, pa.int64())
+
+    def _bucket(arr) -> pa.Array:
+        return pc.cast(pc.divide(pc.subtract(pc.cast(arr, pa.int64()),
+                                             base_id), bs), pa.int64())
 
     def part(t: pa.Table) -> pa.Table:
         tb = pa.table({
-            "b": pc.cast(pc.divide(pc.cast(t[order_col], pa.int64()), bs),
-                         pa.int64()),
+            "b": _bucket(t[order_col]),
             "v": pc.cast(t[value_col], pa.int64())})
         g = tb.group_by("b").aggregate([("v", "sum")])
         return g.rename_columns(["b", "s"])
@@ -226,8 +243,7 @@ def global_running_sum(ds, order_col: str, value_col: str,
         return np.where(idx > 0, bpref[np.maximum(idx - 1, 0)], 0)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_grs_b", pc.cast(
-            pc.divide(pc.cast(t[order_col], pa.int64()), bs), pa.int64()))
+        return t.append_column("_grs_b", _bucket(t[order_col]))
 
     def cum(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -97,21 +97,22 @@ def hll_estimate_exact(reg: np.ndarray) -> int:
     return int(math.floor(e + 0.5))
 
 
-def _md5_hashes_distinct(arr, cache: bool = False) -> np.ndarray:
+def _md5_hashes_distinct(arr) -> np.ndarray:
     """md5-low-64 hashes of an Arrow array's DISTINCT non-null values,
     hashed as str(value) == DuckDB ``md5_number_lower(cast(v as varchar))``.
     Dedup-before-hash bounds the per-row Python md5 loop to the batch
-    vocabulary (duplicates are no-ops for a max-fold); version-stable
-    across pandas/numpy upgrades, unlike ``pd.util.hash_array`` —
-    heterogeneous workers all agree on md5."""
+    vocabulary (duplicates are no-ops for a max-fold — the uncached raw
+    md5 is deliberate: an lru across batches would hold ~1M str keys per
+    worker for a loop the dedup already bounds); version-stable across
+    pandas/numpy upgrades, unlike ``pd.util.hash_array`` — heterogeneous
+    workers all agree on md5."""
     import pyarrow.compute as pc
 
-    from ..functions.minhash import _md5low64_raw, md5low64
+    from ..functions.minhash import _md5low64_raw
 
     u = pc.unique(arr.combine_chunks() if hasattr(arr, "combine_chunks")
                   else arr).drop_null().to_pylist()
-    fn = md5low64 if cache else _md5low64_raw
-    return np.fromiter((fn(str(v)) for v in u), np.uint64, len(u))
+    return np.fromiter((_md5low64_raw(str(v)) for v in u), np.uint64, len(u))
 
 
 def approx_distinct_stable(ds, col: str, p: int = 12) -> int:

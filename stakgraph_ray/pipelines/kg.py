@@ -193,6 +193,23 @@ def links_to_edge_rows(batch: pa.Table) -> pa.Table:
     return _edge_table(n, page_key, "LINKS_TO", host_key)
 
 
+def links_to_edges_from_extracted(batch: pa.Table) -> pa.Table:
+    """Extract-stage batch -> distinct Page LINKS_TO Host edges, in ONE UDF.
+
+    The href explode (``link_edge_rows``) and the per-batch distinct
+    (``links_to_edge_rows``) must share a single map_batches call: as two
+    fused stages, Ray's intermediate output buffer slices stage-1 output at
+    ``target_max_block_size`` (128 MiB), and a slice landing mid-page puts
+    the same (url, dst_host) pair in two stage-2 batches — the per-batch
+    distinct cannot see across the split and duplicate LINKS_TO edges
+    (identical ref_ids) reach the final table. LINKS_TO has no downstream
+    keyed combine to absorb them (unlike the mention/bigram partials, which
+    a global grouped aggregate follows). Inside one UDF the no-duplicates
+    invariant is structural: a url's hrefs live in one input ROW, urls are
+    globally unique post-extract, and Ray never splits a row."""
+    return links_to_edge_rows(link_edge_rows(batch))
+
+
 def mention_edge_partial(batch: pa.Table) -> pa.Table:
     """Linked mentions -> per-batch partial aggregate on (url, canonical):
     weight=count, confidence=max (combiner before the global shuffle,
@@ -264,7 +281,12 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                 dictionary: dict | None = None) -> dict:
     """pages Dataset -> {"extracted", "mentions", "nodes", "edges"} Datasets.
 
-    All outputs are lazy; `nodes` and `edges` have the full typed schema.
+    Outputs are lazy past the `extracted` branch point, which is pinned
+    (materialized) once — ~7 consumers re-read its blocks instead of
+    re-running HTML extraction each; `host_distinct` is a second pin at
+    vocabulary scale (rows = |hosts|). `nodes` and `edges` have the full
+    typed schema. The checkpointed flagship (stages/materialize.py) writes
+    Parquet at these same branch points instead — the 100-TB shape.
     """
     from ray.data.aggregate import Max, Sum
 
@@ -316,16 +338,17 @@ def build_graph(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     # --- edges -------------------------------------------------------------
     # struct/link ref_ids are unique across batches by construction (see
-    # page_edge_rows docstring; LINKS_TO rows are per-batch distinct and a
-    # url's hrefs never leave its row's batch) -> pure map branches, no
-    # keyed dedup exchange. Corpus edges ride the tiny host_distinct table.
+    # page_edge_rows + links_to_edges_from_extracted docstrings: explode and
+    # distinct share one UDF so Ray's inter-stage block slicing can't split
+    # a url's link rows) -> pure map branches, no keyed dedup exchange.
+    # Corpus edges ride the tiny host_distinct table.
     struct_edges = extracted.map_batches(page_edge_rows, batch_format="pyarrow")
     struct_edges = struct_edges.union(host_distinct.map_batches(
         corpus_host_edge_rows, batch_format="pyarrow"))
     struct_edges = struct_edges.map_batches(_cast_edges, batch_format="pyarrow")
 
-    link_edges = extracted.map_batches(link_edge_rows, batch_format="pyarrow")
-    link_edges = link_edges.map_batches(links_to_edge_rows, batch_format="pyarrow")
+    link_edges = extracted.map_batches(links_to_edges_from_extracted,
+                                       batch_format="pyarrow")
     link_edges = link_edges.map_batches(_cast_edges, batch_format="pyarrow")
 
     mention_partial = linked.map_batches(mention_edge_partial, batch_format="pyarrow")

@@ -777,9 +777,11 @@ def q_pack_sequences(sf_dir: str):
     the standard pretraining batch-packing layout. Per doc: token count
     and its (start_bin, end_bin) span. Scale shape (ops/relational.py
     global_running_sum): one combiner pass reduces per-bucket token totals
-    to the driver (bounded by id_range/4096, never the corpus), carry-ins
-    broadcast back, ONE balanced keyed shuffle computes the exact int64
-    global prefix — no global sort, no driver materialization. Bins are
+    to the driver (adaptive bucket width caps the carry state at 64 Ki
+    entries whatever the id range or sparsity — never the corpus),
+    carry-ins broadcast back, ONE balanced keyed shuffle computes the
+    exact int64 global prefix — no global sort, no driver
+    materialization. Bins are
     contiguous in doc_id order, so a 256-node writer can emit per-bin
     shards independently."""
     from ..ops.relational import global_running_sum

@@ -357,14 +357,16 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     nodes = corpus_node.union(host_nodes, lang_nodes, page_nodes, term_nodes)
 
     # struct/link ref_ids are unique across batches by construction
-    # (kg.page_edge_rows docstring) -> pure map branches, no keyed dedup
+    # (kg.page_edge_rows + kg.links_to_edges_from_extracted docstrings:
+    # explode + distinct share one UDF so inter-stage block slicing can't
+    # split a url's link rows) -> pure map branches, no keyed dedup
     # exchange; two of the four edges_raw sort barriers deleted
     struct_edges = ex.map_batches(kg.page_edge_rows, batch_format="pyarrow") \
         .union(host_distinct.map_batches(kg.corpus_host_edge_rows,
                                          batch_format="pyarrow")) \
         .map_batches(kg._cast_edges, batch_format="pyarrow")
-    link_edges = ex.map_batches(kg.link_edge_rows, batch_format="pyarrow") \
-        .map_batches(kg.links_to_edge_rows, batch_format="pyarrow") \
+    link_edges = ex.map_batches(kg.links_to_edges_from_extracted,
+                                batch_format="pyarrow") \
         .map_batches(kg._cast_edges, batch_format="pyarrow")
     mention_edges = grouped_aggregate(
         li.map_batches(kg.mention_edge_partial, batch_format="pyarrow"),
@@ -439,18 +441,18 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
         m_nodes: list = []
         m_edges: list = []
         if int(ray.cluster_resources().get("CPU", 0)) >= 4:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(2) as pool:
-                f_nodes = pool.submit(
-                    lambda: checkpoint(nodes,
-                                       os.path.join(workdir, "nodes_raw"),
-                                       "nodes_raw", m_nodes,
-                                       min_rows_per_file=8_000))
-                f_edges = pool.submit(checkpoint, edges,
-                                      os.path.join(workdir, "edges_raw"),
-                                      "edges_raw", m_edges)
-                nodes, edges = f_nodes.result(), f_edges.result()
+            # _DaemonJob, not ThreadPoolExecutor: if one write fails the
+            # exception surfaces as soon as its thread is joined instead of
+            # being held until the sibling write finishes, and a failed
+            # build can't block interpreter exit on a non-daemon worker.
+            f_nodes = _DaemonJob(
+                lambda: checkpoint(nodes, os.path.join(workdir, "nodes_raw"),
+                                   "nodes_raw", m_nodes,
+                                   min_rows_per_file=8_000))
+            f_edges = _DaemonJob(
+                lambda: checkpoint(edges, os.path.join(workdir, "edges_raw"),
+                                   "edges_raw", m_edges))
+            nodes, edges = f_nodes.result(), f_edges.result()
         else:
             nodes = checkpoint(nodes, os.path.join(workdir, "nodes_raw"),
                                "nodes_raw", m_nodes, min_rows_per_file=8_000)
@@ -471,16 +473,14 @@ def build_graph_materialized(pages_ds, workdir: str, cfg=None,
     m_fn: list = []
     m_fe: list = []
     if int(ray.cluster_resources().get("CPU", 0)) >= 4:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(2) as pool:
-            f_nodes = pool.submit(checkpoint, nodes,
-                                  os.path.join(workdir, "nodes"), "nodes",
-                                  m_fn)
-            f_edges = pool.submit(checkpoint, edges,
-                                  os.path.join(workdir, "edges"), "edges",
-                                  m_fe)
-            nodes_out, edges_out = f_nodes.result(), f_edges.result()
+        # same _DaemonJob rationale as the nodes_raw/edges_raw pair above
+        f_nodes = _DaemonJob(
+            lambda: checkpoint(nodes, os.path.join(workdir, "nodes"),
+                               "nodes", m_fn))
+        f_edges = _DaemonJob(
+            lambda: checkpoint(edges, os.path.join(workdir, "edges"),
+                               "edges", m_fe))
+        nodes_out, edges_out = f_nodes.result(), f_edges.result()
     else:
         nodes_out = checkpoint(nodes, os.path.join(workdir, "nodes"),
                                "nodes", m_fn)

@@ -133,3 +133,47 @@ def test_diff_ranges_hunk_parsing(monkeypatch):
         [(10, 15), (42, 43)]
     monkeypatch.setattr(ent, "_module_diff", lambda rel, rec: None)
     assert ent._diff_ranges("m.py", "CORRECTNESS_r04.json") is None
+
+
+def test_shared_region_hunk_marks_module_stale(monkeypatch):
+    """A diff hunk attributable to NO entry's def (module-local helper, SQL
+    oracle constant, registration dict) marks every module-mate stale; a
+    hunk inside exactly one entry's def marks only that entry — the
+    function-granular rule applies only to edits the def map can
+    attribute."""
+    import inspect
+
+    monkeypatch.setattr(ent, "_CATALOG_CACHE", None)
+    fns_all = ent.queries()
+    names = list(fns_all)
+    mod = getattr(fns_all[names[0]], "__module__", "")
+    mates = [n for n in names if getattr(fns_all[n], "__module__", "") == mod]
+    assert len(mates) >= 2
+    target = mates[0]
+    rel = mod.replace(".", "/") + ".py"
+
+    monkeypatch.setattr(ent, "_latest_checked_round",
+                        lambda: ({n: 4 for n in names},
+                                 {4: "CORRECTNESS_r04.json"}))
+    monkeypatch.setattr(ent, "_git_ts",
+                        lambda p: 50 if p.endswith(".json")
+                        else (100 if p == rel else 10))
+    monkeypatch.setattr(ent, "_dep_ts", lambda m: 0)
+    monkeypatch.setattr(ent, "_module_diff", lambda p, rec: "")  # no names
+
+    # case A: hunk at module top (imports/constants) -> whole module stale
+    monkeypatch.setattr(ent, "_diff_ranges",
+                        lambda p, rec: [(1, 2)] if p == rel else None)
+    ent._CATALOG_CACHE = None
+    order = list(ent.queries())
+    assert all(order.index(m) < len(mates) for m in mates)
+
+    # case B: hunk inside ONE entry's def -> only that entry stale
+    lines, start = inspect.getsourcelines(fns_all[target])
+    span = [(start + 1, start + 2)]
+    monkeypatch.setattr(ent, "_diff_ranges",
+                        lambda p, rec: span if p == rel else None)
+    ent._CATALOG_CACHE = None
+    order = list(ent.queries())
+    assert order.index(target) == 0
+    assert all(order.index(m) > 0 for m in mates[1:])

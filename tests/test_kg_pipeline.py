@@ -146,3 +146,34 @@ def test_linker_cascade():
     assert by["zzz"]["strategy"] == "unverified"
     assert abs(by["zzz"]["confidence"] - 0.3) < 1e-6
     assert "the" not in by  # stopword dropped
+
+
+def test_links_to_explode_and_distinct_share_one_udf():
+    """Explode + per-batch distinct MUST run in one UDF: as two fused
+    map_batches stages, Ray's inter-stage block slicing can land mid-page
+    and the same (url, dst_host) pair reaches two distinct calls — the
+    duplicate LINKS_TO edge survives (LINKS_TO has no downstream keyed
+    combine). Pins (a) the split hazard on the two-stage shape and (b) the
+    composed links_to_edges_from_extracted being duplicate-free and equal
+    to a global distinct of the explode."""
+    from stakgraph_ray.pipelines.kg import (links_to_edge_rows,
+                                            links_to_edges_from_extracted)
+    from stakgraph_ray.stages.extract import link_edge_rows
+
+    extracted = pa.table({
+        "url": ["https://a.org/x", "https://a.org/y"],
+        "hrefs": [["https://b.org/1", "https://b.org/2", "https://b.org/3"],
+                  ["https://c.org/1"]],
+    })
+    exploded = link_edge_rows(extracted)          # 4 (url, dst_host) rows
+
+    # (a) the hazard: a mid-page slice between the two stages duplicates
+    split = pa.concat_tables([links_to_edge_rows(exploded.slice(0, 1)),
+                              links_to_edge_rows(exploded.slice(1))])
+    assert split.num_rows == 3                    # duplicate a.org/x->b.org
+
+    # (b) the fix: one UDF over the extracted batch, structural invariant
+    edges = links_to_edges_from_extracted(extracted)
+    assert edges.num_rows == 2                    # x->b.org, y->c.org
+    assert edges.num_rows == len(set(zip(
+        edges["src_key"].to_pylist(), edges["dst_key"].to_pylist())))

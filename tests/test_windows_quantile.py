@@ -263,8 +263,10 @@ def test_global_running_sum_exact_and_bucketed(ray_session):
     assert len(got) == n
     assert all(got[i] == int(want[i]) for i in range(n))
 
-    # sparse/hashed id space: driver carry must key on OBSERVED buckets,
-    # not allocate a dense max_bucket array
+    # sparse/hashed id space: the adaptive width (min/max pre-pass) must
+    # cap the driver carry at max_buckets whatever the id range — with a
+    # fixed 4096 width each 52-bit id would land in its own bucket and the
+    # combiner would pull O(rows) to the driver
     sparse_ids = (ids * 982_451_653 + 7) % (1 << 52)
     order = np.argsort(sparse_ids)
     ds2 = rd.from_arrow(pa.table({"i": sparse_ids[perm],
@@ -273,6 +275,14 @@ def test_global_running_sum_exact_and_bucketed(ray_session):
             for r in global_running_sum(ds2, "i", "v", out_col="r").take_all()}
     want2 = np.cumsum(vals[order])
     assert all(out2[int(sparse_ids[order][j])] == int(want2[j])
+               for j in range(n))
+
+    # degenerate cap: max_buckets=16 coarsens the width, many ids share a
+    # bucket — within-bucket segmented cumsum must still be exact
+    out3 = {r["i"]: r["r"]
+            for r in global_running_sum(ds2, "i", "v", out_col="r",
+                                        max_buckets=16).take_all()}
+    assert all(out3[int(sparse_ids[order][j])] == int(want2[j])
                for j in range(n))
 
     # empty input
