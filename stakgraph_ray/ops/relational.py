@@ -186,7 +186,8 @@ def running_sum(ds, group_key: str, order_keys, value_col: str,
 
 def global_running_sum(ds, order_col: str, value_col: str,
                        out_col: str = "running", bucket_size: int = 4096,
-                       num_partitions=None, max_buckets: int = 65_536):
+                       num_partitions=None, max_buckets: int = 65_536,
+                       id_bounds: tuple[int, int] | None = None):
     """GLOBAL prefix sum over a total order (int64-exact, includes the
     row's own value — SQL ``rows unbounded preceding``), without a global
     sort barrier: rows bucket by ``(order_col - min) // width``; a combiner
@@ -196,21 +197,29 @@ def global_running_sum(ds, order_col: str, value_col: str,
     carry. The 100-TB shape of an ordered scan: the only all-to-all moves
     each row once, keyed on a uniform integer.
 
-    The width is ADAPTIVE: a one-pass min/max aggregate (the cheapest
-    extra pass there is — two ints reach the driver) sets
-    ``width = max(bucket_size, ceil(range / max_buckets))``, so the
-    driver's carry state is capped at ``max_buckets`` (bucket, prefix)
-    pairs even for sparse/hashed id spaces, where a fixed width would
-    observe ~one bucket per row and the combiner take_all would pull
-    O(rows) to the driver. ``order_col`` must be non-negative integers,
-    unique per row; ``value_col`` non-null integers."""
-    from ray.data.aggregate import Max, Min
-
+    The width is ADAPTIVE: ``width = max(bucket_size,
+    ceil(range / max_buckets))``, so the driver's carry state is capped at
+    ``max_buckets`` (bucket, prefix) pairs even for sparse/hashed id
+    spaces, where a fixed width would observe ~one bucket per row and the
+    combiner take_all would pull O(rows) to the driver. The range comes
+    from ``id_bounds=(min, max)`` when the caller already knows it
+    (dense 0..n-1 ids, or parquet column statistics — see
+    ``util.parquet_col_bounds``); otherwise a one-pass min/max aggregate
+    derives it — two ints reach the driver, but the pass RE-EXECUTES the
+    upstream pipeline, so pass bounds whenever the input embeds expensive
+    maps (the tokenize in llm_pack_sequences). ``order_col`` must be
+    non-negative integers, unique per row; ``value_col`` non-null
+    integers."""
     from .partition import partitioned_apply
 
-    stats = ds.aggregate(Min(order_col), Max(order_col))
-    mn = stats.get(f"min({order_col})")
-    mx = stats.get(f"max({order_col})")
+    if id_bounds is not None:
+        mn, mx = id_bounds
+    else:
+        from ray.data.aggregate import Max, Min
+
+        stats = ds.aggregate(Min(order_col), Max(order_col))
+        mn = stats.get(f"min({order_col})")
+        mx = stats.get(f"max({order_col})")
     if mn is None or mx is None:          # empty input
         mn, mx = 0, 0
     span = int(mx) - int(mn) + 1

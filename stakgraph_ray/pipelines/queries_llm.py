@@ -794,8 +794,14 @@ def q_pack_sequences(sf_dir: str):
         n = pc.cast(pc.list_value_length(_tokens(t)), pa.int64())
         return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
 
+    # id bounds from the parquet footer (no scan): skips the adaptive
+    # width's min/max pass, which would re-run the tokenize map
+    from ..util import parquet_col_bounds
+
+    bounds = parquet_col_bounds(f"{sf_dir}/documents.parquet", "doc_id")
     r = global_running_sum(ds.map_batches(prep, batch_format="pyarrow"),
-                           "doc_id", "n_tokens", out_col="_run")
+                           "doc_id", "n_tokens", out_col="_run",
+                           id_bounds=bounds)
 
     def bins(t: pa.Table) -> pa.Table:
         run = t["_run"].to_numpy(zero_copy_only=False)

@@ -36,6 +36,29 @@ def adaptive_num_blocks(path: str, rows_per_block: int = 512,
         return cap
 
 
+def parquet_col_bounds(path: str, col: str) -> tuple | None:
+    """(min, max) of a parquet column from row-group FOOTER statistics —
+    no data scan. None when any row group lacks statistics for the column
+    (callers fall back to a distributed min/max aggregate). The 100-TB
+    use: ops like global_running_sum need the id range BEFORE their first
+    pass; footer stats answer it for free where the writer recorded them."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        return (min(mins), max(maxs)) if mins else None
+    except Exception:
+        return None
+
+
 def join_num_partitions(cap: int = 32) -> int:
     """Partition count for Dataset.join: the join spawns one aggregator
     ACTOR per partition, so this must stay below the CPU count or the pool

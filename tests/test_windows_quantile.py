@@ -285,6 +285,14 @@ def test_global_running_sum_exact_and_bucketed(ray_session):
     assert all(out3[int(sparse_ids[order][j])] == int(want2[j])
                for j in range(n))
 
+    # caller-supplied id_bounds (a SUPERSET of the observed ids, e.g.
+    # parquet footer stats over a later-filtered table) skip the min/max
+    # pass and must not change the result
+    out4 = {r["i"]: r["r"]
+            for r in global_running_sum(ds2, "i", "v", out_col="r",
+                                        id_bounds=(0, 1 << 52)).take_all()}
+    assert out4 == out2
+
     # empty input
     empty = rd.from_arrow(pa.table({"i": pa.array([], pa.int64()),
                                     "v": pa.array([], pa.int64())}))
