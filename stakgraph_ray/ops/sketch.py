@@ -138,19 +138,22 @@ def grouped_approx_distinct_stable(ds, key: str, col: str,
     batch emits one (key, registers) row per key present, the driver
     max-merges G x blocks rows and reads off exact-integer estimates.
     Null keys form ONE group (SQL GROUP BY semantics); null values are
-    dropped (SQL count-distinct semantics)."""
+    dropped per group but the GROUP itself is kept — a key whose values
+    are all null estimates 0, like SQL's ``count(distinct v)`` over a
+    GROUP BY (filtering null-value ROWS before grouping would delete the
+    key entirely)."""
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
-        sub = pa.table({"k": t[key], "v": t[col]}).filter(
-            pc.is_valid(t[col]))
-        keys_np = np.array(sub["k"].to_pylist(), dtype=object)
+        keys_np = np.array(t[key].to_pylist(), dtype=object)
         codes, uniques = pd.factorize(keys_np, use_na_sentinel=False)
+        valid = pc.is_valid(t[col]).to_numpy(zero_copy_only=False)
         out_keys, out_regs = [], []
-        vcol = sub["v"].combine_chunks()
+        c = t[col]
+        vcol = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         for gi, k in enumerate(uniques):
             hs = _md5_hashes_distinct(
-                vcol.filter(pa.array(codes == gi)))
+                vcol.filter(pa.array((codes == gi) & valid)))
             out_keys.append(None if (k is None or k != k) else k)
             out_regs.append(hll_fold_hashes(hs, p))
         return pa.table({key: pa.array(out_keys),
@@ -280,7 +283,9 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     def partial(t: pa.Table) -> pa.Table:
         c = t[col]
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        vals = c.to_numpy(zero_copy_only=False)
+        # SQL count(distinct) ignores nulls — hashing None would count it
+        # as one extra distinct value
+        vals = c.drop_null().to_numpy(zero_copy_only=False)
         reg = hll_batch_registers(vals, p)
         return pa.table({"reg": pa.array([reg], pa.list_(pa.uint8(), len(reg)))})
 
@@ -301,16 +306,21 @@ def grouped_approx_distinct(ds, key: str, col: str, p: int = 12) -> dict:
     distinct_hp instead (per-group sketches would not fit the driver)."""
 
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         c = t[col]
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         vals = c.to_numpy(zero_copy_only=False)
+        # SQL count(distinct) ignores null VALUES (hashing None would count
+        # one extra distinct) but the GROUP is kept: all-null -> estimate 0
+        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
         keys_np = np.array(t[key].to_pylist(), dtype=object)
         # null keys form ONE group (SQL GROUP BY semantics — the repo-wide
         # convention); the default sentinel would silently drop those rows
         codes, uniques = pd.factorize(keys_np, use_na_sentinel=False)
         out_keys, out_regs = [], []
         for gi, k in enumerate(uniques):
-            reg = hll_batch_registers(vals[codes == gi], p)
+            reg = hll_batch_registers(vals[(codes == gi) & valid], p)
             out_keys.append(None if (k is None or k != k) else k)
             out_regs.append(reg)
         m = 1 << p

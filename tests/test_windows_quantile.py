@@ -412,6 +412,38 @@ def test_grouped_hll_null_key_is_one_group(ray_session):
     assert round(est[None]) == 1 and round(est["a"]) == 2
 
 
+def test_grouped_hll_stable_all_null_group_kept(ray_session):
+    """A key whose values are ALL null must still appear with estimate 0 —
+    SQL: select k, count(distinct v) ... group by k gives ('c', 0), so
+    filtering null-value ROWS before grouping (the old shape) would
+    silently delete the key."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import grouped_approx_distinct_stable
+
+    t = pa.table({"k": pa.array(["a", "c", "a", "c"]),
+                  "v": pa.array(["x", None, "y", None], pa.string())})
+    est = grouped_approx_distinct_stable(rd.from_arrow(t), "k", "v", p=12)
+    assert est == {"a": 2, "c": 0}
+
+
+def test_hll_null_values_not_counted(ray_session):
+    """SQL count(distinct v) ignores nulls: the float HLL family must not
+    hash None into the sketch (one phantom distinct per null-bearing
+    column), and an all-null group estimates 0 but keeps its key."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import approx_distinct, grouped_approx_distinct
+
+    t = pa.table({"k": pa.array(["a", "a", "c", "c"]),
+                  "v": pa.array(["x", None, None, None], pa.string())})
+    ds = rd.from_arrow(t)
+    assert round(approx_distinct(ds, "v", p=12)) == 1
+    g = grouped_approx_distinct(ds, "k", "v", p=12)
+    assert set(g) == {"a", "c"}
+    assert round(g["a"]) == 1 and round(g["c"]) == 0
+
+
 def test_window_dist_fused_lead_matches_separate(ray_session):
     import ray.data as rd
 
