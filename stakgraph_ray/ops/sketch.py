@@ -391,3 +391,24 @@ def bloom_might_contain(bits: np.ndarray, values: np.ndarray,
                % np.uint64(n_bits)).astype(np.int64)
         out &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
     return out
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray,
+                capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra-Gries summary compress: keep at most ``capacity`` (key, count)
+    entries by decrementing every count by the (capacity+1)-th largest and
+    dropping the non-positive remainder (Misra & Gries 1982; mergeable form
+    per Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Returns (keys, counts, decrement). Retained counts are LOWER bounds on
+    the true counts; across a merge tree the total error of any key is at
+    most the sum of the decrements applied along its path, so any key whose
+    true stream count exceeds that sum is guaranteed to survive. Exact
+    heavy-hitter queries use this as the bounded-memory candidate pass and
+    recount the candidates exactly in a second pass."""
+    if len(keys) <= capacity:
+        return keys, counts, 0
+    kth = int(np.partition(counts, len(counts) - capacity - 1)
+              [len(counts) - capacity - 1])
+    kept = counts > kth
+    return keys[kept], counts[kept] - kth, kth

@@ -1021,3 +1021,132 @@ from documents
 
 DEDUP_QUERIES["mm_media_feature_stats"] = (q_media_feature_stats,
                                            SQL_MEDIA_FEATURE_STATS)
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+_PARA_W = 10  # tokens per paragraph window (both sides must agree)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2019): split
+    each document into fixed 10-token windows ("paragraphs" — the synthetic
+    corpus has no newline structure, so the window boundary is the
+    deterministic stand-in), first occurrence of each distinct paragraph
+    across the corpus wins (order = (doc_id, win_idx)), and every later
+    copy is marked duplicate. Output is the per-document rollup a cleaning
+    pipeline acts on: paragraph count, duplicated-paragraph count, dup
+    fraction.
+
+    Plan shape (2 exchanges, both linear):
+      1. pure-map window explode — tokens stay zero-copy: the window list
+         array is rebuilt over the SAME flat token buffer with new offsets,
+         and the paragraph strings come from one vectorized binary_join;
+      2. hash-partition on the paragraph string (partitioned_apply) — all
+         copies of a paragraph land in one partition, where a factorize +
+         lexsort marks every non-first copy, all vectorized;
+      3. per-batch combiner + grouped_aggregate on doc_id for the rollup.
+    No driver-side state at any point; both shuffles carry one row per
+    window (the paragraph string is dropped after the mark)."""
+    import ray.data as rd
+
+    from ..ops.partition import grouped_aggregate, partitioned_apply
+    from ..util import round_half_away
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"],
+                         override_num_blocks=_anb(path))
+
+    def windows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"para": pa.array([], pa.large_string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "win_idx": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.cast(t["text"], pa.large_string())
+        toks = pc.split_pattern(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray)
+            else text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nwin = (lens + _PARA_W - 1) // _PARA_W
+        total = int(nwin.sum())
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), nwin)
+        win_first = np.concatenate(([0], np.cumsum(nwin)))
+        win_within = np.arange(total, dtype=np.int64) \
+            - np.repeat(win_first[:-1], nwin)
+        tok_first = np.concatenate(([0], np.cumsum(lens)))
+        starts = tok_first[doc_rep] + _PARA_W * win_within
+        offsets = np.append(starts, tok_first[-1]).astype(np.int64)
+        win_list = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
+        para = pc.binary_join(win_list, pa.scalar(" ", pa.large_string()))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[doc_rep]
+        return pa.table({"para": para,
+                         "doc_id": pa.array(doc, pa.int64()),
+                         "win_idx": pa.array(win_within + 1, pa.int64())})
+
+    def mark(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        codes, _ = pd.factorize(part["para"].to_numpy(zero_copy_only=False))
+        doc = part["doc_id"].to_numpy(zero_copy_only=False)
+        idx = part["win_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, doc, codes))
+        cs = codes[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        return pa.table({
+            "doc_id": pa.array(doc[order], pa.int64()),
+            "is_dup": pa.array((~first).astype(np.int64), pa.int64()),
+        })
+
+    marked = partitioned_apply(
+        ds.map_batches(windows, batch_format="pyarrow"), "para", mark)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id"]).aggregate(
+            [("is_dup", "count"), ("is_dup", "sum")])
+        return g.rename_columns(["doc_id", "n_paras", "n_dup"])
+
+    agg = grouped_aggregate(
+        marked.map_batches(combiner, batch_format="pyarrow"),
+        "doc_id", [("n_paras", "sum"), ("n_dup", "sum")],
+        ["n_paras", "n_dup"])
+
+    def frac(t: pa.Table) -> pa.Table:
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        np_ = t["n_paras"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_paras": pc.cast(t["n_paras"], pa.int64()),
+            "n_dup": pc.cast(t["n_dup"], pa.int64()),
+            "dup_frac": pa.array(round_half_away(nd / np_, 4), pa.float64()),
+        })
+
+    return agg.map_batches(frac, batch_format="pyarrow")
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+with tok as (select doc_id, string_split(text, ' ') as ts from documents),
+w as (select doc_id, cast(i as bigint) as win_idx,
+             array_to_string(
+               list_slice(ts, (i - 1) * {_PARA_W} + 1, i * {_PARA_W}),
+               ' ') as para
+      from tok, lateral (select unnest(generate_series(1,
+             cast(ceil(len(ts) / {_PARA_W}.0) as bigint))) as i) g),
+m as (select doc_id, win_idx,
+             case when row_number() over (partition by para
+                    order by doc_id, win_idx) = 1 then 0 else 1 end as is_dup
+      from w)
+select doc_id, count(*) as n_paras, cast(sum(is_dup) as bigint) as n_dup,
+       round(cast(sum(is_dup) as double) / count(*), 4) as dup_frac
+from m group by doc_id
+"""
+
+DEDUP_QUERIES["dedup_paragraph_exact"] = (q_paragraph_dedup,
+                                          SQL_PARAGRAPH_DEDUP)

@@ -834,3 +834,92 @@ from o
 """
 
 LLM_QUERIES["llm_pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus top-10 tokens WITHOUT a corpus-wide grouped shuffle:
+    Misra-Gries candidate pass + exact recount (the bounded-memory heavy-
+    hitter plan — at 100 TB the token vocabulary is corpus-scale, so
+    llm_bigram_topk's hash-partitioned exchange moves every distinct token;
+    this plan moves O(blocks x capacity) sketch rows to the driver and one
+    broadcast-filtered recount instead).
+
+      pass 1 (pure map): per-batch exact counts -> mg_compress(512); each
+        partial also emits one null-token row carrying its decrement so the
+        driver can bound the total underestimate D without batch identity;
+      driver merge: sum partial counters (<= blocks x 513 rows), compress
+        once more — candidates provably include every token whose true
+        count exceeds D (Agarwal et al., PODS 2012 mergeable summaries);
+      pass 2 (pure map): recount ONLY the candidate set exactly (broadcast
+        is_in filter, <= capacity rows per block to the driver) and verify
+        the guarantee: the 10th exact count must be >= D, else the result
+        could be inexact (raises — never silently approximate).
+
+    Output = exact top-10 (count desc, token asc), identical to the SQL
+    grouped count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..ops.sketch import mg_compress
+
+    CAP, K = 512, 10
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_tokens(t))
+        toks, cnts = np.unique(flat.to_numpy(zero_copy_only=False),
+                               return_counts=True)
+        toks, cnts, dec = mg_compress(toks, cnts.astype(np.int64), CAP)
+        return pa.table({
+            "token": pa.array(np.append(toks, [None]), pa.large_string()),
+            "n_part": pa.array(np.append(cnts, [dec]), pa.int64()),
+        })
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").take_all())
+    tok = parts["token"].to_numpy(zero_copy_only=False)
+    cnt = parts["n_part"].to_numpy(zero_copy_only=False).astype(np.int64)
+    null = pd.isna(tok)
+    D = int(cnt[null].sum())
+    merged = pd.Series(cnt[~null]).groupby(tok[~null]).sum()
+    cand, _, dec = mg_compress(merged.index.to_numpy(),
+                               merged.to_numpy(), CAP)
+    D += dec
+    cand_set = pa.array(np.sort(cand), pa.large_string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_tokens(t))
+        flat = flat.filter(pc.is_in(flat, value_set=cand_set))
+        toks, cnts = np.unique(flat.to_numpy(zero_copy_only=False),
+                               return_counts=True)
+        return pa.table({"token": pa.array(toks, pa.large_string()),
+                         "n_part": pa.array(cnts, pa.int64())})
+
+    ex = pa.Table.from_pylist(
+        ds.map_batches(recount, batch_format="pyarrow").take_all())
+    exact = pd.Series(ex["n_part"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)) \
+        .groupby(ex["token"].to_numpy(zero_copy_only=False)).sum() \
+        .reset_index()
+    exact.columns = ["token", "n"]
+    exact = exact.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(K)
+    if len(exact) >= K and int(exact["n"].iloc[K - 1]) < D:
+        raise RuntimeError(
+            f"MG guarantee violated: kth count {exact['n'].iloc[K-1]} < "
+            f"dropped-mass bound {D}; raise capacity")
+    return rd.from_arrow(pa.table({
+        "token": pa.array(exact["token"].to_numpy(), pa.string()),
+        "n": pa.array(exact["n"].to_numpy(), pa.int64()),
+    }))
+
+
+SQL_HEAVY_HITTERS = """
+select token, count(*) as n
+from (select unnest(string_split(text, ' ')) as token from documents)
+group by token
+order by n desc, token
+limit 10
+"""
+
+LLM_QUERIES["llm_heavy_hitters"] = (q_heavy_hitters, SQL_HEAVY_HITTERS)

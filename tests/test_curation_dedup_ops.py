@@ -1,0 +1,125 @@
+"""Unit gates for the paragraph-level exact dedup and the Misra-Gries
+heavy-hitter operators: MG compress bound semantics, window-explode edge
+cases (short docs, all-duplicate corpus), and end-to-end agreement with a
+brute-force reference on a planted corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stakgraph_ray.ops.sketch import mg_compress
+
+
+def test_mg_compress_under_capacity_is_identity():
+    k, c, d = mg_compress(np.array(["a", "b"]), np.array([5, 3]), 8)
+    assert list(k) == ["a", "b"] and list(c) == [5, 3] and d == 0
+
+
+def test_mg_compress_decrements_by_kth_largest():
+    keys = np.array(["a", "b", "c", "d", "e"])
+    cnts = np.array([10, 8, 4, 4, 1])
+    k, c, d = mg_compress(keys, cnts, 2)
+    # (capacity+1)-th largest = 4; survivors are counts > 4, decremented by 4
+    assert d == 4
+    assert list(k) == ["a", "b"] and list(c) == [6, 4]
+
+
+def test_mg_compress_tie_at_threshold_drops_to_capacity():
+    # ties AT the threshold all drop — never returns more than capacity
+    keys = np.array(["a", "b", "c", "d"])
+    cnts = np.array([5, 5, 5, 9])
+    k, c, d = mg_compress(keys, cnts, 2)
+    assert len(k) <= 2 and d == 5
+    assert list(k) == ["d"] and list(c) == [4]
+
+
+def test_mg_merge_tree_lower_bounds_and_survival():
+    # two batch summaries + a merge: every retained count is a lower bound,
+    # and a key with true count > total decrement survives
+    rng = np.random.RandomState(7)
+    stream = np.concatenate([np.repeat("hot", 500),
+                             rng.choice([f"t{i}" for i in range(200)], 2000)])
+    rng.shuffle(stream)
+    halves = np.array_split(stream, 2)
+    total_dec = 0
+    merged: dict[str, int] = {}
+    for h in halves:
+        t, c = np.unique(h, return_counts=True)
+        t, c, d = mg_compress(t, c, 16)
+        total_dec += d
+        for tok, n in zip(t, c):
+            merged[tok] = merged.get(tok, 0) + int(n)
+    mk = np.array(list(merged))
+    mc = np.array(list(merged.values()))
+    mk, mc, d = mg_compress(mk, mc, 16)
+    total_dec += d
+    true_hot = int((stream == "hot").sum())
+    assert true_hot > total_dec
+    got = dict(zip(mk, mc))
+    assert "hot" in got and got["hot"] <= true_hot  # lower bound
+
+
+def _brute_paragraph_rollup(docs: list[tuple[int, str]], w: int = 10):
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split(" ")
+        paras = [" ".join(toks[i:i + w]) for i in range(0, len(toks), w)]
+        dups = 0
+        for p in paras:
+            if p in seen:
+                dups += 1
+            else:
+                seen.add(p)
+        out[doc_id] = (len(paras), dups)
+    return out
+
+
+def test_paragraph_dedup_matches_bruteforce_on_planted_corpus(
+        ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from stakgraph_ray.pipelines.queries_dedup import q_paragraph_dedup
+
+    base = " ".join(f"w{i % 9}" for i in range(25))    # 3 windows (10/10/5)
+    docs = [
+        (0, base),
+        (1, base),                                     # all 3 paras dup doc 0
+        (2, " ".join(f"u{i}" for i in range(12))),     # 2 unique windows
+        (3, base + " tail extra"),  # first 2 windows dup, 3rd differs
+        (4, "short"),                                  # 1 sub-window doc
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: (r["n_paras"], r["n_dup"], r["dup_frac"])
+           for r in q_paragraph_dedup(str(tmp_path)).take_all()}
+    want = _brute_paragraph_rollup(docs)
+    assert set(got) == set(want)
+    for doc_id, (n_paras, n_dup) in want.items():
+        g = got[doc_id]
+        assert (g[0], g[1]) == (n_paras, n_dup), (doc_id, g)
+        assert g[2] == pytest.approx(round(n_dup / n_paras, 4))
+    # the planted expectations themselves
+    assert want[1] == (3, 3) and want[3][1] == 2 and want[4] == (1, 0)
+
+
+def test_paragraph_dedup_first_wins_is_doc_then_window_order(
+        ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from stakgraph_ray.pipelines.queries_dedup import q_paragraph_dedup
+
+    # same paragraph appears at doc 5 win 2 and doc 2 win 1: the doc-2 copy
+    # wins regardless of read/block order
+    para = " ".join(f"p{i}" for i in range(10))
+    other = " ".join(f"q{i}" for i in range(10))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 2], pa.int64()),
+        "text": pa.array([other + " " + para, para], pa.string()),
+    }), tmp_path / "documents.parquet")
+    got = {r["doc_id"]: r["n_dup"]
+           for r in q_paragraph_dedup(str(tmp_path)).take_all()}
+    assert got == {2: 0, 5: 1}
