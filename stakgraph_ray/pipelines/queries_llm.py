@@ -836,7 +836,7 @@ from o
 LLM_QUERIES["llm_pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
 
 
-def q_heavy_hitters(sf_dir: str):
+def q_heavy_hitters(sf_dir: str, capacity: int = 512, k: int = 10):
     """Exact corpus top-10 tokens WITHOUT a corpus-wide grouped shuffle:
     Misra-Gries candidate pass + exact recount (the bounded-memory heavy-
     hitter plan — at 100 TB the token vocabulary is corpus-scale, so
@@ -862,7 +862,7 @@ def q_heavy_hitters(sf_dir: str):
 
     from ..ops.sketch import mg_compress
 
-    CAP, K = 512, 10
+    CAP, K = capacity, k
     ds = _docs(sf_dir, ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -895,19 +895,31 @@ def q_heavy_hitters(sf_dir: str):
         return pa.table({"token": pa.array(toks, pa.large_string()),
                          "n_part": pa.array(cnts, pa.int64())})
 
-    ex = pa.Table.from_pylist(
-        ds.map_batches(recount, batch_format="pyarrow").take_all())
-    exact = pd.Series(ex["n_part"].to_numpy(zero_copy_only=False)
-                      .astype(np.int64)) \
-        .groupby(ex["token"].to_numpy(zero_copy_only=False)).sum() \
-        .reset_index()
-    exact.columns = ["token", "n"]
+    rows = ds.map_batches(recount, batch_format="pyarrow").take_all() \
+        if len(cand) else []
+    if rows:
+        ex = pa.Table.from_pylist(rows)
+        exact = pd.Series(ex["n_part"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)) \
+            .groupby(ex["token"].to_numpy(zero_copy_only=False)).sum() \
+            .reset_index()
+        exact.columns = ["token", "n"]
+    else:
+        # a collapsed summary (flat distribution vs capacity) reaches here
+        # with D > 0 and fails the certification below, never returns empty
+        exact = pd.DataFrame({"token": pd.array([], dtype=object),
+                              "n": pd.array([], dtype=np.int64)})
     exact = exact.sort_values(["n", "token"], ascending=[False, True],
                               kind="mergesort").head(K)
-    if len(exact) >= K and int(exact["n"].iloc[K - 1]) < D:
+    # a non-candidate's true count can be as large as D: the k-th exact
+    # count must dominate it, and a short result with D > 0 means the
+    # summary collapsed (flat distribution vs capacity) — never silently
+    # return an uncertified answer
+    if D > 0 and (len(exact) < K or int(exact["n"].iloc[K - 1]) < D):
+        kth = int(exact["n"].iloc[K - 1]) if len(exact) >= K else 0
         raise RuntimeError(
-            f"MG guarantee violated: kth count {exact['n'].iloc[K-1]} < "
-            f"dropped-mass bound {D}; raise capacity")
+            f"MG guarantee violated: kth count {kth} < dropped-mass "
+            f"bound {D}; raise capacity")
     return rd.from_arrow(pa.table({
         "token": pa.array(exact["token"].to_numpy(), pa.string()),
         "n": pa.array(exact["n"].to_numpy(), pa.int64()),

@@ -123,3 +123,46 @@ def test_paragraph_dedup_first_wins_is_doc_then_window_order(
     got = {r["doc_id"]: r["n_dup"]
            for r in q_paragraph_dedup(str(tmp_path)).take_all()}
     assert got == {2: 0, 5: 1}
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), tmp_path / "documents.parquet")
+
+
+def test_heavy_hitters_exact_under_compression(ray_session, tmp_path):
+    """Vocabulary > capacity forces real MG compression; the skewed head is
+    frequent enough that the guarantee certifies and the result equals the
+    brute-force top-k."""
+    from collections import Counter
+
+    from stakgraph_ray.pipelines.queries_llm import q_heavy_hitters
+
+    rng = np.random.RandomState(11)
+    tokens = [f"hot{i}" for i in range(5) for _ in range(400)] + \
+        list(rng.choice([f"cold{i}" for i in range(300)], 1500))
+    rng.shuffle(tokens)
+    texts = [" ".join(tokens[i:i + 50]) for i in range(0, len(tokens), 50)]
+    _write_docs(tmp_path, texts)
+
+    got = q_heavy_hitters(str(tmp_path), capacity=64, k=5).take_all()
+    cnt = Counter(tokens)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["token"], r["n"]) for r in got] == want
+
+
+def test_heavy_hitters_raises_when_uncertifiable(ray_session, tmp_path):
+    """A flat distribution against a tiny capacity collapses the summary;
+    the query must raise, never silently return an approximate answer."""
+    from stakgraph_ray.pipelines.queries_llm import q_heavy_hitters
+
+    tokens = [f"t{i}" for i in range(200)] * 5
+    texts = [" ".join(tokens[i:i + 50]) for i in range(0, len(tokens), 50)]
+    _write_docs(tmp_path, texts)
+
+    with pytest.raises(RuntimeError, match="MG guarantee"):
+        q_heavy_hitters(str(tmp_path), capacity=4, k=10)
