@@ -935,3 +935,57 @@ limit 10
 """
 
 LLM_QUERIES["llm_heavy_hitters"] = (q_heavy_hitters, SQL_HEAVY_HITTERS)
+
+
+def q_weighted_sample(sf_dir: str, n: int = 25):
+    """Weighted sampling without replacement, weight = document length
+    (Efraimidis-Spirakis A-ES: key_i = u_i^(1/w_i), keep the n largest —
+    the data-mixing primitive for 'sample a budget proportional to bytes').
+    Deterministic and cluster-size-invariant: u_i is an md5-derived uniform
+    of doc_id, and the order statistic is taken on ln(u)/w (monotone in the
+    A-ES key; ln via math.log over distinct values = DuckDB's libm ln, and
+    IEEE division makes both sides bit-identical, repo float-parity
+    convention). Plan: pure map -> per-block top-n partial -> n-row global
+    sort; the driver never sees more than blocks x n rows."""
+    import math
+
+    from ..ops.sampling import md5low64
+
+    M = 1 << 20
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        u = np.fromiter(((md5low64(str(v)) % M + 1) / float(M + 1)
+                         for v in ids), dtype=np.float64, count=t.num_rows)
+        logs = {v: math.log(v) for v in np.unique(u)}
+        import pandas as pd
+
+        lu = pd.Series(u).map(logs).to_numpy(dtype=np.float64)
+        w = np.maximum(pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64), 1)
+        out = pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "priority": pa.array(lu / w, pa.float64()),
+        })
+        return out.sort_by([("priority", "descending"),
+                            ("doc_id", "ascending")]).slice(0, n)
+
+    return ds.map_batches(prio, batch_format="pyarrow") \
+        .sort(["priority", "doc_id"], descending=[True, False]).limit(n) \
+        .map_batches(lambda t: t.drop_columns(["priority"]),
+                     batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = """
+select doc_id, w from (
+  select doc_id, cast(greatest(length(text), 1) as bigint) as w,
+         ln((md5_number_lower(cast(doc_id as varchar)) % 1048576 + 1)
+            / 1048577.0) / greatest(length(text), 1) as priority
+  from documents)
+order by priority desc, doc_id
+limit 25
+"""
+
+LLM_QUERIES["llm_weighted_sample"] = (q_weighted_sample, SQL_WEIGHTED_SAMPLE)

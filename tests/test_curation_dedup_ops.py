@@ -166,3 +166,29 @@ def test_heavy_hitters_raises_when_uncertifiable(ray_session, tmp_path):
 
     with pytest.raises(RuntimeError, match="MG guarantee"):
         q_heavy_hitters(str(tmp_path), capacity=4, k=10)
+
+
+def test_weighted_sample_matches_bruteforce_aes(ray_session, tmp_path):
+    """A-ES top-n by u^(1/w) (== ln(u)/w order) computed brute-force in
+    Python must equal the distributed result exactly, and the heaviest doc
+    must rank above a same-u light doc."""
+    import math
+
+    from stakgraph_ray.ops.sampling import md5low64
+    from stakgraph_ray.pipelines.queries_llm import q_weighted_sample
+
+    texts = ["x" * (10 + 37 * (i % 13) + (1000 if i == 7 else 0))
+             for i in range(60)]
+    _write_docs(tmp_path, texts)
+
+    M = 1 << 20
+    prio = {}
+    for i, t in enumerate(texts):
+        u = (md5low64(str(i)) % M + 1) / float(M + 1)
+        prio[i] = math.log(u) / max(len(t), 1)
+    want = sorted(prio, key=lambda i: (-prio[i], i))[:25]
+
+    got = q_weighted_sample(str(tmp_path)).take_all()
+    assert [r["doc_id"] for r in got] == want
+    assert {r["doc_id"]: r["w"] for r in got} == \
+        {i: len(texts[i]) for i in want}
