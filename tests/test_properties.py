@@ -56,3 +56,42 @@ def test_partition_column_is_total_and_deterministic(rows, P):
     seen = {}
     for k, p in zip(t["k"].to_pylist(), p1.tolist()):
         assert seen.setdefault(k, p) == p
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=0, max_size=400),
+       st.integers(1, 12),
+       st.integers(1, 4))
+def test_mg_merge_tree_guarantee(stream_ids, capacity, n_batches):
+    """Misra-Gries merge-tree property (Agarwal et al., PODS'12): after
+    compressing each batch and the merged summary, (a) every retained count
+    is a lower bound on the true count, (b) no retained count underestimates
+    by more than the total decrement D, and (c) every key with true count
+    > D survives."""
+    from stakgraph_ray.ops.sketch import mg_compress
+
+    stream = np.array([f"k{i}" for i in stream_ids])
+    true = {k: int(c) for k, c in
+            zip(*np.unique(stream, return_counts=True))} if len(stream) else {}
+    D = 0
+    merged: dict[str, int] = {}
+    for chunk in np.array_split(stream, n_batches):
+        if len(chunk) == 0:
+            continue
+        t, c = np.unique(chunk, return_counts=True)
+        t, c, d = mg_compress(t, c.astype(np.int64), capacity)
+        D += d
+        for k, n in zip(t, c):
+            merged[k] = merged.get(k, 0) + int(n)
+    if merged:
+        mk, mc, d = mg_compress(np.array(list(merged)),
+                                np.array(list(merged.values())), capacity)
+        D += d
+        merged = dict(zip(mk, (int(x) for x in mc)))
+    assert len(merged) <= capacity
+    for k, n in merged.items():
+        assert n <= true[k]            # lower bound
+        assert true[k] - n <= D        # bounded underestimate
+    for k, n in true.items():
+        if n > D:
+            assert k in merged         # heavy keys always survive
