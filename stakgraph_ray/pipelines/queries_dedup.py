@@ -1028,67 +1028,57 @@ DEDUP_QUERIES["mm_media_feature_stats"] = (q_media_feature_stats,
 _PARA_W = 10  # tokens per paragraph window (both sides must agree)
 
 
-def q_paragraph_dedup(sf_dir: str):
-    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2019): split
-    each document into fixed 10-token windows ("paragraphs" — the synthetic
-    corpus has no newline structure, so the window boundary is the
-    deterministic stand-in), first occurrence of each distinct paragraph
-    across the corpus wins (order = (doc_id, win_idx)), and every later
-    copy is marked duplicate. Output is the per-document rollup a cleaning
-    pipeline acts on: paragraph count, duplicated-paragraph count, dup
-    fraction.
+def _paragraph_windows(t: pa.Table) -> pa.Table:
+    """(doc_id, text) batch -> one row per fixed 10-token window: zero-copy
+    — the window list array is rebuilt over the SAME flat token buffer with
+    new offsets, paragraph strings come from one vectorized binary_join."""
+    empty = pa.table({"para": pa.array([], pa.large_string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "win_idx": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    text = pc.cast(t["text"], pa.large_string())
+    toks = pc.split_pattern(
+        text.combine_chunks() if isinstance(text, pa.ChunkedArray)
+        else text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nwin = (lens + _PARA_W - 1) // _PARA_W
+    total = int(nwin.sum())
+    if total == 0:
+        return empty
+    doc_rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), nwin)
+    win_first = np.concatenate(([0], np.cumsum(nwin)))
+    win_within = np.arange(total, dtype=np.int64) \
+        - np.repeat(win_first[:-1], nwin)
+    tok_first = np.concatenate(([0], np.cumsum(lens)))
+    starts = tok_first[doc_rep] + _PARA_W * win_within
+    offsets = np.append(starts, tok_first[-1]).astype(np.int64)
+    win_list = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
+    para = pc.binary_join(win_list, pa.scalar(" ", pa.large_string()))
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)[doc_rep]
+    return pa.table({"para": para,
+                     "doc_id": pa.array(doc, pa.int64()),
+                     "win_idx": pa.array(win_within + 1, pa.int64())})
 
-    Plan shape (2 exchanges, both linear):
-      1. pure-map window explode — tokens stay zero-copy: the window list
-         array is rebuilt over the SAME flat token buffer with new offsets,
-         and the paragraph strings come from one vectorized binary_join;
-      2. hash-partition on the paragraph string (partitioned_apply) — all
-         copies of a paragraph land in one partition, where a factorize +
-         lexsort marks every non-first copy, all vectorized;
-      3. per-batch combiner + grouped_aggregate on doc_id for the rollup.
-    No driver-side state at any point; both shuffles carry one row per
-    window (the paragraph string is dropped after the mark)."""
+
+def _marked_windows(sf_dir: str, carry_para: bool):
+    """Explode windows and mark every non-first copy of each distinct
+    paragraph (first = smallest (doc_id, win_idx)) — ONE hash partition on
+    the paragraph string; the mark is a vectorized factorize + lexsort.
+    carry_para keeps (win_idx, para) through the mark for the rewrite
+    variant; the rollup drops them so its second shuffle ships one slim row
+    per window."""
     import ray.data as rd
 
-    from ..ops.partition import grouped_aggregate, partitioned_apply
-    from ..util import round_half_away
+    from ..ops.partition import partitioned_apply
 
     path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"],
                          override_num_blocks=_anb(path))
-
-    def windows(t: pa.Table) -> pa.Table:
-        empty = pa.table({"para": pa.array([], pa.large_string()),
-                          "doc_id": pa.array([], pa.int64()),
-                          "win_idx": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        text = pc.cast(t["text"], pa.large_string())
-        toks = pc.split_pattern(
-            text.combine_chunks() if isinstance(text, pa.ChunkedArray)
-            else text, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        nwin = (lens + _PARA_W - 1) // _PARA_W
-        total = int(nwin.sum())
-        if total == 0:
-            return empty
-        doc_rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), nwin)
-        win_first = np.concatenate(([0], np.cumsum(nwin)))
-        win_within = np.arange(total, dtype=np.int64) \
-            - np.repeat(win_first[:-1], nwin)
-        tok_first = np.concatenate(([0], np.cumsum(lens)))
-        starts = tok_first[doc_rep] + _PARA_W * win_within
-        offsets = np.append(starts, tok_first[-1]).astype(np.int64)
-        win_list = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
-        para = pc.binary_join(win_list, pa.scalar(" ", pa.large_string()))
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)[doc_rep]
-        return pa.table({"para": para,
-                         "doc_id": pa.array(doc, pa.int64()),
-                         "win_idx": pa.array(win_within + 1, pa.int64())})
 
     def mark(part: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1100,13 +1090,40 @@ def q_paragraph_dedup(sf_dir: str):
         cs = codes[order]
         first = np.ones(len(cs), dtype=bool)
         first[1:] = cs[1:] != cs[:-1]
-        return pa.table({
+        cols = {
             "doc_id": pa.array(doc[order], pa.int64()),
             "is_dup": pa.array((~first).astype(np.int64), pa.int64()),
-        })
+        }
+        if carry_para:
+            oi = pa.array(order, pa.int64())
+            cols["win_idx"] = pa.array(idx[order], pa.int64())
+            cols["para"] = part["para"].combine_chunks().take(oi) \
+                if isinstance(part["para"], pa.ChunkedArray) \
+                else part["para"].take(oi)
+        return pa.table(cols)
 
-    marked = partitioned_apply(
-        ds.map_batches(windows, batch_format="pyarrow"), "para", mark)
+    return partitioned_apply(
+        ds.map_batches(_paragraph_windows, batch_format="pyarrow"),
+        "para", mark)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2019): split
+    each document into fixed 10-token windows ("paragraphs" — the synthetic
+    corpus has no newline structure, so the window boundary is the
+    deterministic stand-in), first occurrence of each distinct paragraph
+    across the corpus wins (order = (doc_id, win_idx)), and every later
+    copy is marked duplicate. Output is the per-document rollup a cleaning
+    pipeline acts on: paragraph count, duplicated-paragraph count, dup
+    fraction.
+
+    Plan shape (2 exchanges, both linear): window explode (pure map) ->
+    paragraph-hash mark (_marked_windows) -> per-batch combiner +
+    grouped_aggregate on doc_id. No driver-side state at any point."""
+    from ..ops.partition import grouped_aggregate
+    from ..util import round_half_away
+
+    marked = _marked_windows(sf_dir, carry_para=False)
 
     def combiner(t: pa.Table) -> pa.Table:
         g = t.group_by(["doc_id"]).aggregate(
@@ -1150,3 +1167,77 @@ from m group by doc_id
 
 DEDUP_QUERIES["dedup_paragraph_exact"] = (q_paragraph_dedup,
                                           SQL_PARAGRAPH_DEDUP)
+
+
+def q_paragraph_rewrite(sf_dir: str):
+    """The CCNet rewrite itself: each document with its duplicate
+    paragraphs REMOVED (kept windows re-joined in window order; a document
+    whose every paragraph was seen earlier becomes NULL, matching SQL
+    string_agg-over-empty). This is the operator a 100-TB cleaning run
+    materializes — the rollup (dedup_paragraph_exact) is its audit table.
+
+    Plan: window explode -> paragraph-hash mark (carrying the paragraph
+    text) -> ONE hash partition on doc_id where each doc's kept windows are
+    re-joined vectorized (sort + run-boundary ListArray + binary_join);
+    docs whose windows were all duplicates are re-emitted with NULL text
+    via a searchsorted alignment, never dropped."""
+    from ..ops.partition import partitioned_apply
+
+    marked = _marked_windows(sf_dir, carry_para=True)
+
+    def assemble(part: pa.Table) -> pa.Table:
+        doc = part["doc_id"].to_numpy(zero_copy_only=False)
+        idx = part["win_idx"].to_numpy(zero_copy_only=False)
+        dup = part["is_dup"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, doc))
+        doc_s, dup_s = doc[order], dup[order]
+        para_col = part["para"]
+        para_s = (para_col.combine_chunks()
+                  if isinstance(para_col, pa.ChunkedArray)
+                  else para_col).take(pa.array(order, pa.int64()))
+        docs_all = np.unique(doc_s)
+        keep = dup_s == 0
+        kept_doc = doc_s[keep]
+        kept_para = para_s.filter(pa.array(keep))
+        # per-doc slice boundaries inside the kept (doc-sorted) run
+        lo = np.searchsorted(kept_doc, docs_all, side="left")
+        hi = np.searchsorted(kept_doc, docs_all, side="right")
+        # ListArray offsets must be monotone: lo == previous hi because
+        # kept_doc is sorted, so [lo_0..lo_n, total] is exactly the fence
+        fence = np.append(lo, len(kept_doc)).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(fence), kept_para)
+        joined = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+        n_kept = (hi - lo).astype(np.int64)
+        clean = pc.if_else(pa.array(n_kept > 0),
+                           pc.cast(joined, pa.string()),
+                           pa.scalar(None, pa.string()))
+        return pa.table({
+            "doc_id": pa.array(docs_all, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "clean_text": clean,
+        })
+
+    return partitioned_apply(marked, "doc_id", assemble)
+
+
+SQL_PARAGRAPH_REWRITE = f"""
+with tok as (select doc_id, string_split(text, ' ') as ts from documents),
+w as (select doc_id, cast(i as bigint) as win_idx,
+             array_to_string(
+               list_slice(ts, (i - 1) * {_PARA_W} + 1, i * {_PARA_W}),
+               ' ') as para
+      from tok, lateral (select unnest(generate_series(1,
+             cast(ceil(len(ts) / {_PARA_W}.0) as bigint))) as i) g),
+m as (select doc_id, win_idx, para,
+             case when row_number() over (partition by para
+                    order by doc_id, win_idx) = 1 then 0 else 1 end as is_dup
+      from w)
+select doc_id,
+       cast(count(*) filter (where is_dup = 0) as bigint) as n_kept,
+       string_agg(para, ' ' order by win_idx) filter (where is_dup = 0)
+         as clean_text
+from m group by doc_id
+"""
+
+DEDUP_QUERIES["dedup_paragraph_rewrite"] = (q_paragraph_rewrite,
+                                            SQL_PARAGRAPH_REWRITE)

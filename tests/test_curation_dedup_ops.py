@@ -192,3 +192,26 @@ def test_weighted_sample_matches_bruteforce_aes(ray_session, tmp_path):
     assert [r["doc_id"] for r in got] == want
     assert {r["doc_id"]: r["w"] for r in got} == \
         {i: len(texts[i]) for i in want}
+
+
+def test_paragraph_rewrite_reconstructs_and_nulls(ray_session, tmp_path):
+    """Rewrite property gates: an all-unique doc reconstructs its original
+    text byte-exactly (windows partition the token stream), an all-dup doc
+    becomes NULL (not empty string, not dropped), and a partial doc keeps
+    exactly its non-duplicate windows in window order."""
+    from stakgraph_ray.pipelines.queries_dedup import q_paragraph_rewrite
+
+    base = " ".join(f"w{i % 9}" for i in range(25))
+    uniq = " ".join(f"u{i}" for i in range(23))
+    texts = [base, base, uniq, base + " tail extra bit"]
+    _write_docs(tmp_path, texts)
+
+    got = {r["doc_id"]: r for r in q_paragraph_rewrite(str(tmp_path)).take_all()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["clean_text"] == base and got[0]["n_kept"] == 3
+    assert got[1]["clean_text"] is None and got[1]["n_kept"] == 0
+    assert got[2]["clean_text"] == uniq and got[2]["n_kept"] == 3
+    # doc 3: windows 1-2 duplicate doc 0's; window 3 ("w0..w4 tail extra
+    # bit") differs from doc 0's third window, so only it survives
+    toks = texts[3].split(" ")
+    assert got[3]["clean_text"] == " ".join(toks[20:]) and got[3]["n_kept"] == 1
