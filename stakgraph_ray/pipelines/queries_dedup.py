@@ -1028,13 +1028,15 @@ DEDUP_QUERIES["mm_media_feature_stats"] = (q_media_feature_stats,
 _PARA_W = 10  # tokens per paragraph window (both sides must agree)
 
 
-def _paragraph_windows(t: pa.Table) -> pa.Table:
+def _paragraph_windows(t: pa.Table, carry: tuple = ()) -> pa.Table:
     """(doc_id, text) batch -> one row per fixed 10-token window: zero-copy
     — the window list array is rebuilt over the SAME flat token buffer with
-    new offsets, paragraph strings come from one vectorized binary_join."""
+    new offsets, paragraph strings come from one vectorized binary_join.
+    ``carry`` names additional doc-level columns replicated per window."""
     empty = pa.table({"para": pa.array([], pa.large_string()),
                       "doc_id": pa.array([], pa.int64()),
-                      "win_idx": pa.array([], pa.int64())})
+                      "win_idx": pa.array([], pa.int64()),
+                      **{c: t[c].slice(0, 0) for c in carry}})
     if t.num_rows == 0:
         return empty
     text = pc.cast(t["text"], pa.large_string())
@@ -1060,9 +1062,13 @@ def _paragraph_windows(t: pa.Table) -> pa.Table:
     win_list = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
     para = pc.binary_join(win_list, pa.scalar(" ", pa.large_string()))
     doc = t["doc_id"].to_numpy(zero_copy_only=False)[doc_rep]
+    rep_idx = pa.array(doc_rep, pa.int64())
     return pa.table({"para": para,
                      "doc_id": pa.array(doc, pa.int64()),
-                     "win_idx": pa.array(win_within + 1, pa.int64())})
+                     "win_idx": pa.array(win_within + 1, pa.int64()),
+                     **{c: (t[c].combine_chunks()
+                            if isinstance(t[c], pa.ChunkedArray)
+                            else t[c]).take(rep_idx) for c in carry}})
 
 
 def _marked_windows(sf_dir: str, carry_para: bool):
@@ -1241,3 +1247,112 @@ from m group by doc_id
 
 DEDUP_QUERIES["dedup_paragraph_rewrite"] = (q_paragraph_rewrite,
                                             SQL_PARAGRAPH_REWRITE)
+
+
+def q_boilerplate_paras(sf_dir: str):
+    """Per-host boilerplate paragraph detection (the C4/CCNet boilerplate-
+    removal half — headers/footers/navigation repeat WITHIN a host, which
+    global dedup's first-wins keeps once per corpus instead of removing):
+    a paragraph is boilerplate for its source when >= 2 distinct docs of
+    that source contain it AND it appears in > 5% of the source's docs.
+    Output is the per-doc rollup (n_paras, n_boiler, boiler_frac).
+
+    Plan (2 linear exchanges, mirror of dedup_paragraph_exact): window
+    explode carrying source -> ONE hash partition on (source, para) where
+    the distinct-doc count per paragraph and the threshold test are
+    vectorized (factorize + unique pairs), docs-per-source resolved from a
+    |sources|-row broadcast dict -> per-doc combiner + grouped_aggregate.
+    The threshold compare is cast(nd as double)/D > 0.05 on BOTH sides
+    (IEEE division, identical literal), so the mark is bit-consistent with
+    the oracle."""
+    import ray.data as rd
+
+    from ..ops.partition import grouped_aggregate, low_card_aggregate, \
+        partitioned_apply
+    from ..util import round_half_away
+
+    path = f"{sf_dir}/documents.parquet"
+    docs_per_src = {
+        r["source"]: r["n_docs"]
+        for r in low_card_aggregate(
+            rd.read_parquet(path, columns=["source"],
+                            override_num_blocks=_anb(path)),
+            "source", [("source", "count_all")], ["n_docs"]).take_all()}
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "source"],
+                         override_num_blocks=_anb(path))
+    wins = ds.map_batches(
+        lambda t: _paragraph_windows(t, carry=("source",)),
+        batch_format="pyarrow")
+
+    def mark(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = part["source"].to_numpy(zero_copy_only=False)
+        para = part["para"].to_numpy(zero_copy_only=False)
+        doc = part["doc_id"].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays([src, para]), sort=False)
+        # distinct docs per (source, para): unique over (code, doc) pairs
+        pair = np.unique(np.stack([codes, doc], axis=1), axis=0)
+        nd = np.bincount(pair[:, 0], minlength=int(codes.max()) + 1 if
+                         len(codes) else 0).astype(np.float64)
+        D = pd.Series(src).map(docs_per_src).to_numpy(dtype=np.float64)
+        nd_row = nd[codes]
+        boiler = (nd_row >= 2) & (nd_row / D > 0.05)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "is_boiler": pa.array(boiler.astype(np.int64), pa.int64()),
+        })
+
+    marked = partitioned_apply(wins, ["source", "para"], mark)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id"]).aggregate(
+            [("is_boiler", "count"), ("is_boiler", "sum")])
+        return g.rename_columns(["doc_id", "n_paras", "n_boiler"])
+
+    agg = grouped_aggregate(
+        marked.map_batches(combiner, batch_format="pyarrow"),
+        "doc_id", [("n_paras", "sum"), ("n_boiler", "sum")],
+        ["n_paras", "n_boiler"])
+
+    def frac(t: pa.Table) -> pa.Table:
+        nb = t["n_boiler"].to_numpy(zero_copy_only=False).astype(np.float64)
+        np_ = t["n_paras"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_paras": pc.cast(t["n_paras"], pa.int64()),
+            "n_boiler": pc.cast(t["n_boiler"], pa.int64()),
+            "boiler_frac": pa.array(round_half_away(nb / np_, 4),
+                                    pa.float64()),
+        })
+
+    return agg.map_batches(frac, batch_format="pyarrow")
+
+
+SQL_BOILERPLATE = f"""
+with tok as (select doc_id, source, string_split(text, ' ') as ts
+             from documents),
+w as (select doc_id, source, cast(i as bigint) as win_idx,
+             array_to_string(
+               list_slice(ts, (i - 1) * {_PARA_W} + 1, i * {_PARA_W}),
+               ' ') as para
+      from tok, lateral (select unnest(generate_series(1,
+             cast(ceil(len(ts) / {_PARA_W}.0) as bigint))) as i) g),
+d as (select source, count(*) as n_docs from documents group by source),
+f as (select source, para, count(distinct doc_id) as nd
+      from w group by 1, 2),
+m as (select w.doc_id,
+             case when f.nd >= 2
+                   and cast(f.nd as double) / d.n_docs > 0.05
+                  then 1 else 0 end as is_boiler
+      from w join f using (source, para) join d using (source))
+select doc_id, count(*) as n_paras,
+       cast(sum(is_boiler) as bigint) as n_boiler,
+       round(cast(sum(is_boiler) as double) / count(*), 4) as boiler_frac
+from m group by doc_id
+"""
+
+DEDUP_QUERIES["txt_boilerplate_paras"] = (q_boilerplate_paras,
+                                          SQL_BOILERPLATE)

@@ -215,3 +215,32 @@ def test_paragraph_rewrite_reconstructs_and_nulls(ray_session, tmp_path):
     # bit") differs from doc 0's third window, so only it survives
     toks = texts[3].split(" ")
     assert got[3]["clean_text"] == " ".join(toks[20:]) and got[3]["n_kept"] == 1
+
+
+def test_boilerplate_is_per_source_and_thresholded(ray_session, tmp_path):
+    """A paragraph in 3/10 docs of source A is boilerplate for those docs;
+    the SAME paragraph in 1 doc of source B is not (per-source statistic);
+    a paragraph in only 1 doc anywhere never is."""
+    import pyarrow.parquet as pq
+
+    from stakgraph_ray.pipelines.queries_dedup import q_boilerplate_paras
+
+    footer = " ".join(f"f{i}" for i in range(10))
+    rows = []
+    for i in range(10):  # source A: docs 0-9, footer on docs 0,1,2
+        body = " ".join(f"a{i}x{j}" for j in range(10))
+        rows.append((i, (footer + " " + body) if i < 3 else body, "A"))
+    rows.append((10, footer + " " + " ".join(f"b{j}" for j in range(10)), "B"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_boilerplate_paras(str(tmp_path)).take_all()}
+    for i in range(3):   # footer docs in A: 1 of 2 windows is boilerplate
+        assert got[i]["n_paras"] == 2 and got[i]["n_boiler"] == 1, got[i]
+    for i in range(3, 10):
+        assert got[i]["n_boiler"] == 0
+    # source B has 1 doc: nd=1 for its footer there -> not boilerplate
+    assert got[10]["n_boiler"] == 0 and got[10]["n_paras"] == 2
