@@ -1841,3 +1841,185 @@ group by grouping sets ((o_orderstatus), (o_orderpriority))
 
 REL_QUERIES["rel_status_priority_sets"] = (q_status_priority_sets,
                                            SQL_STATUS_PRIORITY_SETS)
+
+
+def q_order_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape — correlated EXISTS as a distributed semi join:
+    orders in a 3-month window are kept iff at least one of their lineitems
+    has l_returnflag='R', then counted per priority. Scale shape: the
+    R-lineitem orderkeys NEVER collect to the driver — the exact membership
+    check is membership_filter_hp's ONE keyed shuffle (key rows ride as
+    tagged rows next to the payload), and the final count is a per-batch
+    combiner (priority has 5 values). Cf. the reference's existence-gated
+    probe edges (ast/src/builder probes: emit iff a matching child row
+    exists)."""
+    from datetime import datetime
+
+    from ..ops.partition import low_card_aggregate, membership_filter_hp
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def window(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(datetime(1996, 7, 1))),
+            pc.less(t["o_orderdate"], pa.scalar(datetime(1996, 10, 1))))
+        return t.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    win = orders.map_batches(window, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    rkeys = li.map_batches(
+        lambda t: pa.table({"o_orderkey": t.filter(
+            pc.equal(t["l_returnflag"], "R"))["l_orderkey"]}),
+        batch_format="pyarrow")
+
+    kept = membership_filter_hp(
+        win, rkeys, "o_orderkey", keep=True,
+        payload_schema=pa.schema([("o_orderkey", pa.int64()),
+                                  ("o_orderpriority", pa.string())]))
+    return low_card_aggregate(kept, ["o_orderpriority"],
+                              [(None, "count_all")], ["order_count"])
+
+
+SQL_ORDER_PRIORITY_EXISTS = """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1996-07-01'
+  and o_orderdate < timestamp '1996-10-01'
+  and exists (select 1 from lineitem
+              where l_orderkey = o_orderkey and l_returnflag = 'R')
+group by o_orderpriority
+"""
+
+REL_QUERIES["rel_order_priority_exists"] = (q_order_priority_exists,
+                                            SQL_ORDER_PRIORITY_EXISTS)
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — correlated scalar subquery against the SAME table
+    (lineitems whose quantity is below 0.2x their part's average quantity):
+    the grouped average and the row filter are fused into ONE hash
+    partition by l_partkey (partitioned_apply), so the self-"join" never
+    leaves the partition. The brand gate is a broadcast semi filter (part
+    is the dim side: |partkeys of one brand| ~ |part|/25). The 0.2x-avg
+    comparison is EXACT integer arithmetic (quantities are integral):
+    qty < 0.2 * sum/cnt  <=>  5*qty*cnt < sum — no float division on
+    either side, so only the final revenue sum needs the round(,2)
+    convention."""
+    from ..ops.partition import partitioned_apply
+    from ..ops.relational import broadcast, _resolve
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pk = part.map_batches(
+        lambda t: pa.table({"p_partkey": t.filter(
+            pc.equal(t["p_brand"], "Brand#1"))["p_partkey"]}),
+        batch_format="pyarrow").unique("p_partkey")
+    ref = broadcast(np.asarray(sorted(pk), dtype=np.int64))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_gate(t: pa.Table) -> pa.Table:
+        keys = _resolve(ref)
+        got = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, got)
+        idx[idx == len(keys)] = 0
+        return t.filter(pa.array(keys[idx] == got))
+
+    gated = li.map_batches(brand_gate, batch_format="pyarrow")
+
+    def small_qty(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        codes, _ = pd.factorize(
+            t["l_partkey"].to_numpy(zero_copy_only=False))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = np.bincount(codes)
+        sumq = np.bincount(codes, weights=qty).astype(np.int64)
+        keep = 5 * qty * cnt[codes] < sumq[codes]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"sum_price": pa.array([float(price.sum())],
+                                               pa.float64()),
+                         "n_small": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = partitioned_apply(gated, "l_partkey", small_qty).take_all()
+    total = sum(r["sum_price"] for r in parts)
+    n = sum(r["n_small"] for r in parts)
+    from ..util import round_half_away
+
+    return pa.table({"avg_yearly": pa.array(
+        round_half_away(np.array([total / 7.0]), 2), pa.float64()),
+        "n_small": pa.array([n], pa.int64())})
+
+
+SQL_SMALL_QTY_REVENUE = """
+select round(sum(l.l_extendedprice) / 7.0, 2) as avg_yearly,
+       count(*) as n_small
+from lineitem l join part p on p.p_partkey = l.l_partkey
+where p.p_brand = 'Brand#1'
+  and 5 * cast(l.l_quantity as bigint)
+        * (select count(*) from lineitem l2
+           where l2.l_partkey = l.l_partkey)
+      < (select cast(sum(l2.l_quantity) as bigint) from lineitem l2
+         where l2.l_partkey = l.l_partkey)
+"""
+
+REL_QUERIES["rel_small_qty_revenue"] = (q_small_qty_revenue,
+                                        SQL_SMALL_QTY_REVENUE)
+
+
+def q_building_f_orders_full(sf_dir: str):
+    """FULL OUTER equi-join — the last uncovered join type: BUILDING-segment
+    customers x their 'F'-status order counts, keeping BOTH unmatched sides
+    (customers with zero F orders AND F orders whose customer is outside
+    the segment, c_name null). One cogroup_join_hp exchange; the per-key
+    count is fused into the join's per-partition `post` hook (rows are
+    still hash-co-located by custkey there, so the grouped count is
+    globally correct without a second exchange)."""
+    from ..ops.partition import cogroup_join_hp
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name",
+                                              "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey", "c_name"]), batch_format="pyarrow")
+    def f_orders(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({"c_custkey": f["o_custkey"],
+                         "o_orderkey": f["o_orderkey"]})
+
+    ords = _read(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_orderstatus"]) \
+        .map_batches(f_orders, batch_format="pyarrow")
+
+    def count_per_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_custkey", "c_name"]).aggregate(
+            [("o_orderkey", "count")])
+        return g.rename_columns(["c_custkey", "c_name", "f_orders"])
+
+    return cogroup_join_hp(
+        cust, ords, "c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_name", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("o_orderkey", pa.int64())]),
+        join_type="full outer", post=count_per_cust)
+
+
+SQL_BUILDING_F_ORDERS_FULL = """
+select coalesce(c.c_custkey, o.o_custkey) as c_custkey,
+       c.c_name,
+       count(o.o_orderkey) as f_orders
+from (select c_custkey, c_name from customer
+      where c_mktsegment = 'BUILDING') c
+full join (select o_custkey, o_orderkey from orders
+           where o_orderstatus = 'F') o
+  on c.c_custkey = o.o_custkey
+group by 1, 2
+"""
+
+REL_QUERIES["rel_full_outer_join"] = (q_building_f_orders_full,
+                                      SQL_BUILDING_F_ORDERS_FULL)

@@ -629,3 +629,90 @@ def test_q5_broadcast_and_cogroup_paths_identical(ray_session, sf_tiny):
     assert fast.schema == slow.schema
     assert fast.to_pylist() == slow.to_pylist()
     assert fast.num_rows >= 1
+
+
+def _write_q4_q17_dir(tmp_path):
+    """Hand-built micro tables with known Q4/Q17 answers."""
+    from datetime import datetime
+
+    import pyarrow.parquet  # noqa: F401 — enables the pa.parquet accessor
+
+    d = str(tmp_path)
+    inside, outside = datetime(1996, 8, 15), datetime(1997, 3, 1)
+    pa.parquet.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([inside, inside, inside, outside],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH",
+                                     "1-URGENT"], pa.string()),
+    }), f"{d}/orders.parquet")
+    # order 1: has an R lineitem; order 2: only N; order 3: R; order 4: R
+    # but outside the window. Q17 side: part 1 qty [1, 10] (only qty=1 is
+    # < 0.2*avg: 5*1*2=10 < 11), part 2 qty [4,4,4] (none), part 3 other
+    # brand (excluded).
+    pa.parquet.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4, 1], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "N", "R", "R", "N"],
+                                 pa.string()),
+        "l_partkey": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 4.0, 4.0, 4.0, 99.0],
+                               pa.float64()),
+        "l_extendedprice": pa.array([100.0, 5.0, 7.0, 7.0, 7.0, 1.0],
+                                    pa.float64()),
+    }), f"{d}/lineitem.parquet")
+    pa.parquet.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#1", "Brand#2"], pa.string()),
+    }), f"{d}/part.parquet")
+    return d
+
+
+def test_order_priority_exists_semantics(ray_session, tmp_path):
+    """Q4 shape: window gate + EXISTS semi join + priority count, verified
+    against a hand-computed answer (order 1 and 3 qualify; 2 has no R
+    lineitem; 4 is outside the date window)."""
+    from stakgraph_ray.pipelines.queries_rel import q_order_priority_exists
+
+    d = _write_q4_q17_dir(tmp_path)
+    got = {r["o_orderpriority"]: r["order_count"]
+           for r in q_order_priority_exists(d).take_all()}
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_small_qty_revenue_exact_integer_filter(ray_session, tmp_path):
+    """Q17 shape: the 0.2x-avg gate is exact integer arithmetic — qty=1 of
+    part 1 (avg 5.5) qualifies, the uniform-qty part 2 contributes nothing,
+    and the other-brand part 3 is excluded by the broadcast gate."""
+    from stakgraph_ray.pipelines.queries_rel import q_small_qty_revenue
+
+    d = _write_q4_q17_dir(tmp_path)
+    out = q_small_qty_revenue(d).to_pylist()[0]
+    assert out["n_small"] == 1
+    assert out["avg_yearly"] == round(100.0 / 7.0, 2)
+
+
+def test_full_outer_join_keeps_both_unmatched_sides(ray_session, tmp_path):
+    """rel_full_outer_join: BUILDING customers with zero F orders survive
+    (f_orders=0), F orders from non-BUILDING customers survive with a null
+    c_name, and each custkey appears exactly once."""
+    import pyarrow.parquet  # noqa: F401 — enables the pa.parquet accessor
+
+    from stakgraph_ray.pipelines.queries_rel import q_building_f_orders_full
+
+    d = str(tmp_path)
+    pa.parquet.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["alice", "bob", "carol"], pa.string()),
+        "c_mktsegment": pa.array(["BUILDING", "BUILDING", "OTHER"],
+                                 pa.string()),
+    }), f"{d}/customer.parquet")
+    pa.parquet.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_orderstatus": pa.array(["P", "F", "F", "F"], pa.string()),
+    }), f"{d}/orders.parquet")
+    rows = {r["c_custkey"]: r for r in q_building_f_orders_full(d).take_all()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["c_name"] == "alice" and rows[1]["f_orders"] == 0
+    assert rows[2]["c_name"] == "bob" and rows[2]["f_orders"] == 2
+    assert rows[3]["c_name"] is None and rows[3]["f_orders"] == 1
