@@ -412,3 +412,74 @@ def mg_compress(keys: np.ndarray, counts: np.ndarray,
               [len(counts) - capacity - 1])
     kept = counts > kth
     return keys[kept], counts[kept] - kth, kth
+
+
+# ----------------------------------------------------------------- KMV
+
+def kmv_merge(mins: np.ndarray, more: np.ndarray, k: int) -> np.ndarray:
+    """Merge two KMV (k-minimum-values) summaries: union of the distinct
+    hash sets, keep the k smallest (sorted ascending). Associative and
+    commutative, so any merge tree yields the same summary."""
+    u = np.unique(np.concatenate([mins.astype(np.uint64),
+                                  more.astype(np.uint64)]))
+    return u[:k]
+
+
+def kmv_estimate_exact(mins: np.ndarray, k: int) -> int:
+    """KMV distinct estimate (Bar-Yossef et al. 2002): if fewer than k
+    distinct hashes were seen the count is exact; otherwise
+    (k-1) / R_k where R_k is the k-th smallest hash normalized to (0,1].
+    The float chain is one multiply + one divide + floor(x+0.5), each a
+    single IEEE op, so a SQL oracle reproduces the integer bit-for-bit
+    (queries_dedup.SQL_KMV_DISTINCT)."""
+    if len(mins) < k:
+        return int(len(mins))
+    e = (k - 1) * 18446744073709551616.0 / float(int(mins[k - 1]))
+    return int(np.floor(e + 0.5))
+
+
+def kmv_distinct_stable(ds, col: str, k: int = 256) -> int:
+    """Distributed KMV distinct count with the version-stable md5 hash
+    family: ONE pure-map pass, O(blocks x k) uint64s to the driver, driver
+    merge — the order-statistic sibling of approx_distinct_stable (HLL).
+    Unlike HLL its state is a set of raw hash minima, so summaries also
+    support set UNION estimates for free (merge = union of minima)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mins = np.sort(_md5_hashes_distinct(t[col]))[:k]
+        return pa.table({"mins": pa.array([mins], pa.list_(pa.uint64()))})
+
+    merged = np.array([], dtype=np.uint64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged = kmv_merge(merged, np.asarray(r["mins"], dtype=np.uint64), k)
+    return kmv_estimate_exact(merged, k)
+
+
+def grouped_kmv_distinct_stable(ds, key: str, col: str, k: int = 256) -> dict:
+    """Grouped KMV for LOW-cardinality keys (per-batch per-group minima
+    rows, driver merge). Null keys form ONE group; null values are dropped
+    per group but the group itself is kept (SQL count(distinct v) GROUP BY
+    semantics) — mirrors grouped_approx_distinct_stable."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys_np = np.array(t[key].to_pylist(), dtype=object)
+        codes, uniques = pd.factorize(keys_np, use_na_sentinel=False)
+        valid = pc.is_valid(t[col]).to_numpy(zero_copy_only=False)
+        c = t[col]
+        vcol = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        out_keys, out_mins = [], []
+        for gi, kk in enumerate(uniques):
+            hs = _md5_hashes_distinct(
+                vcol.filter(pa.array((codes == gi) & valid)))
+            out_keys.append(None if (kk is None or kk != kk) else kk)
+            out_mins.append(np.sort(hs)[:k])
+        return pa.table({key: pa.array(out_keys),
+                         "mins": pa.array(out_mins, pa.list_(pa.uint64()))})
+
+    merged: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        mins = np.asarray(r["mins"], dtype=np.uint64)
+        g = r[key]
+        merged[g] = kmv_merge(merged[g], mins, k) if g in merged else mins
+    return {g: kmv_estimate_exact(m, k) for g, m in merged.items()}

@@ -1356,3 +1356,51 @@ from m group by doc_id
 
 DEDUP_QUERIES["txt_boilerplate_paras"] = (q_boilerplate_paras,
                                           SQL_BOILERPLATE)
+
+
+def q_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) approximate distinct customers per order
+    status — the order-statistic sketch next to HLL (Bar-Yossef et al.
+    2002): each batch keeps the k=256 smallest md5 hashes of its distinct
+    values per group, the driver unions minima (O(blocks x groups x k)
+    uint64s, mergeable in any tree order). Estimate (k-1)/R_k is a single
+    multiply+divide float chain over exact integers, so the SQL oracle
+    reproduces every group's integer bit-for-bit; the accuracy/merge gates
+    live in pytest (tests/test_windows_quantile.py)."""
+    import ray.data as rd
+
+    from ..ops.sketch import grouped_kmv_distinct_stable
+    from ..util import adaptive_num_blocks
+
+    path = f"{sf_dir}/orders.parquet"
+    ds = rd.read_parquet(path, columns=["o_orderstatus", "o_custkey"],
+                         override_num_blocks=adaptive_num_blocks(path))
+    est = grouped_kmv_distinct_stable(ds, "o_orderstatus", "o_custkey",
+                                      k=256)
+    keys = sorted(est, key=lambda k: (k is None, k))
+    return pa.table({"o_orderstatus": pa.array(keys, pa.string()),
+                     "approx_distinct_custkeys": pa.array(
+                         [est[k] for k in keys], pa.int64())})
+
+
+# Exact mirror of grouped_kmv_distinct_stable at k=256: the distinct md5
+# hash SET per group (set semantics — a hash collision collapses on both
+# sides), the 256 smallest by window rank, count + max as the summary,
+# and the same single-multiply single-divide float chain.
+SQL_KMV_DISTINCT = """
+with v as (select distinct o_orderstatus as k, o_custkey as v from orders
+           where o_custkey is not null),
+h as (select distinct k, md5_number_lower(cast(v as varchar)) as h from v),
+r as (select k, h, row_number() over (partition by k order by h) as rn
+      from h),
+kk as (select k, count(*) as c, max(h) as hk from r where rn <= 256
+       group by k)
+select k as o_orderstatus,
+       case when c < 256 then cast(c as bigint)
+            else cast(floor(255 * 18446744073709551616.0
+                            / cast(hk as double) + 0.5) as bigint)
+       end as approx_distinct_custkeys
+from kk
+"""
+
+DEDUP_QUERIES["agg_kmv_distinct"] = (q_kmv_distinct, SQL_KMV_DISTINCT)

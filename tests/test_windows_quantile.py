@@ -716,3 +716,35 @@ def test_full_outer_join_keeps_both_unmatched_sides(ray_session, tmp_path):
     assert rows[1]["c_name"] == "alice" and rows[1]["f_orders"] == 0
     assert rows[2]["c_name"] == "bob" and rows[2]["f_orders"] == 2
     assert rows[3]["c_name"] is None and rows[3]["f_orders"] == 1
+
+
+def test_kmv_accuracy_merge_and_exact_tail(ray_session):
+    """KMV sketch: (a) below k the count is exact, (b) above k the estimate
+    is within the order-statistic error envelope (~1/sqrt(k)), (c) merging
+    split summaries equals the whole-stream summary (any tree order)."""
+    import ray.data as rd
+
+    from stakgraph_ray.ops.sketch import (kmv_distinct_stable, kmv_merge,
+                                          kmv_estimate_exact,
+                                          _md5_hashes_distinct)
+
+    # (a) exact below k
+    small = pa.table({"x": pa.array(list(range(100)), pa.int64())})
+    assert kmv_distinct_stable(rd.from_arrow(small), "x", k=256) == 100
+
+    # (b) accuracy: 20k distinct ints, k=256 -> rel std err ~6.3%
+    rng = np.random.RandomState(11)
+    vals = np.unique(rng.randint(0, 10**12, 20000).astype(np.int64))
+    ds = rd.from_arrow(pa.table({"x": pa.array(
+        np.repeat(vals, 3), pa.int64())}))  # duplicates must not matter
+    est = kmv_distinct_stable(ds, "x", k=256)
+    assert abs(est - len(vals)) / len(vals) < 0.25, (est, len(vals))
+
+    # (c) merge == whole, in either order
+    h = np.sort(_md5_hashes_distinct(pa.array([str(v) for v in vals])))
+    a, b = h[::2], h[1::2]
+    whole = h[:256]
+    m1 = kmv_merge(np.sort(a)[:256], np.sort(b)[:256], 256)
+    m2 = kmv_merge(np.sort(b)[:256], np.sort(a)[:256], 256)
+    assert (m1 == whole).all() and (m2 == whole).all()
+    assert kmv_estimate_exact(m1, 256) == kmv_estimate_exact(whole, 256)
