@@ -989,3 +989,53 @@ limit 25
 """
 
 LLM_QUERIES["llm_weighted_sample"] = (q_weighted_sample, SQL_WEIGHTED_SAMPLE)
+
+
+def q_quality_logit(sf_dir: str):
+    """Deterministic linear quality classifier (the fasttext/logistic-score
+    stand-in every curation pipeline runs): per doc, a fixed-weight linear
+    score over vectorized features (token count, stopword ratio) and a
+    pass flag. Pure map, no shuffle; the score is evaluated in the SAME
+    operation order as the SQL oracle (left-assoc sum of products over
+    identical doubles), so z and the z > 0 gate are bit-exact — no
+    model-randomness, no float boundary."""
+    from ..util import round_half_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    stopset = pa.array(sorted(["the", "a"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        n_tok = np.asarray(toks.value_lengths(), dtype=np.int64)
+        flat = toks.flatten()
+        is_stop = pc.is_in(flat, value_set=stopset) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        parent = np.repeat(np.arange(t.num_rows), n_tok)
+        stops = np.bincount(parent, weights=is_stop, minlength=t.num_rows)
+        sr = stops / np.maximum(n_tok, 1)
+        z = (-0.1 + 0.004 * n_tok) - 1.5 * sr  # order pinned to the oracle
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "z": pa.array(round_half_away(z, 4), pa.float64()),
+            "quality_pass": pa.array(z > 0.0)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_QUALITY_LOGIT = """
+with f as (select doc_id,
+                  cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                  len(list_filter(string_split(text, ' '),
+                                  x -> x in ('the', 'a')))
+                    / cast(len(string_split(text, ' ')) as double) as sr
+           from documents)
+select doc_id, n_tokens,
+       round((cast(-0.1 as double) + cast(0.004 as double) * n_tokens)
+             - cast(1.5 as double) * sr, 4) as z,
+       ((cast(-0.1 as double) + cast(0.004 as double) * n_tokens)
+        - cast(1.5 as double) * sr) > 0.0 as quality_pass
+from f
+"""
+
+LLM_QUERIES["llm_quality_logit"] = (q_quality_logit, SQL_QUALITY_LOGIT)

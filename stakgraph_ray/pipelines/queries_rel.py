@@ -2023,3 +2023,344 @@ group by 1, 2
 
 REL_QUERIES["rel_full_outer_join"] = (q_building_f_orders_full,
                                       SQL_BUILDING_F_ORDERS_FULL)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — conditional-share ratio over a fact x dim join:
+    the % of a quarter's revenue that came from PROMO parts. The dim side
+    (promo partkeys) is broadcast once (ray.put) and probed per batch with
+    a searchsorted membership test; the two revenue sums are per-batch
+    partials merged on the driver (2 doubles per block — no shuffle at any
+    corpus size). Cf. the reference's conditional coverage rollups
+    (ast/src/builder/utils.rs:61-74)."""
+    from datetime import datetime
+
+    from ..ops.relational import broadcast, _resolve
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = np.sort(part.filter(pc.equal(part["p_type"], "PROMO"))
+                    ["p_partkey"].to_numpy(zero_copy_only=False))
+    ref = broadcast(promo)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(datetime(1997, 1, 1))),
+            pc.less(t["l_shipdate"], pa.scalar(datetime(1997, 4, 1))))
+        t = t.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"])) \
+            .to_numpy(zero_copy_only=False)
+        keys = _resolve(ref)
+        got = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, got)
+        if len(keys):
+            idx[idx == len(keys)] = 0
+            is_promo = keys[idx] == got
+        else:
+            is_promo = np.zeros(len(got), dtype=bool)
+        return pa.table({
+            "promo_rev": pa.array([float(rev[is_promo].sum())], pa.float64()),
+            "total_rev": pa.array([float(rev.sum())], pa.float64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    promo_rev = sum(r["promo_rev"] for r in parts)
+    total_rev = sum(r["total_rev"] for r in parts)
+    from ..util import round_half_away
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "promo_pct": pa.array(
+            round_half_away(np.array([100.0 * promo_rev / total_rev]), 4),
+            pa.float64()),
+        "total_rev": pa.array(
+            round_half_away(np.array([total_rev]), 2), pa.float64())}))
+
+
+SQL_PROMO_REVENUE = """
+select round(100.0 * sum(case when p.p_type = 'PROMO'
+                              then l.l_extendedprice * (1 - l.l_discount)
+                              else 0 end)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) as promo_pct,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as total_rev
+from lineitem l join part p on p.p_partkey = l.l_partkey
+where l.l_shipdate >= timestamp '1997-01-01'
+  and l.l_shipdate < timestamp '1997-04-01'
+"""
+
+REL_QUERIES["rel_promo_revenue"] = (q_promo_revenue, SQL_PROMO_REVENUE)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — OR-of-conjunctions predicate join: revenue from
+    three (brand, size-range, qty-range) branches. The dim attributes
+    (partkey -> brand, size) are broadcast as parallel sorted arrays; each
+    batch evaluates the whole disjunction vectorized (numpy boolean
+    algebra) — no shuffle, one broadcast, partial sums to the driver."""
+    from ..ops.relational import broadcast, _resolve
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    order = np.argsort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    ref = broadcast({
+        "pk": part["p_partkey"].to_numpy(zero_copy_only=False)[order],
+        "brand": part["p_brand"].to_numpy(zero_copy_only=False)[order],
+        "size": part["p_size"].to_numpy(zero_copy_only=False)[order]})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    BRANCHES = [("Brand#1", 1, 15, 1, 20),
+                ("Brand#2", 10, 30, 10, 30),
+                ("Brand#3", 20, 50, 20, 40)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = _resolve(ref)
+        got = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(d["pk"], got)
+        idx[idx == len(d["pk"])] = 0
+        found = d["pk"][idx] == got
+        brand, size = d["brand"][idx], d["size"][idx]
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in BRANCHES:
+            keep |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        keep &= found
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"])) \
+            .to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"revenue": pa.array([float(rev.sum())], pa.float64()),
+                         "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    from ..util import round_half_away
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "revenue": pa.array(round_half_away(
+            np.array([sum(r["revenue"] for r in parts)]), 2), pa.float64()),
+        "n_rows": pa.array([sum(r["n_rows"] for r in parts)], pa.int64())}))
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+select round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue,
+       count(*) as n_rows
+from lineitem l join part p on p.p_partkey = l.l_partkey
+where (p.p_brand = 'Brand#1' and p.p_size between 1 and 15
+       and l.l_quantity between 1 and 20)
+   or (p.p_brand = 'Brand#2' and p.p_size between 10 and 30
+       and l.l_quantity between 10 and 30)
+   or (p.p_brand = 'Brand#3' and p.p_size between 20 and 50
+       and l.l_quantity between 20 and 40)
+"""
+
+REL_QUERIES["rel_disjunctive_revenue"] = (q_disjunctive_revenue,
+                                          SQL_DISJUNCTIVE_REVENUE)
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape — HAVING-subquery semi join: orders whose lineitems
+    sum to > 250 units, with customer names. The qty rollup is ONE
+    hash-partitioned aggregate (grouped_aggregate — orderkey is
+    corpus-cardinality); the surviving keys stay a Dataset and meet orders
+    in a second co-group exchange (cogroup_join_hp, never collected);
+    customer is the broadcast dim side. Output is bounded by the HAVING
+    selectivity (~1% of orders)."""
+    from ..ops.partition import cogroup_join_hp, grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    totals = grouped_aggregate(li, "l_orderkey", [("l_quantity", "sum")],
+                               ["total_qty"])
+    big = totals.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], 250.0))
+        .rename_columns(["o_orderkey", "total_qty"]),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice",
+                            "o_orderdate"])
+    joined = cogroup_join_hp(
+        orders, big, "o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64()),
+                               ("o_orderdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("total_qty", pa.float64())]),
+        join_type="inner")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    out = broadcast_join(joined, cust, keys="o_custkey",
+                         right_keys="c_custkey")
+    return out.map_batches(lambda t: _round_cols(t, {"total_qty": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_LARGE_ORDERS = """
+select o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate,
+       round(t.total_qty, 2) as total_qty, c.c_name
+from orders o
+join (select l_orderkey, sum(l_quantity) as total_qty
+      from lineitem group by 1 having sum(l_quantity) > 250) t
+  on t.l_orderkey = o.o_orderkey
+join customer c on c.c_custkey = o.o_custkey
+"""
+
+REL_QUERIES["rel_large_orders"] = (q_large_orders, SQL_LARGE_ORDERS)
+
+
+def q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape — scalar-subquery broadcast + anti join: customers
+    whose balance exceeds the global positive-balance average AND who have
+    placed no order since 2000-01-01, counted per nation. The global
+    average is two integers (cent sum + count) merged from per-batch
+    partials, so the 'above average' gate is EXACT integer arithmetic
+    (cents * n > total_cents — no float boundary); the no-recent-order
+    gate is membership_filter_hp's ONE keyed shuffle (recent-order
+    custkeys never collect to the driver)."""
+    from datetime import datetime
+
+    from ..ops.partition import low_card_aggregate, membership_filter_hp
+    from ..util import round_half_away
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(bal * 100.0, 0).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"total": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([int(len(pos))], pa.int64())})
+
+    parts = cust.map_batches(cents_partial, batch_format="pyarrow").take_all()
+    total_cents = sum(r["total"] for r in parts)
+    n_pos = sum(r["n"] for r in parts)
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(bal * 100.0, 0).astype(np.int64)
+        return t.filter(pa.array(cents * n_pos > total_cents))
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(datetime(2000, 1, 1))))["o_custkey"]}),
+        batch_format="pyarrow")
+
+    idle = membership_filter_hp(
+        rich, recent, "c_custkey", keep=False,
+        payload_schema=pa.schema([("c_custkey", pa.int64()),
+                                  ("c_nationkey", pa.int32()),
+                                  ("c_acctbal", pa.float64())]))
+
+    out = low_card_aggregate(idle, ["c_nationkey"],
+                             [(None, "count_all"), ("c_acctbal", "sum")],
+                             ["n_cust", "sum_bal"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_bal": 2})
+        # the driver merge's from_pylist widens the int32 key; restore it
+        return t.set_column(t.column_names.index("c_nationkey"),
+                            "c_nationkey",
+                            pc.cast(t["c_nationkey"], pa.int32()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_IDLE_CUSTOMER_BALANCE = """
+with pos as (select cast(round(c_acctbal * 100) as bigint) as cents
+             from customer where round(c_acctbal * 100) > 0),
+     s as (select sum(cents) as total, count(*) as n from pos)
+select c.c_nationkey, count(*) as n_cust,
+       round(sum(c.c_acctbal), 2) as sum_bal
+from customer c, s
+where cast(round(c.c_acctbal * 100) as bigint) * s.n > s.total
+  and not exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey
+                    and o.o_orderdate >= timestamp '2000-01-01')
+group by c.c_nationkey
+"""
+
+REL_QUERIES["rel_idle_customer_balance"] = (q_idle_customer_balance,
+                                            SQL_IDLE_CUSTOMER_BALANCE)
+
+
+def q_range_search(sf_dir: str):
+    """Similarity RANGE search (radius query) — the threshold sibling of
+    sim_knn_bruteforce: ALL (query, vector) pairs with cosine >= 0.25,
+    queries = vec_id < 3 broadcast as a normalized float64 matrix. Unlike
+    top-k there is no reduce at all: each batch emits its qualifying pairs
+    and the pipeline streams (output is data-dependent but the scan is one
+    pass, no shuffle). The threshold is applied to the ROUND(cos, 4) value
+    on both sides so the gate has no raw-float boundary."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 3))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qm = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    from ..ops.relational import broadcast
+    from ..util import make_task_stage, ref_key
+
+    ref = broadcast({"qids": qids, "qm": qm})
+
+    class RangeScorer:
+        def __init__(self, ref):
+            from ..ops.relational import _resolve
+            d = _resolve(ref)
+            self.qids, self.qm = d["qids"], d["qm"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "cos": pa.array([], pa.float64())})
+            if t.num_rows == 0:
+                return empty
+            from ..ops.ann import _vecs_of
+            from ..util import round_half_away
+
+            m = _vecs_of(t["embedding"])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = round_half_away(m @ self.qm.T, 4)  # (batch, nq)
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            rows, cols = np.nonzero(cos >= 0.25)
+            if not len(rows):
+                return empty
+            return pa.table({
+                "query_id": pa.array(self.qids[cols], pa.int64()),
+                "neighbor_id": pa.array(vec_ids[rows], pa.int64()),
+                "cos": pa.array(cos[rows, cols], pa.float64())})
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(make_task_stage(RangeScorer, ref_key(ref), ref=ref),
+                          batch_format="pyarrow")
+
+
+SQL_RANGE_SEARCH = """
+with q as (select vec_id as qid, embedding as qe
+           from embeddings where vec_id < 3)
+select q.qid as query_id, e.vec_id as neighbor_id,
+       cast(round(list_cosine_similarity(q.qe, e.embedding), 4) as double) as cos
+from q, embeddings e
+where round(cast(list_cosine_similarity(q.qe, e.embedding) as double), 4)
+      >= 0.25
+"""
+
+REL_QUERIES["sim_range_search"] = (q_range_search, SQL_RANGE_SEARCH)
