@@ -1039,3 +1039,112 @@ from f
 """
 
 LLM_QUERIES["llm_quality_logit"] = (q_quality_logit, SQL_QUALITY_LOGIT)
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Corpus novelty scoring (the dedup-adjacent curation signal): per
+    doc, the fraction of its DISTINCT 3-token shingles whose global FIRST
+    occurrence (min doc_id) is this doc — 1.0 = all-new content, 0.0 =
+    everything seen earlier. Two keyed exchanges, both on bounded keys:
+    (1) shingle-hash partition, where each shingle's min doc and the
+    per-occurrence novelty mark are computed with an in-partition group_by
+    + join (no corpus-scale broadcast); (2) doc-keyed rollup of the
+    (novel, total) partials. The shape RefinedWeb-style first-seen
+    filtering needs at 100 TB."""
+    from ..ops.partition import grouped_aggregate, partitioned_apply
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sh = ds.map_batches(lambda t: _shingle_table(t, k=3),
+                        batch_format="pyarrow")
+
+    def mark(t: pa.Table) -> pa.Table:
+        firsts = t.group_by(["g"]).aggregate([("doc_id", "min")]) \
+            .rename_columns(["g", "first_doc"])
+        j = t.join(firsts, keys=["g"])
+        novel = pc.cast(pc.equal(j["doc_id"], j["first_doc"]), pa.int64())
+        p = pa.table({"doc_id": j["doc_id"], "novel": novel}) \
+            .group_by(["doc_id"]).aggregate([("novel", "sum"),
+                                             ("novel", "count")])
+        return p.rename_columns(["doc_id", "n_novel", "n_shingles"])
+
+    parts = partitioned_apply(sh, "g", mark)
+    out = grouped_aggregate(parts, "doc_id",
+                            [("n_novel", "sum"), ("n_shingles", "sum")],
+                            ["n_novel", "n_shingles"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+
+        novel = t["n_novel"].to_numpy(zero_copy_only=False)
+        total = t["n_shingles"].to_numpy(zero_copy_only=False)
+        return t.append_column("novelty", pa.array(
+            round_half_away(novel / total.astype(np.float64), 4),
+            pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NGRAM_NOVELTY = """
+with toks as (select doc_id, string_split(text, ' ') as s from documents),
+pos as (select doc_id, s, unnest(generate_series(1, len(s) - 2)) as i
+        from toks),
+sh as (select distinct doc_id,
+              s[i] || ' ' || s[i+1] || ' ' || s[i+2] as g
+       from pos),
+f as (select g, min(doc_id) as first_doc from sh group by 1)
+select s.doc_id,
+       count(*) filter (where f.first_doc = s.doc_id) as n_novel,
+       count(*) as n_shingles,
+       round(count(*) filter (where f.first_doc = s.doc_id)
+             / cast(count(*) as double), 4) as novelty
+from sh s join f using (g)
+group by s.doc_id
+"""
+
+LLM_QUERIES["txt_ngram_novelty"] = (q_ngram_novelty, SQL_NGRAM_NOVELTY)
+
+
+def q_domain_temperature(sf_dir: str):
+    """Temperature-scaled domain mixture (the alpha=0.5 up-sampling rule
+    from multilingual/multi-domain LM training): per source, the sampling
+    ratio sqrt(n_d)/sqrt(max_d n_d) and the per-10k target count. Source
+    is low-cardinality, so the counts are per-batch combiner partials
+    (low_card_aggregate — no shuffle); sqrt is IEEE-exactly-rounded, and
+    the ratio divides two such doubles, so parity holds bit-for-bit with
+    no ordered-float-sum hazard (the denominator is a MAX, not a SUM)."""
+    from ..ops.partition import low_card_aggregate
+    from ..util import round_half_away
+
+    ds = _docs(sf_dir, ["source"])
+    counts = low_card_aggregate(ds, ["source"], [(None, "count_all")],
+                                ["n_docs"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = float(n.max())
+        ratio = np.sqrt(n) / np.sqrt(mx)
+        return pa.table({
+            "source": t["source"], "n_docs": t["n_docs"],
+            "temp_ratio": pa.array(round_half_away(ratio, 6), pa.float64()),
+            "target_per_10k": pa.array(
+                round_half_away(10000 * ratio, 0).astype(np.int64),
+                pa.int64())})
+
+    # single tiny block (one row per source) — the finisher sees all groups
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOMAIN_TEMPERATURE = """
+with c as (select source, count(*) as n from documents group by 1),
+m as (select max(n) as mx from c)
+select source, n as n_docs,
+       round(sqrt(cast(n as double)) / sqrt(cast(mx as double)), 6)
+         as temp_ratio,
+       cast(round(10000 * (sqrt(cast(n as double))
+                           / sqrt(cast(mx as double)))) as bigint)
+         as target_per_10k
+from c, m
+"""
+
+LLM_QUERIES["llm_domain_temperature"] = (q_domain_temperature,
+                                         SQL_DOMAIN_TEMPERATURE)

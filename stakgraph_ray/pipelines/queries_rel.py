@@ -2364,3 +2364,66 @@ where round(cast(list_cosine_similarity(q.qe, e.embedding) as double), 4)
 """
 
 REL_QUERIES["sim_range_search"] = (q_range_search, SQL_RANGE_SEARCH)
+
+
+def q_moving_avg(sf_dir: str):
+    """Time-RANGE window frame (the one window shape the suite lacked —
+    ROWS frames, ranks, lags and ntiles are covered elsewhere): per user,
+    the running 3-day moving sum/avg of event value, frame = RANGE BETWEEN
+    INTERVAL 3 DAYS PRECEDING AND CURRENT ROW (peers included on both
+    ends, per SQL RANGE semantics). ONE keyed shuffle on user_id, then a
+    vectorized per-partition kernel: sort by (user, ts), int64-cents
+    prefix sums (exact — no float window-sum drift), per-run searchsorted
+    for the [ts-3d, ts] bounds. The avg divides two exact integers in
+    double, so every output is bit-reproducible."""
+    from ..ops.partition import partitioned_apply
+    from ..util import round_half_away
+
+    WINDOW_US = 3 * 86400 * 1_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        n = t.num_rows
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(val * 100.0, 0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        from ..ops.relational import _key_change_mask
+
+        starts = np.flatnonzero(_key_change_mask(t, ["user_id"]))
+        bounds = np.concatenate((starts, [n]))
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        for b, e in zip(bounds[:-1], bounds[1:]):   # one searchsorted per run
+            seg = ts[b:e]
+            lo[b:e] = b + np.searchsorted(seg, seg - WINDOW_US, side="left")
+            hi[b:e] = b + np.searchsorted(seg, seg, side="right")
+        cnt = hi - lo
+        sumc = cum[hi] - cum[lo]
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "n_window": pa.array(cnt, pa.int64()),
+            "win_sum": pa.array(round_half_away(sumc / 100.0, 2),
+                                pa.float64()),
+            "win_avg": pa.array(round_half_away(
+                (sumc / cnt) / 100.0, 4), pa.float64())})
+
+    return partitioned_apply(ds, "user_id", kernel)
+
+
+SQL_MOVING_AVG = """
+with e as (select user_id, ts,
+                  cast(round(value * 100) as bigint) as cents from events)
+select user_id, ts,
+       count(*) over w as n_window,
+       round(sum(cents) over w / 100.0, 2) as win_sum,
+       round((sum(cents) over w / cast(count(*) over w as double)) / 100.0,
+             4) as win_avg
+from e
+window w as (partition by user_id order by ts
+             range between interval 3 days preceding and current row)
+"""
+
+REL_QUERIES["rel_moving_avg"] = (q_moving_avg, SQL_MOVING_AVG)

@@ -133,3 +133,58 @@ def test_quality_logit_score_and_gate(ray_session, tmp_path):
     assert rows[0]["z"] == pytest.approx(0.3)
     assert rows[1]["n_tokens"] == 2 and not rows[1]["quality_pass"]
     assert rows[1]["z"] == pytest.approx(round(-0.1 + 0.008 - 1.5, 4))
+
+
+def test_moving_avg_range_frame_semantics(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_rel import q_moving_avg
+
+    d0 = datetime(2024, 1, 10)
+    rows = [  # user 1: t0, t0+1d (both in one 3d window), t0+5d (alone);
+              # user 2: two events at the SAME ts (RANGE peers: both frames
+              # include both rows)
+        (1, datetime(2024, 1, 10), 100.0),
+        (1, datetime(2024, 1, 11), 200.0),
+        (1, datetime(2024, 1, 15), 400.0),
+        (2, d0, 10.0),
+        (2, d0, 30.0),
+    ]
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64())}))
+    got = sorted(
+        ((r["user_id"], r["ts"], r["n_window"], r["win_sum"], r["win_avg"])
+         for r in q_moving_avg(str(tmp_path)).take_all()))
+    assert got == [
+        (1, datetime(2024, 1, 10), 1, 100.0, 100.0),
+        (1, datetime(2024, 1, 11), 2, 300.0, 150.0),
+        (1, datetime(2024, 1, 15), 1, 400.0, 400.0),
+        (2, d0, 2, 40.0, 20.0),
+        (2, d0, 2, 40.0, 20.0),
+    ]
+
+
+def test_ngram_novelty_first_doc_wins(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_ngram_novelty
+
+    base = " ".join(f"w{i}" for i in range(10))       # 8 shingles, all novel
+    uniq = " ".join(f"u{i}" for i in range(5))        # 3 novel shingles
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([base, base, uniq, "too short"], pa.string())}))
+    got = {r["doc_id"]: (r["n_novel"], r["n_shingles"], r["novelty"])
+           for r in q_ngram_novelty(str(tmp_path)).take_all()}
+    assert got[0] == (8, 8, 1.0)       # first occurrence of everything
+    assert got[1] == (0, 8, 0.0)       # exact copy: nothing novel
+    assert got[2] == (3, 3, 1.0)
+    assert 3 not in got                # < 3 tokens -> no shingles
+
+
+def test_domain_temperature_sqrt_scaling(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_domain_temperature
+
+    _write(tmp_path, "documents", pa.table({
+        "source": pa.array(["big"] * 100 + ["small"] * 25, pa.string())}))
+    got = {r["source"]: (r["n_docs"], r["temp_ratio"], r["target_per_10k"])
+           for r in q_domain_temperature(str(tmp_path)).take_all()}
+    assert got == {"big": (100, 1.0, 10000), "small": (25, 0.5, 5000)}
