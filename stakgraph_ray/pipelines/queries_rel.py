@@ -2427,3 +2427,216 @@ window w as (partition by user_id order by ts
 """
 
 REL_QUERIES["rel_moving_avg"] = (q_moving_avg, SQL_MOVING_AVG)
+
+
+# ------------------------------------------------- lineitem ⋈ orders family
+#
+# TPC-H Q7/Q8/Q10/Q12 share one distributed shape: every dimension
+# (nation/region/customer/supplier/part) broadcasts as a small map, and the
+# only corpus-scale exchange is lineitem ⋈ orders on orderkey — expressed
+# once here as a cogroup join with the query's rollup fused into the
+# per-partition ``post`` hook, so each query is exactly ONE keyed shuffle
+# whose output is partial aggregates bounded by the group cardinality.
+# Cf. the reference's repeated "edges ⋈ nodes then reduce" linker passes
+# (ast/src/lang/linker.rs) composed at warehouse shape.
+
+def _li_orders_cogroup(sf_dir: str, li_map, ord_map, li_schema: pa.Schema,
+                       ord_schema: pa.Schema, post, out_schema: pa.Schema,
+                       li_cols=None, ord_cols=None) -> pa.Table:
+    """ONE co-group exchange lineitem ⋈ orders on l_orderkey; ``post`` runs
+    per partition on the joined rows (still key-co-located) and must emit
+    group-bounded partials; the driver merges them into ``out_schema``."""
+    from ..ops.partition import cogroup_join_hp
+
+    li = _read(sf_dir, "lineitem", columns=li_cols) \
+        .map_batches(li_map, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=ord_cols) \
+        .map_batches(ord_map, batch_format="pyarrow")
+    parts = cogroup_join_hp(li, orders, "l_orderkey", li_schema, ord_schema,
+                            post=post).take_all()
+    return pa.Table.from_pylist(parts, schema=out_schema)
+
+
+def _ts(day: str) -> pa.Scalar:
+    return pa.scalar(np.datetime64(day, "us"), pa.timestamp("us"))
+
+
+def _between(t: pa.Table, col: str, lo: str, hi: str) -> pa.Table:
+    d = pc.cast(t[col], pa.timestamp("us"))
+    keep = pc.and_(pc.greater_equal(d, _ts(lo)), pc.less(d, _ts(hi)))
+    keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+    return t.filter(keep)
+
+
+def _dim_map(sf_dir: str, table: str, key: str, val: str) -> dict:
+    """key -> val dict from a dimension parquet (driver-side, dim-bounded)."""
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+    return dict(zip(t[key].to_pylist(), t[val].to_pylist()))
+
+
+def _map_filter(t: pa.Table, col: str, ref, out: str,
+                keep_cols: list[str]) -> pa.Table:
+    """Map ``col`` through a broadcast dict; drop rows with no entry.
+    Vectorized pd.Series.map over the per-worker cached broadcast."""
+    import pandas as pd
+
+    from ..ops.relational import _cached_resolve
+
+    m = _cached_resolve(ref)
+    mapped = pd.Series(t[col].to_numpy(zero_copy_only=False)).map(m)
+    keep = mapped.notna().to_numpy()
+    cols = {c: t[c].combine_chunks().take(pa.array(np.flatnonzero(keep)))
+            if isinstance(t[c], pa.ChunkedArray)
+            else t[c].take(pa.array(np.flatnonzero(keep)))
+            for c in keep_cols}
+    cols[out] = pa.array(mapped.to_numpy(dtype=np.float64)[keep]
+                         .astype(np.int64))
+    return pa.table(cols)
+
+
+def q_nation_trade_volume(sf_dir: str,
+                          nations: tuple[str, str] = ("NATION_3",
+                                                      "NATION_8")):
+    """TPC-H Q7 shape — two-nation trade volume by year: lineitems shipped
+    1996-1997 where the SUPPLIER sits in one of the two nations and the
+    ordering CUSTOMER in the other. Supplier and customer nation maps are
+    broadcast (dims), restricted to the two target nations so both join
+    inputs prune to ~2/|nations| of the corpus BEFORE the one orderkey
+    exchange; the cross-pair filter and (supp_nation, cust_nation, year)
+    rollup are fused into the join partition."""
+    from ..ops.relational import broadcast
+
+    nat = _dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    target = {k: v for k, v in nat.items() if v in nations}
+    smap = {k: v for k, v in _dim_map(sf_dir, "supplier", "s_suppkey",
+                                      "s_nationkey").items() if v in target}
+    cmap = {k: v for k, v in _dim_map(sf_dir, "customer", "c_custkey",
+                                      "c_nationkey").items() if v in target}
+    sref, cref = broadcast(smap), broadcast(cmap)
+
+    def li_map(t: pa.Table, _ref=sref) -> pa.Table:
+        f = _between(t, "l_shipdate", "1996-01-01", "1998-01-01")
+        vol = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        year = pc.cast(pc.year(pc.cast(f["l_shipdate"],
+                                       pa.timestamp("us"))), pa.int64())
+        f = pa.table({"l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+                      "l_suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+                      "l_year": year, "volume": vol})
+        return _map_filter(f, "l_suppkey", _ref, "s_nat",
+                           ["l_orderkey", "l_year", "volume"])
+
+    def ord_map(t: pa.Table, _ref=cref) -> pa.Table:
+        f = pa.table({"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                      "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+        return _map_filter(f, "o_custkey", _ref, "c_nat", ["l_orderkey"])
+
+    def post(t: pa.Table) -> pa.Table:
+        cross = pc.invert(pc.equal(t["s_nat"], t["c_nat"]))
+        cross = cross.combine_chunks() if isinstance(cross, pa.ChunkedArray) else cross
+        f = t.filter(cross)
+        return f.group_by(["s_nat", "c_nat", "l_year"]) \
+            .aggregate([("volume", "sum")]) \
+            .rename_columns(["s_nat", "c_nat", "l_year", "volume"])
+
+    out = _li_orders_cogroup(
+        sf_dir, li_map, ord_map,
+        pa.schema([("l_orderkey", pa.int64()), ("l_year", pa.int64()),
+                   ("volume", pa.float64()), ("s_nat", pa.int64())]),
+        pa.schema([("l_orderkey", pa.int64()), ("c_nat", pa.int64())]),
+        post,
+        pa.schema([("s_nat", pa.int64()), ("c_nat", pa.int64()),
+                   ("l_year", pa.int64()), ("volume", pa.float64())]),
+        li_cols=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        ord_cols=["o_orderkey", "o_custkey"])
+    merged = out.group_by(["s_nat", "c_nat", "l_year"]) \
+        .aggregate([("volume", "sum")]) \
+        .rename_columns(["s_nat", "c_nat", "l_year", "volume"])
+    res = pa.table({
+        "supp_nation": pa.array([nat[k] for k in
+                                 merged["s_nat"].to_pylist()], pa.string()),
+        "cust_nation": pa.array([nat[k] for k in
+                                 merged["c_nat"].to_pylist()], pa.string()),
+        "l_year": merged["l_year"], "revenue": merged["volume"]})
+    res = _round_cols(res, {"revenue": 2})
+    return res.sort_by([("supp_nation", "ascending"),
+                        ("cust_nation", "ascending"),
+                        ("l_year", "ascending")])
+
+
+SQL_NATION_TRADE_VOLUME = """
+select n1.n_name as supp_nation, n2.n_name as cust_nation,
+       cast(extract(year from l_shipdate) as bigint) as l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from supplier join lineitem on s_suppkey = l_suppkey
+     join orders on o_orderkey = l_orderkey
+     join customer on c_custkey = o_custkey
+     join nation n1 on s_nationkey = n1.n_nationkey
+     join nation n2 on c_nationkey = n2.n_nationkey
+where ((n1.n_name = 'NATION_3' and n2.n_name = 'NATION_8')
+    or (n1.n_name = 'NATION_8' and n2.n_name = 'NATION_3'))
+  and l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1998-01-01'
+group by supp_nation, cust_nation, l_year
+order by supp_nation, cust_nation, l_year
+"""
+
+REL_QUERIES["rel_nation_trade_volume"] = (q_nation_trade_volume,
+                                          SQL_NATION_TRADE_VOLUME)
+
+
+def q_priority_line_counts(sf_dir: str):
+    """TPC-H Q12 shape — per return-flag class, how many lineitems shipped
+    in 1996 belong to HIGH-priority orders (1-URGENT/2-HIGH) vs the rest:
+    the join + CASE-bucketed count. ONE orderkey co-group exchange; the
+    CASE rollup is fused per partition (3-row partials), driver merges."""
+    HIGH = ("1-URGENT", "2-HIGH")
+
+    def li_map(t: pa.Table) -> pa.Table:
+        f = _between(t, "l_shipdate", "1996-01-01", "1997-01-01")
+        return pa.table({"l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+                         "l_returnflag": f["l_returnflag"]})
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(sorted(HIGH)))
+        return pa.table({"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "is_high": pc.cast(hi, pa.int64())})
+
+    def post(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_returnflag").aggregate(
+            [("is_high", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "high", "n"])
+
+    out = _li_orders_cogroup(
+        sf_dir, li_map, ord_map,
+        pa.schema([("l_orderkey", pa.int64()), ("l_returnflag", pa.string())]),
+        pa.schema([("l_orderkey", pa.int64()), ("is_high", pa.int64())]),
+        post,
+        pa.schema([("l_returnflag", pa.string()), ("high", pa.int64()),
+                   ("n", pa.int64())]),
+        li_cols=["l_orderkey", "l_returnflag", "l_shipdate"],
+        ord_cols=["o_orderkey", "o_orderpriority"])
+    m = out.group_by("l_returnflag").aggregate([("high", "sum"), ("n", "sum")])
+    return pa.table({
+        "l_returnflag": m["l_returnflag"],
+        "high_line_count": m["high_sum"],
+        "low_line_count": pc.subtract(m["n_sum"], m["high_sum"]),
+    }).sort_by([("l_returnflag", "ascending")])
+
+
+SQL_PRIORITY_LINE_COUNTS = """
+select l_returnflag,
+       cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 0 else 1 end) as bigint) as low_line_count
+from orders join lineitem on o_orderkey = l_orderkey
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1997-01-01'
+group by l_returnflag order by l_returnflag
+"""
+
+REL_QUERIES["rel_priority_line_counts"] = (q_priority_line_counts,
+                                           SQL_PRIORITY_LINE_COUNTS)
