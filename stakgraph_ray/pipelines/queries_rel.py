@@ -2515,14 +2515,20 @@ def q_nation_trade_volume(sf_dir: str,
     sref, cref = broadcast(smap), broadcast(cmap)
 
     def li_map(t: pa.Table, _ref=sref) -> pa.Table:
+        from ..util import round_half_away
+
         f = _between(t, "l_shipdate", "1996-01-01", "1998-01-01")
         vol = pc.multiply(f["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        # integer-cents accumulation: half-cent ties round identically per
+        # row on both sides, and int64 sums are order-independent
+        cents = round_half_away(
+            vol.to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
         year = pc.cast(pc.year(pc.cast(f["l_shipdate"],
                                        pa.timestamp("us"))), pa.int64())
         f = pa.table({"l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
                       "l_suppkey": pc.cast(f["l_suppkey"], pa.int64()),
-                      "l_year": year, "volume": vol})
+                      "l_year": year, "volume": pa.array(cents, pa.int64())})
         return _map_filter(f, "l_suppkey", _ref, "s_nat",
                            ["l_orderkey", "l_year", "volume"])
 
@@ -2542,11 +2548,11 @@ def q_nation_trade_volume(sf_dir: str,
     out = _li_orders_cogroup(
         sf_dir, li_map, ord_map,
         pa.schema([("l_orderkey", pa.int64()), ("l_year", pa.int64()),
-                   ("volume", pa.float64()), ("s_nat", pa.int64())]),
+                   ("volume", pa.int64()), ("s_nat", pa.int64())]),
         pa.schema([("l_orderkey", pa.int64()), ("c_nat", pa.int64())]),
         post,
         pa.schema([("s_nat", pa.int64()), ("c_nat", pa.int64()),
-                   ("l_year", pa.int64()), ("volume", pa.float64())]),
+                   ("l_year", pa.int64()), ("volume", pa.int64())]),
         li_cols=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
         ord_cols=["o_orderkey", "o_custkey"])
@@ -2558,8 +2564,9 @@ def q_nation_trade_volume(sf_dir: str,
                                  merged["s_nat"].to_pylist()], pa.string()),
         "cust_nation": pa.array([nat[k] for k in
                                  merged["c_nat"].to_pylist()], pa.string()),
-        "l_year": merged["l_year"], "revenue": merged["volume"]})
-    res = _round_cols(res, {"revenue": 2})
+        "l_year": merged["l_year"],
+        "revenue": pc.divide(pc.cast(merged["volume"], pa.float64()),
+                             pa.scalar(100.0))})
     return res.sort_by([("supp_nation", "ascending"),
                         ("cust_nation", "ascending"),
                         ("l_year", "ascending")])
@@ -2568,7 +2575,8 @@ def q_nation_trade_volume(sf_dir: str,
 SQL_NATION_TRADE_VOLUME = """
 select n1.n_name as supp_nation, n2.n_name as cust_nation,
        cast(extract(year from l_shipdate) as bigint) as l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+       sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                as bigint)) / 100.0 as revenue
 from supplier join lineitem on s_suppkey = l_suppkey
      join orders on o_orderkey = l_orderkey
      join customer on c_custkey = o_custkey
@@ -2640,3 +2648,191 @@ group by l_returnflag order by l_returnflag
 
 REL_QUERIES["rel_priority_line_counts"] = (q_priority_line_counts,
                                            SQL_PRIORITY_LINE_COUNTS)
+
+
+def _key_filter(t: pa.Table, col: str, ref) -> pa.Table:
+    """Keep rows whose ``col`` is in the broadcast int64 key array."""
+    from ..ops.relational import _cached_resolve
+
+    keys = _cached_resolve(ref)
+    keep = pc.is_in(pc.cast(t[col], pa.int64()), value_set=pa.array(keys))
+    keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+    return t.filter(keep)
+
+
+def q_market_share(sf_dir: str, target_nation: str = "NATION_3",
+                   market_region: str = "ASIA", part_type: str = "PROMO"):
+    """TPC-H Q8 shape — the target nation's supplier share of PROMO-part
+    volume sold into the ASIA market per year. All four dims broadcast
+    (PROMO part keys, ASIA customer keys, supplier→nation, nation names);
+    lineitem prunes to the part set and orders to the region customers
+    BEFORE the one orderkey exchange, where the (year, is_target) two-sum
+    rollup is fused. The share is a driver-side divide of two partial-sum
+    doubles, round 6."""
+    from ..ops.relational import broadcast
+
+    nat = _dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    tkey = {k for k, v in nat.items() if v == target_nation}
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = set(reg.filter(pc.equal(reg["r_name"], market_region))
+             ["r_regionkey"].to_pylist())
+    region_nations = {k for k, v in _dim_map(
+        sf_dir, "nation", "n_nationkey", "n_regionkey").items() if v in rk}
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkeys = np.asarray(part.filter(pc.equal(part["p_type"], part_type))
+                       ["p_partkey"].to_pylist(), np.int64)
+    ckeys = np.asarray(sorted(
+        k for k, v in _dim_map(sf_dir, "customer", "c_custkey",
+                               "c_nationkey").items()
+        if v in region_nations), np.int64)
+    smap = _dim_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    starget = np.asarray(sorted(k for k, v in smap.items() if v in tkey),
+                         np.int64)
+    pref, cref, sref = broadcast(pkeys), broadcast(ckeys), broadcast(starget)
+
+    def li_map(t: pa.Table, _pref=pref, _sref=sref) -> pa.Table:
+        from ..ops.relational import _cached_resolve
+
+        f = _key_filter(t, "l_partkey", _pref)
+        vol = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        is_tgt = pc.cast(pc.is_in(pc.cast(f["l_suppkey"], pa.int64()),
+                                  value_set=pa.array(_cached_resolve(_sref))),
+                         pa.float64())
+        return pa.table({"l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+                         "volume": vol,
+                         "tgt_volume": pc.multiply(vol, is_tgt)})
+
+    def ord_map(t: pa.Table, _cref=cref) -> pa.Table:
+        f = _between(t, "o_orderdate", "1996-01-01", "1998-01-01")
+        f = _key_filter(f, "o_custkey", _cref)
+        year = pc.cast(pc.year(pc.cast(f["o_orderdate"], pa.timestamp("us"))),
+                       pa.int64())
+        return pa.table({"l_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+                         "o_year": year})
+
+    def post(t: pa.Table) -> pa.Table:
+        return t.group_by("o_year").aggregate(
+            [("volume", "sum"), ("tgt_volume", "sum")]) \
+            .rename_columns(["o_year", "volume", "tgt_volume"])
+
+    out = _li_orders_cogroup(
+        sf_dir, li_map, ord_map,
+        pa.schema([("l_orderkey", pa.int64()), ("volume", pa.float64()),
+                   ("tgt_volume", pa.float64())]),
+        pa.schema([("l_orderkey", pa.int64()), ("o_year", pa.int64())]),
+        post,
+        pa.schema([("o_year", pa.int64()), ("volume", pa.float64()),
+                   ("tgt_volume", pa.float64())]),
+        li_cols=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+        ord_cols=["o_orderkey", "o_custkey", "o_orderdate"])
+    m = out.group_by("o_year").aggregate(
+        [("volume", "sum"), ("tgt_volume", "sum")])
+    share = pc.divide(m["tgt_volume_sum"], m["volume_sum"])
+    res = pa.table({"o_year": m["o_year"], "mkt_share": share})
+    res = _round_cols(res, {"mkt_share": 6})
+    return res.sort_by([("o_year", "ascending")])
+
+
+SQL_MARKET_SHARE = """
+select o_year,
+       round(sum(case when nation = 'NATION_3' then volume else 0 end)
+             / sum(volume), 6) as mkt_share
+from (select cast(extract(year from o_orderdate) as bigint) as o_year,
+             l_extendedprice * (1 - l_discount) as volume,
+             n2.n_name as nation
+      from part join lineitem on p_partkey = l_partkey
+           join supplier on s_suppkey = l_suppkey
+           join orders on l_orderkey = o_orderkey
+           join customer on o_custkey = c_custkey
+           join nation n1 on c_nationkey = n1.n_nationkey
+           join region on n1.n_regionkey = r_regionkey
+           join nation n2 on s_nationkey = n2.n_nationkey
+      where r_name = 'ASIA' and p_type = 'PROMO'
+        and o_orderdate >= timestamp '1996-01-01'
+        and o_orderdate < timestamp '1998-01-01') t
+group by o_year order by o_year
+"""
+
+REL_QUERIES["rel_market_share"] = (q_market_share, SQL_MARKET_SHARE)
+
+
+def q_product_profit(sf_dir: str, name_like: str = "widget"):
+    """TPC-H Q9 shape — per (supplier nation, order year) revenue over the
+    parts whose name contains a token (the LIKE-driven star join). Part-key
+    set and supplier→nation map broadcast; lineitem prunes to matching
+    parts before the one orderkey exchange; (nation, year) rollup fused."""
+    from ..ops.relational import broadcast
+
+    nat = _dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    hit = pc.match_substring(part["p_name"], name_like)
+    pkeys = np.asarray(part.filter(hit)["p_partkey"].to_pylist(), np.int64)
+    smap = _dim_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    pref, sref = broadcast(pkeys), broadcast(smap)
+
+    def li_map(t: pa.Table, _pref=pref, _sref=sref) -> pa.Table:
+        from ..util import round_half_away
+
+        f = _key_filter(t, "l_partkey", _pref)
+        amount = pc.multiply(f["l_extendedprice"],
+                             pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        # 4-decimal amounts sit EXACTLY on half-cent ties: round per row to
+        # integer cents (bit-identical on both sides), sum exactly as int64
+        cents = round_half_away(
+            amount.to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        f = pa.table({"l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+                      "l_suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+                      "amount": pa.array(cents, pa.int64())})
+        return _map_filter(f, "l_suppkey", _sref, "s_nat",
+                           ["l_orderkey", "amount"])
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        year = pc.cast(pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us"))),
+                       pa.int64())
+        return pa.table({"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_year": year})
+
+    def post(t: pa.Table) -> pa.Table:
+        return t.group_by(["s_nat", "o_year"]).aggregate(
+            [("amount", "sum")]).rename_columns(["s_nat", "o_year", "amount"])
+
+    out = _li_orders_cogroup(
+        sf_dir, li_map, ord_map,
+        pa.schema([("l_orderkey", pa.int64()), ("amount", pa.int64()),
+                   ("s_nat", pa.int64())]),
+        pa.schema([("l_orderkey", pa.int64()), ("o_year", pa.int64())]),
+        post,
+        pa.schema([("s_nat", pa.int64()), ("o_year", pa.int64()),
+                   ("amount", pa.int64())]),
+        li_cols=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+        ord_cols=["o_orderkey", "o_orderdate"])
+    m = out.group_by(["s_nat", "o_year"]).aggregate([("amount", "sum")])
+    res = pa.table({
+        "nation": pa.array([nat[k] for k in m["s_nat"].to_pylist()],
+                           pa.string()),
+        "o_year": m["o_year"],
+        "sum_profit": pc.divide(pc.cast(m["amount_sum"], pa.float64()),
+                                pa.scalar(100.0))})
+    return res.sort_by([("nation", "ascending"), ("o_year", "ascending")])
+
+
+SQL_PRODUCT_PROFIT = """
+select n_name as nation,
+       cast(extract(year from o_orderdate) as bigint) as o_year,
+       sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                as bigint)) / 100.0 as sum_profit
+from part join lineitem on p_partkey = l_partkey
+     join supplier on s_suppkey = l_suppkey
+     join orders on o_orderkey = l_orderkey
+     join nation on s_nationkey = n_nationkey
+where p_name like '%widget%'
+group by n_name, o_year order by n_name, o_year
+"""
+
+REL_QUERIES["rel_product_profit"] = (q_product_profit, SQL_PRODUCT_PROFIT)
