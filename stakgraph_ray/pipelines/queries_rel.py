@@ -2836,3 +2836,137 @@ group by n_name, o_year order by n_name, o_year
 """
 
 REL_QUERIES["rel_product_profit"] = (q_product_profit, SQL_PRODUCT_PROFIT)
+
+
+def q_returned_item_revenue(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape — top-k customers by revenue lost to returned ('R')
+    lineitems on H1-1996 orders, with customer attributes. The only
+    corpus-scale exchange is the orderkey co-group (lineitem pre-filtered
+    to R rows); per-custkey cents partials are dim-bounded, the driver
+    merges them, and the customer/nation attribute join + top-k run on the
+    merged dim-sized table. Ties at rank k are pinned by c_custkey."""
+    from ..util import round_half_away
+
+    def li_map(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        f = t.filter(keep)
+        vol = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        cents = round_half_away(
+            vol.to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        return pa.table({"l_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        f = _between(t, "o_orderdate", "1996-01-01", "1996-07-01")
+        return pa.table({"l_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(f["o_custkey"], pa.int64())})
+
+    def post(t: pa.Table) -> pa.Table:
+        return t.group_by("o_custkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["o_custkey", "cents"])
+
+    out = _li_orders_cogroup(
+        sf_dir, li_map, ord_map,
+        pa.schema([("l_orderkey", pa.int64()), ("cents", pa.int64())]),
+        pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        post,
+        pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())]),
+        li_cols=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+        ord_cols=["o_orderkey", "o_custkey", "o_orderdate"])
+    m = out.group_by("o_custkey").aggregate([("cents", "sum")])
+    m = m.sort_by([("cents_sum", "descending"), ("o_custkey", "ascending")]) \
+        .slice(0, k)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    nat = _dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    attrs = {r["c_custkey"]: r for r in cust.to_pylist()}
+    rows = []
+    for ck, cents in zip(m["o_custkey"].to_pylist(),
+                         m["cents_sum"].to_pylist()):
+        a = attrs[ck]
+        rows.append({"c_custkey": ck, "c_name": a["c_name"],
+                     "revenue": cents / 100.0, "c_acctbal": a["c_acctbal"],
+                     "n_name": nat[a["c_nationkey"]]})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("revenue", pa.float64()), ("c_acctbal", pa.float64()),
+         ("n_name", pa.string())]))
+
+
+SQL_RETURNED_ITEM_REVENUE = """
+select c_custkey, c_name,
+       sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint))
+           / 100.0 as revenue,
+       c_acctbal, n_name
+from customer join orders on c_custkey = o_custkey
+     join lineitem on l_orderkey = o_orderkey
+     join nation on c_nationkey = n_nationkey
+where o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1996-07-01'
+  and l_returnflag = 'R'
+group by c_custkey, c_name, c_acctbal, n_name
+order by revenue desc, c_custkey limit 20
+"""
+
+REL_QUERIES["rel_returned_item_revenue"] = (q_returned_item_revenue,
+                                            SQL_RETURNED_ITEM_REVENUE)
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the supplier(s) whose Q1-1996 revenue equals the
+    global maximum (the view + scalar-subquery-max pattern, ties kept).
+    Per-batch combiner partials by suppkey (supplier is a dim, so the
+    partial table is dim-bounded — no shuffle at all); exact integer-cents
+    revenue makes the max-equality tie test deterministic."""
+    from ..ops.partition import low_card_aggregate
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = _between(t, "l_shipdate", "1996-01-01", "1996-04-01")
+        vol = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        cents = round_half_away(
+            vol.to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        return pa.table({"s_suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    rev = low_card_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                             "s_suppkey", [("cents", "sum")], ["cents"])
+    t = pa.Table.from_pylist(rev.take_all(), schema=pa.schema(
+        [("s_suppkey", pa.int64()), ("cents", pa.int64())]))
+    mx = pc.max(t["cents"])
+    top = t.filter(pc.equal(t["cents"], mx))
+    names = _dim_map(sf_dir, "supplier", "s_suppkey", "s_name")
+    out = pa.table({
+        "s_suppkey": top["s_suppkey"],
+        "s_name": pa.array([names[k] for k in top["s_suppkey"].to_pylist()],
+                           pa.string()),
+        "total_revenue": pc.divide(pc.cast(top["cents"], pa.float64()),
+                                   pa.scalar(100.0))})
+    return out.sort_by([("s_suppkey", "ascending")])
+
+
+SQL_TOP_SUPPLIER = """
+with revenue as (
+  select l_suppkey as s_suppkey,
+         sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint))
+             / 100.0 as total_revenue
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01'
+    and l_shipdate < timestamp '1996-04-01'
+  group by l_suppkey)
+select r.s_suppkey, s_name, total_revenue
+from revenue r join supplier on r.s_suppkey = supplier.s_suppkey
+where total_revenue = (select max(total_revenue) from revenue)
+order by r.s_suppkey
+"""
+
+REL_QUERIES["rel_top_supplier"] = (q_top_supplier, SQL_TOP_SUPPLIER)
