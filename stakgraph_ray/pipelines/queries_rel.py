@@ -2970,3 +2970,117 @@ order by r.s_suppkey
 """
 
 REL_QUERIES["rel_top_supplier"] = (q_top_supplier, SQL_TOP_SUPPLIER)
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape — the customer-order-count distribution including
+    the ZERO bucket (the LEFT OUTER JOIN + double aggregate). No join is
+    executed at all: every o_custkey is a customer (enforced referential
+    integrity), so the per-custkey count is ONE hash-partitioned aggregate
+    over filtered orders, the count histogram is a combiner aggregate over
+    that dim-bounded table, and the zero bucket is total-customers minus
+    the histogram mass — parquet-metadata arithmetic on the driver."""
+    from ..ops.partition import grouped_aggregate, low_card_aggregate
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+        return pa.table({"o_custkey": pc.cast(t.filter(m)["o_custkey"],
+                                              pa.int64())})
+
+    per_cust = grouped_aggregate(orders.map_batches(keep,
+                                                    batch_format="pyarrow"),
+                                 "o_custkey", [([], "count_all")],
+                                 ["c_count"])
+    hist = low_card_aggregate(per_cust, "c_count", [(None, "count_all")],
+                              ["custdist"])
+    t = pa.Table.from_pylist(hist.take_all(), schema=pa.schema(
+        [("c_count", pa.int64()), ("custdist", pa.int64())]))
+    n_cust = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = n_cust - pc.sum(t["custdist"]).as_py()
+    if zero:
+        t = pa.concat_tables([t, pa.Table.from_pylist(
+            [{"c_count": 0, "custdist": zero}], schema=t.schema)])
+    return t.sort_by([("custdist", "descending"), ("c_count", "descending")])
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+select c_count, count(*) as custdist
+from (select c_custkey, count(o_custkey) as c_count
+      from customer left outer join orders
+           on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+      group by c_custkey) t
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+REL_QUERIES["rel_customer_order_distribution"] = (
+    q_customer_order_distribution, SQL_CUSTOMER_ORDER_DISTRIBUTION)
+
+
+def q_sole_blame_supplier(sf_dir: str, k: int = 10):
+    """TPC-H Q21 shape adapted to this schema (no commit/receipt dates):
+    on orders with >= 2 distinct suppliers, find the lineitems' single
+    supplier with a returned ('R') line while no other supplier on the
+    order has one — the EXISTS / NOT-EXISTS self-join pair. ONE orderkey
+    hash partition; per partition the exists tests are two vectorized
+    group_by passes (distinct-supplier count, distinct-R-supplier count +
+    its min = the culprit when unique), and only dim-bounded per-supplier
+    partial counts leave the worker. Top-k pinned by s_name."""
+    from ..ops.partition import partitioned_apply
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "is_r": pc.equal(t["l_returnflag"], "R")})
+
+    def blame(t: pa.Table) -> pa.Table:
+        g_all = t.group_by("l_orderkey").aggregate(
+            [("l_suppkey", "count_distinct")]) \
+            .rename_columns(["l_orderkey", "nsupp"])
+        rmask = t["is_r"].combine_chunks() if isinstance(t["is_r"], pa.ChunkedArray) else t["is_r"]
+        rf = t.filter(rmask)
+        g_r = rf.group_by("l_orderkey").aggregate(
+            [("l_suppkey", "count_distinct"), ("l_suppkey", "min")]) \
+            .rename_columns(["l_orderkey", "nr", "culprit"])
+        j = g_all.join(g_r, keys=["l_orderkey"], join_type="inner")
+        hit = pc.and_(pc.greater_equal(j["nsupp"], 2), pc.equal(j["nr"], 1))
+        hit = hit.combine_chunks() if isinstance(hit, pa.ChunkedArray) else hit
+        f = j.filter(hit)
+        return f.group_by("culprit").aggregate([([], "count_all")]) \
+            .rename_columns(["s_suppkey", "blame_ct"])
+
+    parts = partitioned_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                              "l_orderkey", blame).take_all()
+    m = pa.Table.from_pylist(parts, schema=pa.schema(
+        [("s_suppkey", pa.int64()), ("blame_ct", pa.int64())]))
+    m = m.group_by("s_suppkey").aggregate([("blame_ct", "sum")]) \
+        .rename_columns(["s_suppkey", "blame_ct"])
+    names = _dim_map(sf_dir, "supplier", "s_suppkey", "s_name")
+    out = pa.table({
+        "s_name": pa.array([names[key] for key in
+                            m["s_suppkey"].to_pylist()], pa.string()),
+        "blame_ct": m["blame_ct"]})
+    return out.sort_by([("blame_ct", "descending"),
+                        ("s_name", "ascending")]).slice(0, k)
+
+
+SQL_SOLE_BLAME_SUPPLIER = """
+select s_name, count(*) as blame_ct from (
+  select min(case when l_returnflag = 'R' then l_suppkey end) as culprit
+  from lineitem group by l_orderkey
+  having count(distinct l_suppkey) >= 2
+     and count(distinct case when l_returnflag = 'R' then l_suppkey end) = 1
+) t join supplier on culprit = s_suppkey
+group by s_name
+order by blame_ct desc, s_name limit 10
+"""
+
+REL_QUERIES["rel_sole_blame_supplier"] = (q_sole_blame_supplier,
+                                          SQL_SOLE_BLAME_SUPPLIER)
