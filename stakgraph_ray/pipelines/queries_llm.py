@@ -1148,3 +1148,147 @@ from c, m
 
 LLM_QUERIES["llm_domain_temperature"] = (q_domain_temperature,
                                          SQL_DOMAIN_TEMPERATURE)
+
+
+# ------------------------------------------------- Gopher-style rule gate
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher/MassiveText-style multi-rule quality gate (Rae et al. 2021
+    §A1.1): per document, token count bounds, mean-token-length bounds and
+    a minimum stop-word count, plus the conjunction `keep`. Pure per-batch
+    map — every signal is a vectorized Arrow kernel over the row's own
+    text, nothing leaves the worker but the verdict row. Mean token length
+    uses the (n_chars + 1 - n_tokens) / n_tokens identity over space-split
+    tokens (exact integer-ratio division — bit-equal to the SQL oracle);
+    the rule comparisons run on the UNROUNDED double so both sides gate
+    identically. Complements llm_repetition_filter (the duplicate-n-gram
+    Gopher signal) and llm_quality_logit (the classifier stand-in)."""
+    from ..util import round_half_away
+
+    WC_LO, WC_HI = 40, 10_000
+    MWL_LO, MWL_HI = 3.0, 10.0
+    MIN_STOP = 2
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    stopset = pa.array(sorted(["the", "a"]))
+
+    def gate(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+        n_chr = pc.cast(pc.utf8_length(pc.cast(t["text"], pa.string())),
+                        pa.int64())
+        nt = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = n_chr.to_numpy(zero_copy_only=False).astype(np.float64)
+        mwl = (nc + 1.0 - nt) / nt
+        flat = toks.flatten()
+        is_stop = pc.cast(pc.is_in(flat, value_set=stopset), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        stop_hits = np.zeros(t.num_rows, np.int64)
+        np.add.at(stop_hits, parents, is_stop)
+        nt_i = n_tok.to_numpy(zero_copy_only=False)
+        keep = ((nt_i >= WC_LO) & (nt_i <= WC_HI)
+                & (mwl >= MWL_LO) & (mwl <= MWL_HI)
+                & (stop_hits >= MIN_STOP))
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": n_tok,
+            "mean_tok_len": pa.array(round_half_away(mwl, 4), pa.float64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+            "keep": pa.array(keep)})
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_GOPHER_RULES = """
+with t as (select doc_id,
+                  cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                  cast(length(text) as bigint) as n_chars,
+                  cast(len(list_filter(string_split(text, ' '),
+                                       x -> x in ('the', 'a'))) as bigint)
+                    as stop_hits
+           from documents)
+select doc_id, n_tokens,
+       round((n_chars + 1 - n_tokens) / cast(n_tokens as double), 4)
+         as mean_tok_len,
+       stop_hits,
+       (n_tokens between 40 and 10000)
+         and ((n_chars + 1 - n_tokens) / cast(n_tokens as double))
+             between 3.0 and 10.0
+         and stop_hits >= 2 as keep
+from t
+"""
+
+LLM_QUERIES["llm_gopher_rules"] = (q_gopher_rules, SQL_GOPHER_RULES)
+
+
+# ------------------------------------- corpus-unigram-LM perplexity proxy
+
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style language-model quality score with the LM replaced by a
+    corpus-trained unigram model (the KenLM stand-in that needs no external
+    artifact): pass 1 counts global token frequencies (per-batch combiner
+    partials — vocabulary-bounded, the same broadcast budget as the alias
+    dictionary); pass 2 scores each document's mean token log-probability
+    under the broadcast vocab→ln p table. ln goes through math.log per
+    DISTINCT count (repo float-parity convention); the per-doc sum of ~1e2
+    doubles is order-sensitive in the last bits, so the mean is rounded to
+    4 decimals on both sides. Cf. llm_token_entropy (within-doc
+    distribution) — this scores against the CROSS-doc distribution."""
+    import math
+
+    import pandas as pd
+
+    from ..ops.partition import low_card_aggregate
+    from ..ops.relational import _cached_resolve, broadcast
+    from ..util import round_half_away
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat = _tokens(t).flatten()
+        return pa.table({"t": pc.cast(flat, pa.string())})
+
+    counts = low_card_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow"),
+        "t", [(None, "count_all")], ["c"])
+    vocab = pa.Table.from_pylist(counts.take_all(), schema=pa.schema(
+        [("t", pa.string()), ("c", pa.int64())]))
+    n_total = pc.sum(vocab["c"]).as_py()
+    ln_n = math.log(float(n_total))
+    ln_by_count = {c: math.log(float(c)) - ln_n
+                   for c in set(vocab["c"].to_pylist())}
+    logp = {tok: ln_by_count[c] for tok, c in
+            zip(vocab["t"].to_pylist(), vocab["c"].to_pylist())}
+    ref = broadcast(logp)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        lp = _cached_resolve(_ref)
+        toks = _tokens(t)
+        flat = pc.cast(toks.flatten(), pa.string())
+        vals = pd.Series(flat.to_pylist()).map(lp).to_numpy(np.float64)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        sums = np.zeros(t.num_rows, np.float64)
+        np.add.at(sums, parents, vals)
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+        nt = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": n_tok,
+            "mean_logprob": pa.array(round_half_away(sums / nt, 4),
+                                     pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPROB = """
+with tok as (select doc_id, unnest(string_split(text, ' ')) as t
+             from documents),
+freq as (select t, count(*) as c from tok group by t),
+tot as (select cast(sum(c) as double) as n from freq),
+lp as (select t, ln(cast(c as double)) - ln((select n from tot)) as logp
+       from freq)
+select doc_id, cast(count(*) as bigint) as n_tokens,
+       round(sum(logp) / count(*), 4) as mean_logprob
+from tok join lp on tok.t = lp.t
+group by doc_id
+"""
+
+LLM_QUERIES["llm_unigram_logprob"] = (q_unigram_logprob, SQL_UNIGRAM_LOGPROB)

@@ -3084,3 +3084,52 @@ order by blame_ct desc, s_name limit 10
 
 REL_QUERIES["rel_sole_blame_supplier"] = (q_sole_blame_supplier,
                                           SQL_SOLE_BLAME_SUPPLIER)
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the pure scan-filter-global-sum (no group, no
+    join): potential revenue increase from discounted small-quantity 1996
+    lineitems. Per-batch integer-cents partials, one driver add — the
+    cheapest possible distributed aggregate, included to complete the
+    classic shape sweep (Q2/Q11/Q16/Q20 need the partsupp table, which
+    TESTDATA.md does not ship)."""
+    from ..ops.partition import low_card_aggregate
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = _between(t, "l_shipdate", "1996-01-01", "1997-01-01")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(f["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(f["l_discount"], pa.scalar(0.07))),
+            pc.less(f["l_quantity"], pa.scalar(24.0)))
+        keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        f = f.filter(keep)
+        amt = pc.multiply(f["l_extendedprice"], f["l_discount"])
+        cents = round_half_away(
+            amt.to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        return pa.table({"_all": pa.array(np.zeros(len(cents), np.int8)),
+                         "cents": pa.array(cents, pa.int64())})
+
+    agg = low_card_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                             "_all", [("cents", "sum")], ["cents"])
+    rows = agg.take_all()
+    total = rows[0]["cents"] if rows else 0
+    return pa.table({"revenue": pa.array([total / 100.0], pa.float64())})
+
+
+SQL_FORECAST_REVENUE = """
+select coalesce(sum(cast(round(l_extendedprice * l_discount * 100)
+                         as bigint)), 0) / 100.0 as revenue
+from lineitem
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1997-01-01'
+  and l_discount between 0.05 and 0.07
+  and l_quantity < 24
+"""
+
+REL_QUERIES["rel_forecast_revenue"] = (q_forecast_revenue,
+                                       SQL_FORECAST_REVENUE)
