@@ -1292,3 +1292,108 @@ group by doc_id
 """
 
 LLM_QUERIES["llm_unigram_logprob"] = (q_unigram_logprob, SQL_UNIGRAM_LOGPROB)
+
+
+# ------------------------------------------------ quantile length trim
+
+def q_length_trim(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95):
+    """Percentile length gate (trim the corpus to docs inside the global
+    [p5, p95] character-length band — the outlier-document cut every
+    curation pipeline applies before training): the bounds come from the
+    distributed exact-interpolation quantile kernel (no driver
+    materialization of the column), then ONE combiner pass rolls up
+    kept/total counts and kept characters per source. Bound comparisons
+    are int-vs-double — identical on both sides; the quantile kernel's
+    lo + frac*(hi-lo) interpolation is the DuckDB quantile_cont parity
+    convention (ops/quantile.py)."""
+    from ..ops.partition import low_card_aggregate
+    from ..ops.quantile import distributed_quantiles
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+    lo, hi = distributed_quantiles(ds, "n_chars", [q_lo, q_hi])
+
+    def rollup(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        keep = (n >= lo) & (n <= hi)
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "kept": pa.array(keep.astype(np.int64), pa.int64()),
+            "kept_chars": pa.array(np.where(keep, n, 0), pa.int64())})
+
+    out = low_card_aggregate(
+        ds.map_batches(rollup, batch_format="pyarrow"), "source",
+        [("one", "sum"), ("kept", "sum"), ("kept_chars", "sum")],
+        ["n_total", "n_kept", "kept_chars"])
+    t = pa.Table.from_pylist(out.take_all(), schema=pa.schema(
+        [("source", pa.string()), ("n_total", pa.int64()),
+         ("n_kept", pa.int64()), ("kept_chars", pa.int64())]))
+    return t.sort_by([("source", "ascending")])
+
+
+SQL_LENGTH_TRIM = """
+with q as (select quantile_cont(n_chars, 0.05) as lo,
+                  quantile_cont(n_chars, 0.95) as hi from documents)
+select source, count(*) as n_total,
+       cast(sum(case when n_chars >= lo and n_chars <= hi
+                     then 1 else 0 end) as bigint) as n_kept,
+       cast(sum(case when n_chars >= lo and n_chars <= hi
+                     then n_chars else 0 end) as bigint) as kept_chars
+from documents, q
+group by source order by source
+"""
+
+LLM_QUERIES["llm_length_trim"] = (q_length_trim, SQL_LENGTH_TRIM)
+
+
+# ------------------------------------------------ vocabulary growth curve
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: distinct-token count among documents
+    with doc_id <= each decile threshold of the id space — the novelty
+    curve data curators read to decide when a corpus stops paying for
+    itself. ONE vocabulary-bounded aggregate: min(doc_id) per token
+    (per-batch combiner partials, min is idempotent under re-aggregation),
+    then the curve is a driver-side cumulative count over the dim-sized
+    first-seen table. All-integer — bit-exact by construction."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        flat = pc.cast(toks.flatten(), pa.string())
+        parents = np.asarray(pc.list_parent_indices(toks))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[parents]
+        return pa.table({"t": flat, "doc_id": pa.array(ids, pa.int64())})
+
+    first = low_card_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"), "t",
+        [("doc_id", "min")], ["first_doc"])
+    t = pa.Table.from_pylist(first.take_all(), schema=pa.schema(
+        [("t", pa.string()), ("first_doc", pa.int64())]))
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    fd = np.sort(t["first_doc"].to_numpy(zero_copy_only=False))
+    rows = []
+    for decile in range(1, 11):
+        thresh = (n_docs * decile) // 10
+        rows.append({"decile": decile, "doc_id_max": thresh,
+                     "vocab": int(np.searchsorted(fd, thresh, side="right"))})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("decile", pa.int64()), ("doc_id_max", pa.int64()),
+         ("vocab", pa.int64())]))
+
+
+SQL_VOCAB_GROWTH = """
+with fs as (select t, min(doc_id) as first_doc
+            from (select doc_id, unnest(string_split(text, ' ')) as t
+                  from documents) group by t),
+n as (select count(*) as n_docs from documents),
+d as (select unnest(range(1, 11)) as decile)
+select decile, (n_docs * decile) // 10 as doc_id_max,
+       (select count(*) from fs
+        where first_doc <= (n_docs * decile) // 10) as vocab
+from d, n order by decile
+"""
+
+LLM_QUERIES["llm_vocab_growth"] = (q_vocab_growth, SQL_VOCAB_GROWTH)

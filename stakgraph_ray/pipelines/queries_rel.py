@@ -3133,3 +3133,38 @@ where l_shipdate >= timestamp '1996-01-01'
 
 REL_QUERIES["rel_forecast_revenue"] = (q_forecast_revenue,
                                        SQL_FORECAST_REVENUE)
+
+
+def q_price_histogram(sf_dir: str, width: float = 5000.0):
+    """Equi-width histogram of lineitem extended price (the profiling /
+    binning operator every EDA pass runs): bin = floor(price / width).
+    Pure per-batch combiner — bin indices are computed vectorized and only
+    (bin, count) partials leave the worker; bin boundaries are the SAME
+    double ops on both sides (floor of an identical division), so bucket
+    edges agree bit-for-bit."""
+    from ..ops.partition import low_card_aggregate
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        b = np.floor(x / width).astype(np.int64)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    out = low_card_aggregate(ds.map_batches(binify, batch_format="pyarrow"),
+                             "bin", [(None, "count_all")], ["n"])
+    t = pa.Table.from_pylist(out.take_all(), schema=pa.schema(
+        [("bin", pa.int64()), ("n", pa.int64())]))
+    lo = pc.multiply(pc.cast(t["bin"], pa.float64()), pa.scalar(width))
+    return pa.table({"bin": t["bin"], "lo": lo, "n": t["n"]}) \
+        .sort_by([("bin", "ascending")])
+
+
+SQL_PRICE_HISTOGRAM = """
+select cast(floor(l_extendedprice / 5000.0) as bigint) as bin,
+       floor(l_extendedprice / 5000.0) * 5000.0 as lo,
+       count(*) as n
+from lineitem group by 1, 2 order by bin
+"""
+
+REL_QUERIES["rel_price_histogram"] = (q_price_histogram, SQL_PRICE_HISTOGRAM)
