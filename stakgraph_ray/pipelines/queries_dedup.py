@@ -1404,3 +1404,118 @@ from kk
 """
 
 DEDUP_QUERIES["agg_kmv_distinct"] = (q_kmv_distinct, SQL_KMV_DISTINCT)
+
+
+# ---------------------------------------------------------- BM25 top-k
+
+def q_bm25_topk(sf_dir: str, terms=("spark", "join", "window"),
+                k: int = 50, k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 fulltext top-k (the production ranking function behind
+    the toy term-count scorer in search_fulltext_topk; cf. the reference's
+    Lucene fulltext index, mcp/src/graph/queries.ts:512-560). Two passes:
+    (1) a combiner stats pass — per-batch (n_docs, Σdl) plus per-query-term
+    document frequencies, one tiny partial row per block; (2) a scoring
+    pass — vectorized per-term tf bincounts, the BM25 formula evaluated in
+    EXACTLY the SQL oracle's operator order (same left-assoc sums, same
+    literal k1+1 = 2.2, ln per distinct df via math.log), so scores are
+    bit-identical and the (score desc, doc_id) order — including the rank-k
+    boundary — is deterministic on both sides. Per-batch partial top-k
+    means only k rows per block reach the sort exchange."""
+    import math
+
+    import ray.data as rd
+
+    from ..ops.search import partial_topk
+
+    terms = list(terms)
+    path = f"{sf_dir}/documents.parquet"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"],
+                           override_num_blocks=_anb(path))
+
+    term_arrs = [pa.array([t]) for t in terms]
+
+    def _tf_matrix(t: pa.Table):
+        text = pc.cast(t["text"], pa.large_string())
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tfs = []
+        for ta in term_arrs:
+            hit = pc.is_in(flat, value_set=ta).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(parent, weights=hit.astype(np.float64),
+                                   minlength=n))
+        return dl, tfs
+
+    def stats(t: pa.Table) -> pa.Table:
+        dl, tfs = _tf_matrix(t)
+        row = {"n_docs": np.int64(t.num_rows),
+               "sum_dl": np.int64(dl.sum())}
+        for i, tf in enumerate(tfs):
+            row[f"df{i}"] = np.int64((tf > 0).sum())
+        return pa.Table.from_pylist([row])
+
+    parts = docs.map_batches(stats, batch_format="pyarrow").take_all()
+    n_docs = float(sum(r["n_docs"] for r in parts))
+    avgdl = sum(r["sum_dl"] for r in parts) / sum(r["n_docs"] for r in parts)
+    idf = []
+    for i in range(len(terms)):
+        df = float(sum(r[f"df{i}"] for r in parts))
+        idf.append(math.log(1 + (n_docs - df + 0.5) / (df + 0.5)))
+
+    def score(t: pa.Table) -> pa.Table:
+        dl, tfs = _tf_matrix(t)
+        # mirror the oracle: 1 - b + b*dl/avgdl parses ((1-b) + ((b*dl)/avgdl))
+        norm = (1 - b) + (b * dl) / avgdl
+        s = np.zeros(t.num_rows, np.float64)
+        for i, tf in enumerate(tfs):       # left-assoc term sum, fixed order
+            s = s + idf[i] * (tf * (k1 + 1)) / (tf + k1 * norm)
+        out = pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                        "score": pa.array(s, pa.float64())})
+        out = out.filter(pc.greater(out["score"], 0.0))
+        return partial_topk(out, "score", "doc_id", k)
+
+    top = docs.map_batches(score, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]).limit(k) \
+        .take_all()
+    from ..util import round_half_away
+
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "score": pa.array(round_half_away(
+            np.asarray([r["score"] for r in top], np.float64), 6),
+            pa.float64())})
+
+
+SQL_BM25_TOPK = """
+with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+              from documents),
+dl as (select doc_id, cast(count(*) as double) as dl from toks group by doc_id),
+stats as (select cast(count(*) as double) as n, sum(dl) / count(*) as avgdl
+          from dl),
+df as (select
+  cast(count(distinct case when tok = 'spark' then doc_id end) as double) as df0,
+  cast(count(distinct case when tok = 'join' then doc_id end) as double) as df1,
+  cast(count(distinct case when tok = 'window' then doc_id end) as double) as df2
+  from toks),
+tf as (select doc_id,
+  cast(count(*) filter (where tok = 'spark') as double) as tf0,
+  cast(count(*) filter (where tok = 'join') as double) as tf1,
+  cast(count(*) filter (where tok = 'window') as double) as tf2
+  from toks group by doc_id),
+sc as (select tf.doc_id,
+  ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+    * (tf0 * 2.2) / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+    * (tf1 * 2.2) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+    * (tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) as score
+  from tf join dl on tf.doc_id = dl.doc_id, stats, df)
+select doc_id, round(score, 6) as score from sc
+where score > 0 order by score desc, doc_id limit 50
+"""
+
+DEDUP_QUERIES["search_bm25_topk"] = (q_bm25_topk, SQL_BM25_TOPK)
