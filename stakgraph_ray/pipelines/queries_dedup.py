@@ -1519,3 +1519,72 @@ where score > 0 order by score desc, doc_id limit 50
 """
 
 DEDUP_QUERIES["search_bm25_topk"] = (q_bm25_topk, SQL_BM25_TOPK)
+
+
+# ----------------------------------------------- k-means assignment step
+
+def q_kmeans_assign(sf_dir: str, n_anchors: int = 8):
+    """One k-means ASSIGNMENT step over the embedding table (the building
+    block of distributed Lloyd iterations and of IVF coarse quantization —
+    cf. ops/ann.py's deterministic IVF): the first ``n_anchors`` vectors
+    are the broadcast codebook, every embedding goes to its nearest anchor
+    by Euclidean distance. Distances are rounded to 4 decimals BEFORE the
+    argmin and ties break on anchor id, so the assignment is deterministic
+    and SQL-reproducible (the sim_range_search rounding convention);
+    per-batch the kernel is one (rows × anchors) vectorized distance
+    matrix against the plasma-cached codebook. Output: per-vector cluster
+    + distance, plus nothing corpus-scale on the driver (per-cluster
+    rollups live in the oracle's hands)."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ..ops.relational import _cached_resolve, broadcast
+    from ..util import round_half_away
+
+    path = f"{sf_dir}/embeddings.parquet"
+    anchors_t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    mask = pc.less(anchors_t["vec_id"], n_anchors)
+    mask = mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask
+    at = anchors_t.filter(mask).sort_by([("vec_id", "ascending")])
+    A = np.asarray(at["embedding"].to_pylist(), np.float64)   # (k, d)
+    aids = np.asarray(at["vec_id"].to_pylist(), np.int64)
+    ref = broadcast((aids, A))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"],
+                         override_num_blocks=_anb(path))
+
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        aids_, A_ = _cached_resolve(_ref)
+        emb = t["embedding"]
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        X = np.asarray(emb.to_pylist(), np.float64)            # (n, d)
+        # per-dim left-assoc accumulation == DuckDB list_distance term order
+        n, k = X.shape[0], A_.shape[0]
+        sq = np.zeros((n, k), np.float64)
+        for d in range(X.shape[1]):
+            diff = X[:, d:d + 1] - A_[None, :, d]
+            sq = sq + diff * diff
+        dist = round_half_away(np.sqrt(sq), 4)
+        best = np.argmin(dist, axis=1)      # first index wins = lowest aid
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "cluster": pa.array(aids_[best], pa.int64()),
+            "dist": pa.array(dist[np.arange(n), best], pa.float64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_KMEANS_ASSIGN = """
+with q as (select vec_id as aid, embedding as ae
+           from embeddings where vec_id < 8),
+d as (select e.vec_id, q.aid,
+             round(cast(list_distance(cast(e.embedding as double[]),
+                                      cast(q.ae as double[])) as double), 4)
+               as dist
+      from embeddings e, q),
+r as (select *, row_number() over (partition by vec_id
+                                   order by dist, aid) as rn from d)
+select vec_id, aid as cluster, dist from r where rn = 1
+"""
+
+DEDUP_QUERIES["sim_kmeans_assign"] = (q_kmeans_assign, SQL_KMEANS_ASSIGN)

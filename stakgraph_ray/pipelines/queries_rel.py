@@ -3168,3 +3168,63 @@ from lineitem group by 1, 2 order by bin
 """
 
 REL_QUERIES["rel_price_histogram"] = (q_price_histogram, SQL_PRICE_HISTOGRAM)
+
+
+def q_event_props_extract(sf_dir: str):
+    """Semi-structured metadata extraction (the JSON props sidecar every
+    event stream carries): pull the integer field ``k`` out of the JSON
+    props string with ONE vectorized RE2 kernel (pc.extract_regex — no
+    Python JSON loop), then a combiner rollup per event_type: count, sum
+    and mean of k plus a count of rows where the field is absent. The mean
+    is an integer-ratio division (bit-exact vs SQL); extraction parity
+    holds because DuckDB's JSON reader and the anchored regex agree on
+    this single-field object layout."""
+    from ..ops.partition import low_card_aggregate
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        props = pc.cast(t["props"], pa.string())
+        props = props.combine_chunks() if isinstance(props, pa.ChunkedArray) else props
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.if_else(pc.is_valid(m),
+                       pc.cast(pc.struct_field(m, "k"), pa.int64()),
+                       pa.scalar(None, pa.int64()))
+        missing = pc.cast(pc.is_null(k), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.fill_null(k, 0),
+                         "has_k": pc.subtract(pa.scalar(1), missing),
+                         "missing": missing})
+
+    out = low_card_aggregate(
+        ds.map_batches(extract, batch_format="pyarrow"), "event_type",
+        [("k", "sum"), ("has_k", "sum"), ("missing", "sum")],
+        ["sum_k", "n_k", "n_missing"])
+    t = pa.Table.from_pylist(out.take_all(), schema=pa.schema(
+        [("event_type", pa.string()), ("sum_k", pa.int64()),
+         ("n_k", pa.int64()), ("n_missing", pa.int64())]))
+    avg = round_half_away(
+        t["sum_k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        / t["n_k"].to_numpy(zero_copy_only=False).astype(np.float64), 4)
+    return pa.table({"event_type": t["event_type"], "sum_k": t["sum_k"],
+                     "n_k": t["n_k"], "n_missing": t["n_missing"],
+                     "avg_k": pa.array(avg, pa.float64())}) \
+        .sort_by([("event_type", "ascending")])
+
+
+SQL_EVENT_PROPS_EXTRACT = """
+with x as (select event_type,
+                  cast(json_extract_string(props, '$.k') as bigint) as k
+           from events)
+select event_type,
+       cast(coalesce(sum(k), 0) as bigint) as sum_k,
+       cast(count(k) as bigint) as n_k,
+       cast(sum(case when k is null then 1 else 0 end) as bigint)
+         as n_missing,
+       round(cast(sum(k) as double) / count(k), 4) as avg_k
+from x group by event_type order by event_type
+"""
+
+REL_QUERIES["rel_event_props_extract"] = (q_event_props_extract,
+                                          SQL_EVENT_PROPS_EXTRACT)
