@@ -3308,3 +3308,86 @@ group by n_name order by n_name
 
 REL_QUERIES["rel_nation_balance_moments"] = (q_nation_balance_moments,
                                              SQL_NATION_BALANCE_MOMENTS)
+
+
+def q_session_paths(sf_dir: str, gap_seconds: int = 1800, k: int = 10):
+    """Sequence mining over sessionized event logs: the top-k most common
+    event-type PATHS (the '>'-joined type sequence of one session) — the
+    clickstream-analytics op next to rel_user_sessions' duration rollup.
+    Two bounded exchanges: (1) keyed shuffle on user_id, per partition the
+    gap-cumsum sessionizer (the ops/relational.sessionize kernel with an
+    explicit (ts, event_id) tie order so path strings are deterministic)
+    plus a per-partition path count partial; (2) hash partition on path to
+    merge counts, per-partition top-k partials, global (n desc, path) sort
+    limit k. No session list ever reaches the driver — only path-count
+    partials bounded by distinct-path cardinality."""
+    import pandas as pd
+
+    from ..ops.partition import partitioned_apply
+    from ..ops.relational import _key_change_mask
+    from ..ops.search import partial_topk
+
+    gap_us = gap_seconds * 1_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def paths(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        new_key = _key_change_mask(t, ["user_id"])
+        ts = t["ts"].to_numpy(zero_copy_only=False).view("int64")
+        brk = np.zeros(n, np.int64)
+        brk[1:] = (~new_key[1:]) & ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(brk + new_key) - 1      # global session index
+        df = pd.DataFrame({
+            "sid": sid,
+            "et": t["event_type"].to_numpy(zero_copy_only=False)})
+        joined = df.groupby("sid", sort=False)["et"].agg(">".join)
+        counts = joined.value_counts()
+        return pa.table({"path": pa.array(counts.index.to_numpy(object),
+                                          pa.string()),
+                         "n": pa.array(counts.to_numpy(np.int64),
+                                       pa.int64())})
+
+    partials = partitioned_apply(ds, "user_id", paths)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("path").aggregate([("n", "sum")]) \
+            .rename_columns(["path", "n"])
+        # top-k needs (n desc, path asc): numeric-sortable key via negation
+        if g.num_rows <= k:
+            return g
+        order = np.lexsort((np.asarray(g["path"].to_pylist(), object),
+                            -g["n"].to_numpy(zero_copy_only=False)))[:k]
+        return g.take(pa.array(order, pa.int64()))
+
+    top = partitioned_apply(partials, "path", merge) \
+        .sort(["n", "path"], descending=[True, False]).limit(k).take_all()
+    return pa.Table.from_pylist(top, schema=pa.schema(
+        [("path", pa.string()), ("n", pa.int64())]))
+
+
+SQL_SESSION_PATHS = """
+with e as (select user_id, ts, event_id, event_type,
+                  case when lag(ts) over w is null
+                         or epoch_us(ts) - epoch_us(lag(ts) over w)
+                            > 1800000000
+                       then 1 else 0 end as new_s
+           from events
+           window w as (partition by user_id order by ts, event_id)),
+s as (select *, sum(new_s) over (partition by user_id order by ts, event_id
+                                 rows unbounded preceding) as sid
+      from e),
+p as (select user_id, sid,
+             string_agg(event_type, '>' order by ts, event_id) as path
+      from s group by user_id, sid)
+select path, count(*) as n from p
+group by path order by n desc, path limit 10
+"""
+
+REL_QUERIES["rel_session_paths"] = (q_session_paths, SQL_SESSION_PATHS)
