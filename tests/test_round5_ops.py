@@ -1,0 +1,162 @@
+"""Planted-corpus semantics for the round-5 continuation operators: BM25
+ranking, k-means assignment ties, JSON props extraction with missing
+fields, moment null semantics, histogram binning, percentile trim,
+vocabulary growth, and session path mining."""
+
+import math
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, tmp_path / f"{name}.parquet")
+
+
+def _docs(tmp_path, texts, sources=None):
+    n = len(texts)
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(sources or ["s"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+
+
+def test_bm25_rare_term_outranks_common(ray_session, tmp_path):
+    """A doc matching the RARE query term must outrank one matching the
+    corpus-saturating term the same number of times (IDF at work) — the
+    exact inversion the raw term-count scorer cannot produce."""
+    from stakgraph_ray.pipelines.queries_dedup import q_bm25_topk
+
+    # 'join' appears in every doc (low idf); 'spark' only in doc 1
+    _docs(tmp_path, ["spark x x x", "join x x x", "join y y y",
+                     "join z z z", "join w w w"])
+    out = q_bm25_topk(str(tmp_path)).to_pylist()
+    assert out[0]["doc_id"] == 1
+    assert out[0]["score"] > out[1]["score"]
+    # every other doc matched 'join' once with identical length -> equal
+    # scores, ordered by doc_id
+    rest = [r["doc_id"] for r in out[1:]]
+    assert rest == [2, 3, 4, 5]
+    assert len({r["score"] for r in out[1:]}) == 1
+
+
+def test_kmeans_assign_nearest_and_tie(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_dedup import q_kmeans_assign
+
+    # anchors: ids 0 and 1 at (0,0) and (10,0); id 2 on top of anchor 1;
+    # id 3 EQUIDISTANT from both -> lower anchor id (0) must win
+    vecs = [[0.0, 0.0], [10.0, 0.0], [10.0, 1.0], [5.0, 0.0]]
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, pa.int32())}))
+    out = {r["vec_id"]: r for r in
+           q_kmeans_assign(str(tmp_path), n_anchors=2).take_all()}
+    assert out[0]["cluster"] == 0 and out[0]["dist"] == 0.0
+    assert out[2]["cluster"] == 1 and out[2]["dist"] == 1.0
+    assert out[3]["cluster"] == 0 and out[3]["dist"] == 5.0
+
+
+def test_event_props_extract_missing_field(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_rel import q_event_props_extract
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([datetime(2026, 1, 1)] * 3, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["click", "click", "click"], pa.string()),
+        "value": pa.array([0.0] * 3, pa.float64()),
+        "props": pa.array(['{"k": 7}', '{"other": 1}', '{"k": -3}'],
+                          pa.string())}))
+    row = q_event_props_extract(str(tmp_path)).to_pylist()[0]
+    assert row == {"event_type": "click", "sum_k": 4, "n_k": 2,
+                   "n_missing": 1, "avg_k": 2.0}
+
+
+def test_moments_null_semantics(ray_session, tmp_path):
+    """n=3 nation: skew defined, kurt NULL; constant-balance nation: both
+    NULL (zero variance) — the DuckDB semantics pinned by experiment."""
+    from stakgraph_ray.pipelines.queries_rel import q_nation_balance_moments
+
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["NATION_A", "NATION_B"], pa.string()),
+        "n_regionkey": pa.array([0, 0], pa.int32())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(7)], pa.string()),
+        "c_nationkey": pa.array([0, 0, 0, 1, 1, 1, 1], pa.int32()),
+        "c_acctbal": pa.array([1.0, 2.0, 4.0, 5.0, 5.0, 5.0, 5.0],
+                              pa.float64()),
+        "c_mktsegment": pa.array(["B"] * 7, pa.string())}))
+    out = {r["n_name"]: r for r in
+           q_nation_balance_moments(str(tmp_path)).to_pylist()}
+    assert out["NATION_A"]["n"] == 3
+    assert out["NATION_A"]["skew"] is not None
+    assert out["NATION_A"]["kurt"] is None          # n < 4
+    assert out["NATION_B"]["skew"] is None          # zero variance
+    assert out["NATION_B"]["kurt"] is None
+
+
+def test_price_histogram_bins(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_rel import q_price_histogram
+
+    _write(tmp_path, "lineitem", pa.table({
+        "l_extendedprice": pa.array([0.0, 4999.99, 5000.0, 12000.0],
+                                    pa.float64())}))
+    out = q_price_histogram(str(tmp_path)).to_pylist()
+    assert out == [{"bin": 0, "lo": 0.0, "n": 2},
+                   {"bin": 1, "lo": 5000.0, "n": 1},
+                   {"bin": 2, "lo": 10000.0, "n": 1}]
+
+
+def test_length_trim_band(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_length_trim
+
+    # 1..20 chars; p5=1.95, p95=19.05 -> keep 2..19 (18 docs)
+    texts = ["x" * i for i in range(1, 21)]
+    _docs(tmp_path, texts)
+    row = q_length_trim(str(tmp_path)).to_pylist()[0]
+    assert row["n_total"] == 20 and row["n_kept"] == 18
+    assert row["kept_chars"] == sum(range(2, 20))
+
+
+def test_vocab_growth_monotone_first_seen(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_vocab_growth
+
+    # doc1 introduces a b; doc2 repeats a; doc10 introduces c
+    texts = ["a b", "a"] + ["a"] * 7 + ["c"]
+    _docs(tmp_path, texts)
+    out = q_vocab_growth(str(tmp_path)).to_pylist()
+    assert [r["vocab"] for r in out] == [2] * 9 + [3]
+    assert all(out[i]["vocab"] <= out[i + 1]["vocab"]
+               for i in range(len(out) - 1))
+
+
+def test_session_paths_gap_split(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_rel import q_session_paths
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: a>b then (after 31 min) c  -> paths "a>b", "c"
+        (1, t0, 1, "a"), (1, t0 + timedelta(minutes=5), 2, "b"),
+        (1, t0 + timedelta(minutes=36), 3, "c"),
+        # user 2: a>b in one session -> "a>b" again
+        (2, t0, 4, "a"), (2, t0 + timedelta(minutes=10), 5, "b"),
+    ]
+    uid, ts, eid, et = zip(*rows)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}))
+    out = q_session_paths(str(tmp_path)).to_pylist()
+    assert out[0] == {"path": "a>b", "n": 2}
+    assert {"path": "c", "n": 1} in out
