@@ -1588,3 +1588,92 @@ select vec_id, aid as cluster, dist from r where rn = 1
 """
 
 DEDUP_QUERIES["sim_kmeans_assign"] = (q_kmeans_assign, SQL_KMEANS_ASSIGN)
+
+
+# ----------------------------------------- KMV Jaccard between sources
+
+def q_kmv_jaccard(sf_dir: str, src_a: str = "src0", src_b: str = "src1",
+                  k: int = 256):
+    """Cross-corpus similarity from mergeable sketches: the KMV-estimated
+    Jaccard between two sources' 3-token-shingle sets (Beyer et al. 2007 —
+    the sketch that prices a candidate corpus against what you already
+    have WITHOUT a corpus-scale set intersection). Per batch, each
+    source's k smallest md5-low64 shingle hashes (same version-stable hash
+    family as the KMV/HLL/CMS queries); the driver unions O(blocks·k)
+    uint64s per source, takes the union sketch's k minima and counts
+    membership in both sides — all exact integer ops plus ONE integer-
+    ratio division, so the SQL oracle reproduces the estimate bit-for-bit."""
+    from ..ops.sketch import _md5_hashes_distinct
+    from ..pipelines.queries_llm import _shingle_table
+    from ..util import round_half_away
+
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "source"],
+                         override_num_blocks=_anb(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_src, out_mins = [], []
+        for src in (src_a, src_b):
+            m = pc.equal(t["source"], src)
+            m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+            f = t.filter(m)
+            if f.num_rows == 0:
+                continue
+            sh = _shingle_table(f, k=3)
+            hs = _md5_hashes_distinct(sh["g"])
+            out_src.append(src)
+            out_mins.append(np.sort(hs)[:k])
+        return pa.table({"source": pa.array(out_src, pa.string()),
+                         "mins": pa.array(out_mins, pa.list_(pa.uint64()))})
+
+    sketches: dict[str, np.ndarray] = {src_a: np.array([], np.uint64),
+                                       src_b: np.array([], np.uint64)}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged = np.concatenate((sketches[r["source"]],
+                                 np.asarray(r["mins"], np.uint64)))
+        sketches[r["source"]] = np.unique(merged)[:k]
+    A, B = sketches[src_a], sketches[src_b]
+    U = np.unique(np.concatenate((A, B)))[:k]
+    both = int(np.sum(np.isin(U, A) & np.isin(U, B)))
+    n_u = int(len(U))
+    est = round_half_away(np.array([both / n_u if n_u else 0.0]), 6)
+    return pa.table({"n_union_sketch": pa.array([n_u], pa.int64()),
+                     "n_both": pa.array([both], pa.int64()),
+                     "jaccard_est": pa.array(est, pa.float64())})
+
+
+SQL_KMV_JACCARD = """
+with ta as (
+  select distinct md5_number_lower(g) as h from (
+    select s[i] || ' ' || s[i+1] || ' ' || s[i+2] as g
+    from (select string_split(text, ' ') as s from documents
+          where source = 'src0') t,
+         lateral (select unnest(generate_series(1, len(s) - 2)) as i) ii)),
+ra as (select h from (select h, row_number() over (order by h) as rn
+                      from ta) where rn <= 256),
+tb as (
+  select distinct md5_number_lower(g) as h from (
+    select s[i] || ' ' || s[i+1] || ' ' || s[i+2] as g
+    from (select string_split(text, ' ') as s from documents
+          where source = 'src1') t,
+         lateral (select unnest(generate_series(1, len(s) - 2)) as i) ii)),
+rb as (select h from (select h, row_number() over (order by h) as rn
+                      from tb) where rn <= 256),
+u as (select distinct h from (select h from ra union all
+                              select h from rb)),
+uk as (select h from (select h, row_number() over (order by h) as rn
+                      from u) where rn <= 256)
+select cast(count(*) as bigint) as n_union_sketch,
+       cast(sum(case when h in (select h from ra)
+                      and h in (select h from rb)
+                     then 1 else 0 end) as bigint) as n_both,
+       round(cast(sum(case when h in (select h from ra)
+                            and h in (select h from rb)
+                           then 1 else 0 end) as double)
+             / count(*), 6) as jaccard_est
+from uk
+"""
+
+DEDUP_QUERIES["agg_kmv_jaccard"] = (q_kmv_jaccard, SQL_KMV_JACCARD)

@@ -160,3 +160,15 @@ def test_session_paths_gap_split(ray_session, tmp_path):
     out = q_session_paths(str(tmp_path)).to_pylist()
     assert out[0] == {"path": "a>b", "n": 2}
     assert {"path": "c", "n": 1} in out
+
+
+def test_kmv_jaccard_exact_when_under_k(ray_session, tmp_path):
+    """Vocabulary smaller than k: the sketch IS the full set, so the
+    estimate equals the exact shingle Jaccard."""
+    from stakgraph_ray.pipelines.queries_dedup import q_kmv_jaccard
+
+    # src0 shingles: {a b c, b c d}; src1: {b c d, c d e} -> J = 1/3
+    _docs(tmp_path, ["a b c d", "b c d e"], sources=["src0", "src1"])
+    row = q_kmv_jaccard(str(tmp_path)).to_pylist()[0]
+    assert row["n_union_sketch"] == 3 and row["n_both"] == 1
+    assert row["jaccard_est"] == pytest.approx(1 / 3, abs=1e-6)
