@@ -2442,15 +2442,24 @@ REL_QUERIES["rel_moving_avg"] = (q_moving_avg, SQL_MOVING_AVG)
 
 def _li_orders_cogroup(sf_dir: str, li_map, ord_map, li_schema: pa.Schema,
                        ord_schema: pa.Schema, post, out_schema: pa.Schema,
-                       li_cols=None, ord_cols=None) -> pa.Table:
+                       li_cols=None, ord_cols=None,
+                       li_filter=None, ord_filter=None) -> pa.Table:
     """ONE co-group exchange lineitem ⋈ orders on l_orderkey; ``post`` runs
     per partition on the joined rows (still key-co-located) and must emit
-    group-bounded partials; the driver merges them into ``out_schema``."""
+    group-bounded partials; the driver merges them into ``out_schema``.
+
+    ``li_filter`` / ``ord_filter``: optional pyarrow.dataset expressions
+    pushed into the Parquet scan — at warehouse scale a date-windowed query
+    skips whole row groups at the read instead of shipping them to the map
+    stage (the SURVEY prune-at-the-read rule); the map fns keep their own
+    exact filters, so pushdown is purely an I/O optimization."""
     from ..ops.partition import cogroup_join_hp
 
-    li = _read(sf_dir, "lineitem", columns=li_cols) \
+    lkw = {"filter": li_filter} if li_filter is not None else {}
+    okw = {"filter": ord_filter} if ord_filter is not None else {}
+    li = _read(sf_dir, "lineitem", columns=li_cols, **lkw) \
         .map_batches(li_map, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", columns=ord_cols) \
+    orders = _read(sf_dir, "orders", columns=ord_cols, **okw) \
         .map_batches(ord_map, batch_format="pyarrow")
     parts = cogroup_join_hp(li, orders, "l_orderkey", li_schema, ord_schema,
                             post=post).take_all()
@@ -2459,6 +2468,14 @@ def _li_orders_cogroup(sf_dir: str, li_map, ord_map, li_schema: pa.Schema,
 
 def _ts(day: str) -> pa.Scalar:
     return pa.scalar(np.datetime64(day, "us"), pa.timestamp("us"))
+
+
+def _window_expr(col: str, lo: str, hi: str):
+    """pyarrow.dataset scan filter for a [lo, hi) timestamp window."""
+    import pyarrow.dataset as pds
+
+    f = pds.field(col)
+    return (f >= _ts(lo).as_py()) & (f < _ts(hi).as_py())
 
 
 def _between(t: pa.Table, col: str, lo: str, hi: str) -> pa.Table:
@@ -2555,7 +2572,8 @@ def q_nation_trade_volume(sf_dir: str,
                    ("l_year", pa.int64()), ("volume", pa.int64())]),
         li_cols=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
-        ord_cols=["o_orderkey", "o_custkey"])
+        ord_cols=["o_orderkey", "o_custkey"],
+        li_filter=_window_expr("l_shipdate", "1996-01-01", "1998-01-01"))
     merged = out.group_by(["s_nat", "c_nat", "l_year"]) \
         .aggregate([("volume", "sum")]) \
         .rename_columns(["s_nat", "c_nat", "l_year", "volume"])
@@ -2625,7 +2643,8 @@ def q_priority_line_counts(sf_dir: str):
         pa.schema([("l_returnflag", pa.string()), ("high", pa.int64()),
                    ("n", pa.int64())]),
         li_cols=["l_orderkey", "l_returnflag", "l_shipdate"],
-        ord_cols=["o_orderkey", "o_orderpriority"])
+        ord_cols=["o_orderkey", "o_orderpriority"],
+        li_filter=_window_expr("l_shipdate", "1996-01-01", "1997-01-01"))
     m = out.group_by("l_returnflag").aggregate([("high", "sum"), ("n", "sum")])
     return pa.table({
         "l_returnflag": m["l_returnflag"],
@@ -2728,7 +2747,8 @@ def q_market_share(sf_dir: str, target_nation: str = "NATION_3",
                    ("tgt_volume", pa.float64())]),
         li_cols=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
-        ord_cols=["o_orderkey", "o_custkey", "o_orderdate"])
+        ord_cols=["o_orderkey", "o_custkey", "o_orderdate"],
+        ord_filter=_window_expr("o_orderdate", "1996-01-01", "1998-01-01"))
     m = out.group_by("o_year").aggregate(
         [("volume", "sum"), ("tgt_volume", "sum")])
     share = pc.divide(m["tgt_volume_sum"], m["volume_sum"])
@@ -2875,7 +2895,8 @@ def q_returned_item_revenue(sf_dir: str, k: int = 20):
         pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())]),
         li_cols=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"],
-        ord_cols=["o_orderkey", "o_custkey", "o_orderdate"])
+        ord_cols=["o_orderkey", "o_custkey", "o_orderdate"],
+        ord_filter=_window_expr("o_orderdate", "1996-01-01", "1996-07-01"))
     m = out.group_by("o_custkey").aggregate([("cents", "sum")])
     m = m.sort_by([("cents_sum", "descending"), ("o_custkey", "ascending")]) \
         .slice(0, k)
