@@ -1677,3 +1677,68 @@ from uk
 """
 
 DEDUP_QUERIES["agg_kmv_jaccard"] = (q_kmv_jaccard, SQL_KMV_JACCARD)
+
+
+def q_langid_confusion(sf_dir: str):
+    """Classifier-evaluation rollup: the labeled-lang × predicted-lang
+    confusion matrix of the stopword langid heuristic (the eval every
+    curation pipeline runs before trusting a filter) with per-cell counts
+    and the per-actual-class rate. ONE combiner pass — the prediction is
+    computed inline per batch (same kernel as txt_langid) and only
+    |langs|² count partials leave the worker; the rate is an exact
+    integer-ratio division."""
+    import ray.data as rd
+
+    from ..ops.partition import low_card_aggregate
+    from ..util import round_half_away
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["lang", "text"],
+                         override_num_blocks=_anb(path))
+
+    def cell(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(t["text"], pa.large_string()), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(["a", "the"])) \
+            .to_numpy(zero_copy_only=False)
+        has = np.bincount(parent, weights=is_stop.astype("float64"),
+                          minlength=t.num_rows) > 0
+        guess = np.where(has, "en", "und")
+        return pa.table({"lang": t["lang"],
+                         "lang_guess": pa.array(guess, pa.string())})
+
+    m = low_card_aggregate(ds.map_batches(cell, batch_format="pyarrow"),
+                           ["lang", "lang_guess"],
+                           [(None, "count_all")], ["n"])
+    t = pa.Table.from_pylist(m.take_all(), schema=pa.schema(
+        [("lang", pa.string()), ("lang_guess", pa.string()),
+         ("n", pa.int64())]))
+    per_lang = t.group_by("lang").aggregate([("n", "sum")]) \
+        .rename_columns(["lang", "lang_total"])
+    j = t.join(per_lang, keys=["lang"])
+    rate = round_half_away(
+        j["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        / j["lang_total"].to_numpy(zero_copy_only=False).astype(np.float64),
+        4)
+    out = pa.table({"lang": j["lang"], "lang_guess": j["lang_guess"],
+                    "n": j["n"], "rate": pa.array(rate, pa.float64())})
+    return out.sort_by([("lang", "ascending"), ("lang_guess", "ascending")])
+
+
+SQL_LANGID_CONFUSION = """
+with g as (select lang,
+                  case when len(list_filter(string_split(text, ' '),
+                                            x -> x in ('the', 'a'))) > 0
+                       then 'en' else 'und' end as lang_guess
+           from documents),
+c as (select lang, lang_guess, count(*) as n from g group by 1, 2),
+t as (select lang, sum(n) as lang_total from c group by 1)
+select c.lang, c.lang_guess, c.n,
+       round(cast(c.n as double) / t.lang_total, 4) as rate
+from c join t on c.lang = t.lang
+order by c.lang, c.lang_guess
+"""
+
+DEDUP_QUERIES["txt_langid_confusion"] = (q_langid_confusion,
+                                         SQL_LANGID_CONFUSION)
