@@ -1397,3 +1397,53 @@ from d, n order by decile
 """
 
 LLM_QUERIES["llm_vocab_growth"] = (q_vocab_growth, SQL_VOCAB_GROWTH)
+
+
+# ------------------------------------------------ duplicate-mass profile
+
+def q_dup_size_histogram(sf_dir: str):
+    """Duplicate-mass profile: how much of the corpus sits in exact-text
+    duplicate clusters of each size (the before/after chart of every dedup
+    run). One hash-partitioned exchange on the text fingerprint (sha-free:
+    the md5-low64 family used by the sketch oracles) to size each cluster,
+    then a combiner histogram over the dim-bounded (size) column; emits
+    cluster-count and document-mass per size — all integers."""
+    from ..ops.partition import grouped_aggregate, low_card_aggregate
+    from ..ops.sketch import _md5_hashes_distinct  # noqa: F401 (family doc)
+
+    ds = _docs(sf_dir, ["text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        from ..functions.minhash import _md5low64_raw
+
+        text = pc.cast(t["text"], pa.string())
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        # dictionary-encode first: md5 runs once per DISTINCT batch text
+        d = text.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        hs = np.fromiter((_md5low64_raw(s) for s in uniq), np.uint64,
+                         len(uniq))
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        return pa.table({"fp": pa.array(hs[idx], pa.uint64())})
+
+    sizes = grouped_aggregate(ds.map_batches(fp, batch_format="pyarrow"),
+                              "fp", [([], "count_all")], ["size"])
+    hist = low_card_aggregate(sizes, "size", [(None, "count_all")],
+                              ["n_clusters"])
+    t = pa.Table.from_pylist(hist.take_all(), schema=pa.schema(
+        [("size", pa.int64()), ("n_clusters", pa.int64())]))
+    docs_mass = pc.multiply(t["size"], t["n_clusters"])
+    return pa.table({"size": t["size"], "n_clusters": t["n_clusters"],
+                     "n_docs": docs_mass}).sort_by([("size", "ascending")])
+
+
+SQL_DUP_SIZE_HISTOGRAM = """
+with c as (select md5_number_lower(text) as fp, count(*) as sz
+           from documents group by text)
+select sz as size, count(*) as n_clusters,
+       cast(sz * count(*) as bigint) as n_docs
+from c group by sz order by sz
+"""
+
+LLM_QUERIES["txt_dup_size_histogram"] = (q_dup_size_histogram,
+                                         SQL_DUP_SIZE_HISTOGRAM)

@@ -3412,3 +3412,62 @@ group by path order by n desc, path limit 10
 """
 
 REL_QUERIES["rel_session_paths"] = (q_session_paths, SQL_SESSION_PATHS)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention — users grouped by first-activity week, counted in
+    each later week (the product-analytics triangle next to sessions and
+    funnels). ONE keyed shuffle on user_id: inside a partition every
+    user's full history is co-located, so the first-week anchor, the
+    per-user distinct (cohort, offset) pairs and the count partials are
+    all vectorized in-partition work; the driver merges partials bounded
+    by |weeks|². Week indices are integer epoch arithmetic
+    (epoch_us // 604800000000) — identical on both sides, no calendar
+    truncation semantics to disagree on."""
+    import pandas as pd
+
+    from ..ops.partition import partitioned_apply
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cohort(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        week = t["ts"].to_numpy(zero_copy_only=False).view("int64") // WEEK_US
+        df = pd.DataFrame({"u": uid, "w": week})
+        first = df.groupby("u", sort=False)["w"].transform("min")
+        df["cohort_week"] = first
+        df["week_offset"] = df["w"] - first
+        pairs = df[["u", "cohort_week", "week_offset"]].drop_duplicates()
+        out = pairs.groupby(["cohort_week", "week_offset"], sort=False) \
+            .size().reset_index(name="n_users")
+        return pa.table({
+            "cohort_week": pa.array(out["cohort_week"].to_numpy(np.int64)),
+            "week_offset": pa.array(out["week_offset"].to_numpy(np.int64)),
+            "n_users": pa.array(out["n_users"].to_numpy(np.int64))})
+
+    parts = partitioned_apply(ds, "user_id", cohort).take_all()
+    t = pa.Table.from_pylist(parts, schema=pa.schema(
+        [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+         ("n_users", pa.int64())]))
+    m = t.group_by(["cohort_week", "week_offset"]) \
+        .aggregate([("n_users", "sum")]) \
+        .rename_columns(["cohort_week", "week_offset", "n_users"])
+    return m.sort_by([("cohort_week", "ascending"),
+                      ("week_offset", "ascending")])
+
+
+SQL_COHORT_RETENTION = """
+with e as (select user_id, epoch_us(ts) // 604800000000 as w from events),
+f as (select user_id, w,
+             min(w) over (partition by user_id) as cohort_week from e),
+p as (select distinct user_id, cohort_week, w - cohort_week as week_offset
+      from f)
+select cohort_week, week_offset, count(*) as n_users
+from p group by cohort_week, week_offset
+order by cohort_week, week_offset
+"""
+
+REL_QUERIES["rel_cohort_retention"] = (q_cohort_retention,
+                                       SQL_COHORT_RETENTION)
