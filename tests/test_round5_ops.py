@@ -172,3 +172,59 @@ def test_kmv_jaccard_exact_when_under_k(ray_session, tmp_path):
     row = q_kmv_jaccard(str(tmp_path)).to_pylist()[0]
     assert row["n_union_sketch"] == 3 and row["n_both"] == 1
     assert row["jaccard_est"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_cohort_retention_triangle(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_rel import q_cohort_retention
+
+    wk = 7 * 86400
+    base = datetime(2026, 1, 1)  # whatever week index this lands in
+    rows = [
+        # user 1: active week 0 and week 2 (offsets 0, 2)
+        (1, base), (1, base + timedelta(seconds=2 * wk)),
+        # user 2: joins one week later, active twice that week (offset 0 once)
+        (2, base + timedelta(seconds=wk)),
+        (2, base + timedelta(seconds=wk, hours=1)),
+    ]
+    uid, ts = zip(*rows)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(["e"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}))
+    out = q_cohort_retention(str(tmp_path)).to_pylist()
+    w0 = out[0]["cohort_week"]
+    # normalize to relative weeks for assertion stability
+    rel = [(r["cohort_week"] - w0, r["week_offset"], r["n_users"])
+           for r in out]
+    assert (0, 0, 1) in rel and (0, 2, 1) in rel
+    # user 2's duplicate same-week events collapse to ONE distinct pair
+    assert any(c >= 0 and o == 0 and n == 1 for c, o, n in rel if c > 0) or \
+        (1, 0, 1) in rel
+
+
+def test_dup_size_histogram_counts_mass(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_dup_size_histogram
+
+    _docs(tmp_path, ["same text", "same text", "same text",
+                     "unique one", "unique two"])
+    out = q_dup_size_histogram(str(tmp_path)).to_pylist()
+    assert out == [{"size": 1, "n_clusters": 2, "n_docs": 2},
+                   {"size": 3, "n_clusters": 1, "n_docs": 3}]
+
+
+def test_langid_confusion_rates(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_dedup import q_langid_confusion
+
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the word", "word word", "a word"], pa.string()),
+        "lang": pa.array(["en", "en", "fr"], pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([8, 9, 6], pa.int64())}))
+    out = q_langid_confusion(str(tmp_path)).to_pylist()
+    assert {"lang": "en", "lang_guess": "en", "n": 1, "rate": 0.5} in out
+    assert {"lang": "en", "lang_guess": "und", "n": 1, "rate": 0.5} in out
+    assert {"lang": "fr", "lang_guess": "en", "n": 1, "rate": 1.0} in out
