@@ -1182,3 +1182,80 @@ from pr p join deg d using (node_key) cross join thr t
 """
 
 KG_QUERIES["kg_term_importance"] = (q_term_importance, SQL_TERM_IMPORTANCE)
+
+
+def q_term_kcore(sf_dir: str, k: int = 3, rounds: int = 3):
+    """Bounded k-core peeling over the undirected FOLLOWS term graph — the
+    iterative degeneracy-pruning family (community cores, influence
+    backbones) next to PageRank/components: ``rounds`` passes of "drop
+    every node with fewer than k alive neighbors", unrolled so the SQL
+    oracle can mirror it exactly (full k-core is the fixpoint; a bounded
+    peel is the distributed-friendly prefix and is deterministic). The
+    edge table is vocabulary-bounded (canonical-term pairs), so each round
+    is ONE degree aggregate plus a broadcast-set edge filter; the alive
+    set on the driver is bounded by the term vocabulary — the same budget
+    the alias dictionary and canonicalizer already assume."""
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow").materialize()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        ne = pc.invert(pc.equal(t["a"], t["b"]))
+        ne = ne.combine_chunks() if isinstance(ne, pa.ChunkedArray) else ne
+        f = t.filter(ne)
+        return pa.table({
+            "a": pa.concat_arrays([pc.cast(f["a"], pa.string())
+                                   .combine_chunks(),
+                                   pc.cast(f["b"], pa.string())
+                                   .combine_chunks()]),
+            "b": pa.concat_arrays([pc.cast(f["b"], pa.string())
+                                   .combine_chunks(),
+                                   pc.cast(f["a"], pa.string())
+                                   .combine_chunks()])})
+
+    from ..ops.partition import distinct_hp, grouped_aggregate
+
+    und = distinct_hp(edges.map_batches(undirect, batch_format="pyarrow"),
+                      ["a", "b"]).materialize()
+
+    alive: set | None = None
+    deg_tbl = None
+    for _ in range(rounds):
+        cur = und
+        if alive is not None:
+            keep = pa.array(sorted(alive))
+
+            def flt(t: pa.Table, _keep=keep) -> pa.Table:
+                m = pc.and_(pc.is_in(t["a"], value_set=_keep),
+                            pc.is_in(t["b"], value_set=_keep))
+                m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+                return t.filter(m)
+
+            cur = und.map_batches(flt, batch_format="pyarrow")
+        deg = grouped_aggregate(cur, "a", [([], "count_all")], ["d"])
+        deg_tbl = pa.Table.from_pylist(deg.take_all(), schema=pa.schema(
+            [("a", pa.string()), ("d", pa.int64())]))
+        alive = set(deg_tbl.filter(
+            pc.greater_equal(deg_tbl["d"], k))["a"].to_pylist())
+    surv = deg_tbl.filter(pc.greater_equal(deg_tbl["d"], k))
+    return pa.table({"node_key": surv["a"], "degree": surv["d"]}) \
+        .sort_by([("node_key", "ascending")])
+
+
+SQL_TERM_KCORE = _FOLLOWS_CTE + """
+, und as (select a, b from p where a <> b
+          union
+          select b as a, a as b from p where a <> b),
+d1 as (select a, count(*) as d from und group by a),
+a1 as (select a from d1 where d >= 3),
+e2 as (select * from und where a in (select a from a1)
+                           and b in (select a from a1)),
+d2 as (select a, count(*) as d from e2 group by a),
+a2 as (select a from d2 where d >= 3),
+e3 as (select * from und where a in (select a from a2)
+                           and b in (select a from a2)),
+d3 as (select a, count(*) as d from e3 group by a)
+select a as node_key, cast(d as bigint) as degree
+from d3 where d >= 3 order by node_key
+"""
+
+KG_QUERIES["kg_term_kcore"] = (q_term_kcore, SQL_TERM_KCORE)
