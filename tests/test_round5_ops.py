@@ -228,3 +228,21 @@ def test_langid_confusion_rates(ray_session, tmp_path):
     assert {"lang": "en", "lang_guess": "en", "n": 1, "rate": 0.5} in out
     assert {"lang": "en", "lang_guess": "und", "n": 1, "rate": 0.5} in out
     assert {"lang": "fr", "lang_guess": "en", "n": 1, "rate": 1.0} in out
+
+
+def test_term_kcore_clique_survives_chain_peeled(ray_session, tmp_path):
+    """A 4-clique (every degree 3) survives k=3 peeling; a pendant chain
+    is stripped in round 1."""
+    from stakgraph_ray.pipelines.queries_kg import q_term_kcore
+
+    # consecutive bigrams of this walk produce ALL 6 clique edges
+    clique = "alpha beta gamma delta alpha gamma beta delta"
+    chain = "epsilon zeta"
+    _docs(tmp_path, [clique, chain])
+    out = q_term_kcore(str(tmp_path)).to_pylist()
+    names = {r["node_key"] for r in out}
+    assert {"alpha", "beta", "gamma", "delta"} <= {n.split(":")[-1] for n in names} or \
+           len(out) == 4  # clique survives under whatever key prefixing
+    degs = {r["node_key"]: r["degree"] for r in out}
+    assert all(d == 3 for d in degs.values())
+    assert not any("epsilon" in n or "zeta" in n for n in names)
