@@ -3471,3 +3471,79 @@ order by cohort_week, week_offset
 
 REL_QUERIES["rel_cohort_retention"] = (q_cohort_retention,
                                        SQL_COHORT_RETENTION)
+
+
+def q_late_events(sf_dir: str, allowed_lateness_s: int = 3600):
+    """Out-of-order arrival audit (the watermark question every streaming
+    ingest asks: how much data would a 1-hour watermark have dropped?):
+    per user, events whose timestamp lags the running max event-time of
+    their earlier ARRIVALS (event_id = arrival order) by more than the
+    allowed lateness. ONE keyed shuffle on user_id, then a vectorized
+    per-partition pass — sort by (user, event_id), segmented running max
+    via np.maximum.accumulate restarted at user boundaries. All-integer
+    microsecond arithmetic."""
+    from ..ops.partition import partitioned_apply
+    from ..ops.relational import _key_change_mask
+
+    late_us = allowed_lateness_s * 1_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64()),
+                             "max_lateness_us": pa.array([], pa.int64())})
+        import pandas as pd
+
+        ts = t["ts"].to_numpy(zero_copy_only=False).view("int64")
+        new_key = _key_change_mask(t, ["user_id"])
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.concatenate((starts, [n])))
+        # per-user running max of PRIOR arrivals: segmented cummax, shifted
+        # one inside each user run (first arrival has no prior)
+        seg_ids = np.repeat(np.arange(len(starts)), counts)
+        sts = pd.Series(ts)
+        grp = sts.groupby(seg_ids)
+        prior = grp.cummax().groupby(seg_ids).shift(1)
+        lateness = np.where(prior.isna().to_numpy(),
+                            0, np.maximum(prior.fillna(0).to_numpy(np.int64)
+                                          - ts, 0))
+        is_late = (lateness > late_us).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        seg = np.repeat(np.arange(len(starts)), counts)
+        n_late = np.bincount(seg, weights=is_late).astype(np.int64)
+        max_late = np.zeros(len(starts), np.int64)
+        np.maximum.at(max_late, seg, lateness)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "n_late": pa.array(n_late, pa.int64()),
+            "max_lateness_us": pa.array(max_late, pa.int64())})
+
+    return partitioned_apply(ds, "user_id", audit)
+
+
+SQL_LATE_EVENTS = """
+with w as (select user_id, event_id, epoch_us(ts) as tus,
+                  max(epoch_us(ts)) over (partition by user_id
+                                          order by event_id
+                                          rows between unbounded preceding
+                                          and 1 preceding) as prior_max
+           from events),
+l as (select user_id,
+             case when prior_max is null then 0
+                  when prior_max - tus > 0 then prior_max - tus
+                  else 0 end as lateness
+      from w)
+select user_id, count(*) as n_events,
+       cast(sum(case when lateness > 3600000000 then 1 else 0 end)
+            as bigint) as n_late,
+       cast(max(lateness) as bigint) as max_lateness_us
+from l group by user_id
+"""
+
+REL_QUERIES["rel_late_events"] = (q_late_events, SQL_LATE_EVENTS)

@@ -246,3 +246,29 @@ def test_term_kcore_clique_survives_chain_peeled(ray_session, tmp_path):
     degs = {r["node_key"]: r["degree"] for r in out}
     assert all(d == 3 for d in degs.values())
     assert not any("epsilon" in n or "zeta" in n for n in names)
+
+
+def test_late_events_detects_planted_disorder(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_rel import q_late_events
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1 arrivals: t0, t0+2h, then an event stamped t0 (2h late),
+        # then t0+30s before the max (inside the 1h allowance)
+        (1, 1, t0), (1, 2, t0 + timedelta(hours=2)), (1, 3, t0),
+        (1, 4, t0 + timedelta(hours=2) - timedelta(seconds=30)),
+        # user 2: in order
+        (2, 5, t0), (2, 6, t0 + timedelta(minutes=1)),
+    ]
+    uid, eid, ts = zip(*rows)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(["e"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}))
+    out = {r["user_id"]: r for r in q_late_events(str(tmp_path)).take_all()}
+    assert out[1]["n_events"] == 4 and out[1]["n_late"] == 1
+    assert out[1]["max_lateness_us"] == 2 * 3600 * 1_000_000
+    assert out[2]["n_late"] == 0 and out[2]["max_lateness_us"] == 0
