@@ -1742,3 +1742,95 @@ order by c.lang, c.lang_guess
 
 DEDUP_QUERIES["txt_langid_confusion"] = (q_langid_confusion,
                                          SQL_LANGID_CONFUSION)
+
+
+def q_centroid_update(sf_dir: str, n_anchors: int = 8):
+    """The UPDATE half of a distributed Lloyd iteration (sim_kmeans_assign
+    is the assignment half): per cluster, the element-wise mean of its
+    member vectors, emitted long-form (cluster, dim, centroid) so SQL can
+    reproduce it via unnest-with-ordinality. Per batch the kernel is one
+    assignment matmul plus a per-cluster np.add.at fold into (k, d) sum
+    partials — constant-size rows leave each worker regardless of corpus
+    scale; the driver adds k×d doubles and divides by exact counts (sum
+    order inside a cluster differs from DuckDB's, so centroids round to
+    6 — values are O(0.1), eleven orders of margin)."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ..ops.relational import _cached_resolve, broadcast
+    from ..util import round_half_away
+
+    path = f"{sf_dir}/embeddings.parquet"
+    anchors_t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    mask = pc.less(anchors_t["vec_id"], n_anchors)
+    mask = mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask
+    at = anchors_t.filter(mask).sort_by([("vec_id", "ascending")])
+    A = np.asarray(at["embedding"].to_pylist(), np.float64)
+    aids = np.asarray(at["vec_id"].to_pylist(), np.int64)
+    ref = broadcast((aids, A))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"],
+                         override_num_blocks=_anb(path))
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        aids_, A_ = _cached_resolve(_ref)
+        emb = t["embedding"]
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        X = np.asarray(emb.to_pylist(), np.float64)
+        n, k, d = X.shape[0], A_.shape[0], A_.shape[1]
+        sq = np.zeros((n, k), np.float64)
+        for dim in range(d):
+            diff = X[:, dim:dim + 1] - A_[None, :, dim]
+            sq = sq + diff * diff
+        dist = round_half_away(np.sqrt(sq), 4)
+        best = np.argmin(dist, axis=1)
+        sums = np.zeros((k, d), np.float64)
+        np.add.at(sums, best, X)
+        cnt = np.bincount(best, minlength=k).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(aids_, pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "sums": pa.array(list(sums), pa.list_(pa.float64()))})
+
+    k, d = A.shape
+    tot = np.zeros((k, d), np.float64)
+    cnt = np.zeros(k, np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        i = int(np.searchsorted(aids, r["cluster"]))
+        tot[i] += np.asarray(r["sums"], np.float64)
+        cnt[i] += r["n"]
+    rows = []
+    for i, aid in enumerate(aids):
+        if cnt[i] == 0:
+            continue
+        cen = round_half_away(tot[i] / cnt[i], 6)
+        for dim in range(d):
+            rows.append({"cluster": int(aid), "dim": dim + 1,
+                         "n": int(cnt[i]), "centroid": float(cen[dim])})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("cluster", pa.int64()), ("dim", pa.int64()), ("n", pa.int64()),
+         ("centroid", pa.float64())]))
+
+
+SQL_CENTROID_UPDATE = """
+with q as (select vec_id as aid, embedding as ae
+           from embeddings where vec_id < 8),
+dd as (select e.vec_id, q.aid,
+              round(cast(list_distance(cast(e.embedding as double[]),
+                                       cast(q.ae as double[]))
+                         as double), 4) as dist,
+              e.embedding as emb
+       from embeddings e, q),
+r as (select *, row_number() over (partition by vec_id
+                                   order by dist, aid) as rn from dd),
+asgn as (select vec_id, aid as cluster, emb from r where rn = 1),
+x as (select cluster, i.i as dim, cast(emb[i.i] as double) as v
+      from asgn, lateral (select unnest(generate_series(1, len(emb))) as i) i)
+select cluster, cast(dim as bigint) as dim,
+       cast(count(*) as bigint) as n,
+       round(avg(v), 6) as centroid
+from x group by cluster, dim order by cluster, dim
+"""
+
+DEDUP_QUERIES["sim_centroid_update"] = (q_centroid_update,
+                                        SQL_CENTROID_UPDATE)
