@@ -3346,7 +3346,6 @@ def q_session_paths(sf_dir: str, gap_seconds: int = 1800, k: int = 10):
 
     from ..ops.partition import partitioned_apply
     from ..ops.relational import _key_change_mask
-    from ..ops.search import partial_topk
 
     gap_us = gap_seconds * 1_000_000
 
