@@ -1447,3 +1447,52 @@ from c group by sz order by sz
 
 LLM_QUERIES["txt_dup_size_histogram"] = (q_dup_size_histogram,
                                          SQL_DUP_SIZE_HISTOGRAM)
+
+
+# ------------------------------------------ BPE-style token accounting
+
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def q_bpe_token_count(sf_dir: str):
+    """Token counting under a GPT-2-style pre-tokenizer regex next to the
+    whitespace count (the two token accountings every budget/pricing pass
+    needs; the real GPT-2 pattern's (?!\\S) lookahead is replaced by a
+    plain \\s+ branch so the expression stays in RE2, which pyarrow and
+    DuckDB share — match counts are engine-identical by construction).
+    Pure per-batch map: two vectorized count kernels and one exact
+    integer-ratio fertility division."""
+    from ..util import round_half_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        ws = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
+                     pa.int64())
+        bpe = pc.cast(pc.count_substring_regex(text, _BPE_PAT), pa.int64())
+        fert = round_half_away(
+            bpe.to_numpy(zero_copy_only=False).astype(np.float64)
+            / ws.to_numpy(zero_copy_only=False).astype(np.float64), 4)
+        return pa.table({"doc_id": t["doc_id"], "n_ws_tokens": ws,
+                         "n_bpe_tokens": bpe,
+                         "fertility": pa.array(fert, pa.float64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_COUNT = """
+select doc_id,
+       cast(len(string_split(text, ' ')) as bigint) as n_ws_tokens,
+       cast(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))
+            as bigint) as n_bpe_tokens,
+       round(cast(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))
+            as double)
+            / len(string_split(text, ' ')), 4) as fertility
+from documents
+"""
+
+LLM_QUERIES["llm_bpe_token_count"] = (q_bpe_token_count, SQL_BPE_TOKEN_COUNT)
