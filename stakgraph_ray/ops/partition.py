@@ -103,8 +103,18 @@ def low_card_aggregate(ds, keys, spec: list[tuple[str, str]],
     def partial(t: pa.Table) -> pa.Table:
         return t.group_by(keys).aggregate(plan)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged = pa.Table.from_pylist(parts)
+    # Collect partials as ARROW BLOCKS, not dict rows: take_all() on an
+    # all-empty result loses the schema entirely (Table.from_pylist([]) is
+    # 0-column and the merge group_by crashes on FieldRef), and dict-row
+    # round-trips re-infer dtypes. concat of real blocks keeps both; Ray's
+    # occasional schema-less empty blocks (0 columns) are dropped.
+    import ray
+
+    blocks = ray.get(
+        list(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()))
+    typed = [b for b in blocks if b.num_columns]
+    merged = (pa.concat_tables(typed, promote_options="default")
+              if typed else pa.Table.from_pylist([]))
     # re-aggregate the partials: sums/counts add, min/max idempotent
     merge_plan = []
     for col, fn in plan:

@@ -3114,7 +3114,6 @@ def q_forecast_revenue(sf_dir: str):
     cheapest possible distributed aggregate, included to complete the
     classic shape sweep (Q2/Q11/Q16/Q20 need the partsupp table, which
     TESTDATA.md does not ship)."""
-    from ..ops.partition import low_card_aggregate
     from ..util import round_half_away
 
     ds = _read(sf_dir, "lineitem",
@@ -3122,6 +3121,9 @@ def q_forecast_revenue(sf_dir: str):
                         "l_extendedprice"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # one partial row per batch ALWAYS (never 0-row: Ray strips the
+        # schema off empty blocks, so an all-filtered corpus would lose
+        # the partial's type information before the driver merge)
         f = _between(t, "l_shipdate", "1996-01-01", "1997-01-01")
         keep = pc.and_(
             pc.and_(pc.greater_equal(f["l_discount"], pa.scalar(0.05)),
@@ -3132,13 +3134,10 @@ def q_forecast_revenue(sf_dir: str):
         amt = pc.multiply(f["l_extendedprice"], f["l_discount"])
         cents = round_half_away(
             amt.to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
-        return pa.table({"_all": pa.array(np.zeros(len(cents), np.int8)),
-                         "cents": pa.array(cents, pa.int64())})
+        return pa.table({"cents": pa.array([int(cents.sum())], pa.int64())})
 
-    agg = low_card_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
-                             "_all", [("cents", "sum")], ["cents"])
-    rows = agg.take_all()
-    total = rows[0]["cents"] if rows else 0
+    rows = ds.map_batches(prep, batch_format="pyarrow").take_all()
+    total = sum(r["cents"] for r in rows)
     return pa.table({"revenue": pa.array([total / 100.0], pa.float64())})
 
 

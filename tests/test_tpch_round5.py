@@ -207,3 +207,38 @@ def test_unigram_logprob_hand_computed(ray_session, tmp_path):
     assert out[1]["mean_logprob"] == pytest.approx(expect, abs=1e-9)
     assert out[2]["mean_logprob"] == pytest.approx(expect, abs=1e-9)
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+
+
+def test_li_orders_family_empty_window(ray_session, tmp_path):
+    """All lineitems outside the date window: the family must return
+    schema-pinned EMPTY (or zero-valued) results, not crash on schema-less
+    empty blocks (the repo's known Ray empty-block hazard)."""
+    from stakgraph_ray.pipelines.queries_rel import (
+        q_forecast_revenue, q_priority_line_counts)
+
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderstatus": pa.array(["F"], pa.string()),
+        "o_totalprice": pa.array([1.0], pa.float64()),
+        "o_orderdate": pa.array([datetime(1990, 1, 1)], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"], pa.string())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_linenumber": pa.array([1], pa.int32()),
+        "l_quantity": pa.array([1.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0], pa.float64()),
+        "l_discount": pa.array([0.06], pa.float64()),
+        "l_tax": pa.array([0.0], pa.float64()),
+        "l_returnflag": pa.array(["N"], pa.string()),
+        "l_linestatus": pa.array(["O"], pa.string()),
+        "l_shipdate": pa.array([datetime(1990, 6, 1)],  # outside every window
+                               pa.timestamp("us"))}))
+    plc = q_priority_line_counts(str(tmp_path))
+    assert plc.num_rows == 0
+    assert plc.column_names == ["l_returnflag", "high_line_count",
+                                "low_line_count"]
+    fr = q_forecast_revenue(str(tmp_path)).to_pylist()
+    assert fr == [{"revenue": 0.0}]
