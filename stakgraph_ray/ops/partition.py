@@ -113,8 +113,19 @@ def low_card_aggregate(ds, keys, spec: list[tuple[str, str]],
     blocks = ray.get(
         list(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()))
     typed = [b for b in blocks if b.num_columns]
-    merged = (pa.concat_tables(typed, promote_options="default")
-              if typed else pa.Table.from_pylist([]))
+    if not typed:
+        # Ray does not invoke map stages on empty input blocks, so an
+        # all-filtered stream arrives here with every block schema-less
+        # and no types to rebuild from. Callers whose input can
+        # legitimately be empty must aggregate inside their own map fn
+        # and emit >= 1 typed partial row per batch (see
+        # queries_rel.q_forecast_revenue) — surface that contract instead
+        # of crashing on a cryptic FieldRef miss below.
+        raise ValueError(
+            "low_card_aggregate: every input block is empty and "
+            "schema-less; pin the partial schema in the caller (emit one "
+            "typed row per batch) when the filtered input can be empty")
+    merged = pa.concat_tables(typed, promote_options="default")
     # re-aggregate the partials: sums/counts add, min/max idempotent
     merge_plan = []
     for col, fn in plan:
