@@ -2959,10 +2959,15 @@ def q_top_supplier(sf_dir: str):
         return pa.table({"s_suppkey": pc.cast(f["l_suppkey"], pa.int64()),
                          "cents": pa.array(cents, pa.int64())})
 
-    rev = low_card_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
-                             "s_suppkey", [("cents", "sum")], ["cents"])
-    t = pa.Table.from_pylist(rev.take_all(), schema=pa.schema(
-        [("s_suppkey", pa.int64()), ("cents", pa.int64())]))
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+    try:
+        rev = low_card_aggregate(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            "s_suppkey", [("cents", "sum")], ["cents"])
+        t = pa.Table.from_pylist(rev.take_all(), schema=empty.schema)
+    except ValueError:   # window matched nothing anywhere -> typed empty
+        t = empty
     mx = pc.max(t["cents"])
     top = t.filter(pc.equal(t["cents"], mx))
     names = _dim_map(sf_dir, "supplier", "s_suppkey", "s_name")

@@ -242,3 +242,22 @@ def test_li_orders_family_empty_window(ray_session, tmp_path):
                                 "low_line_count"]
     fr = q_forecast_revenue(str(tmp_path)).to_pylist()
     assert fr == [{"revenue": 0.0}]
+
+
+def test_top_supplier_empty_window(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_rel import q_top_supplier
+
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_nationkey": pa.array([0], pa.int32()),
+        "s_name": pa.array(["SUPP_1"], pa.string()),
+        "s_acctbal": pa.array([0.0], pa.float64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_extendedprice": pa.array([10.0], pa.float64()),
+        "l_discount": pa.array([0.0], pa.float64()),
+        "l_shipdate": pa.array([datetime(1990, 1, 1)],  # outside Q1-1996
+                               pa.timestamp("us"))}))
+    out = q_top_supplier(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["s_suppkey", "s_name", "total_revenue"]
