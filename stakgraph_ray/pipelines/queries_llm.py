@@ -1496,3 +1496,127 @@ from documents
 """
 
 LLM_QUERIES["llm_bpe_token_count"] = (q_bpe_token_count, SQL_BPE_TOKEN_COUNT)
+
+
+# ----------------------------------------- bigram-LM conditional scorer
+
+def q_bigram_logprob(sf_dir: str):
+    """Per-document mean conditional log-probability under a
+    corpus-trained add-1-smoothed BIGRAM LM — the next-order CCNet-style
+    quality scorer after llm_unigram_logprob: p(w2|w1) = (c(w1 w2) + 1) /
+    (c(w1·) + |V|). Pass 1 is two combiner aggregates (bigram counts and
+    bigram-left counts, both bigram-vocabulary-bounded — the broadcast
+    budget documented for the alias dictionary) plus the distinct-token
+    |V|; ln runs once per DISTINCT bigram via math.log (float-parity
+    convention). Pass 2 maps each doc's bigrams through the broadcast
+    log-prob table and means them (round 4 — per-doc float-sum order).
+    Docs with fewer than 2 tokens have no bigrams and emit no row (the
+    SQL join drops them identically)."""
+    import math
+
+    import pandas as pd
+
+    from ..ops.partition import low_card_aggregate
+    from ..ops.relational import _cached_resolve, broadcast
+    from ..util import round_half_away
+
+    def _bigram_occurrences(t: pa.Table) -> pa.Table:
+        # every adjacent pair, duplicates INCLUDED (the LM needs counts;
+        # _shingle_table dedups per doc, which is the novelty/decontam
+        # semantics, not this one)
+        toks = _tokens(t)
+        flat = toks.values
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+        wins = np.maximum(lens - 1, 0)
+        total = int(wins.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string()),
+                             "w1": pa.array([], pa.string())})
+        idx = np.arange(total, dtype=np.int64)
+        excl = np.concatenate(([0], np.cumsum(wins)[:-1]))
+        starts = idx - np.repeat(excl, wins) + np.repeat(offs[:-1], wins)
+        w1 = pc.take(flat, pa.array(starts, pa.int64()))
+        w2 = pc.take(flat, pa.array(starts + 1, pa.int64()))
+        g = pc.binary_join_element_wise(w1, w2,
+                                        pa.scalar(" ", pa.large_string()))
+        doc_ids = pc.take(t["doc_id"], pa.array(
+            np.repeat(np.arange(len(lens), dtype=np.int64), wins),
+            pa.int64()))
+        return pa.table({"doc_id": pc.cast(doc_ids, pa.int64()),
+                         "g": pc.cast(g, pa.string()),
+                         "w1": pc.cast(w1, pa.string())})
+
+    def explode_bigrams(t: pa.Table) -> pa.Table:
+        b = _bigram_occurrences(t)
+        return b.select(["g", "w1"])
+
+    big = low_card_aggregate(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode_bigrams, batch_format="pyarrow"),
+        "g", [(None, "count_all")], ["c12"])
+    left = low_card_aggregate(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode_bigrams, batch_format="pyarrow"),
+        "w1", [(None, "count_all")], ["c1"])
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        return pa.table({"t": pc.cast(_tokens(t).flatten(), pa.string())})
+
+    vocab = low_card_aggregate(
+        _docs(sf_dir, ["text"])
+        .map_batches(explode_tokens, batch_format="pyarrow"),
+        "t", [(None, "count_all")], ["c"])
+    V = float(pa.Table.from_pylist(vocab.take_all()).num_rows)
+
+    c1 = {r["w1"]: r["c1"] for r in left.take_all()}
+    logp = {}
+    ln_den = {}     # ln(c1 + V) memoized per distinct left count
+    for r in big.take_all():
+        w1 = r["g"].split(" ", 1)[0]
+        den = c1[w1]
+        if den not in ln_den:
+            ln_den[den] = math.log(den + V)
+        logp[r["g"]] = math.log(float(r["c12"] + 1)) - ln_den[den]
+    ref = broadcast(logp)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        lp = _cached_resolve(_ref)
+        sh = _bigram_occurrences(t)
+        ids = sh["doc_id"].to_numpy(zero_copy_only=False)
+        vals = pd.Series(sh["g"].to_pylist()).map(lp).to_numpy(np.float64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), np.float64)
+        np.add.at(sums, inv, vals)
+        cnt = np.bincount(inv).astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_bigrams": pa.array(cnt.astype(np.int64), pa.int64()),
+            "mean_logprob": pa.array(round_half_away(sums / cnt, 4),
+                                     pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LOGPROB = """
+with toks as (select doc_id, string_split(text, ' ') as s from documents),
+v as (select cast(count(distinct w) as double) as v
+      from (select unnest(s) as w from toks)),
+pos as (select doc_id, s, unnest(generate_series(1, len(s) - 1)) as i
+        from toks),
+big as (select doc_id, s[i] as w1, s[i + 1] as w2 from pos),
+cb as (select w1, w2, cast(count(*) as double) as c12
+       from big group by 1, 2),
+cl as (select w1, cast(count(*) as double) as c1 from big group by 1),
+lp as (select cb.w1, cb.w2,
+              ln(c12 + 1) - ln(c1 + (select v from v)) as logp
+       from cb join cl using (w1))
+select b.doc_id, cast(count(*) as bigint) as n_bigrams,
+       round(sum(lp.logp) / count(*), 4) as mean_logprob
+from big b join lp on b.w1 = lp.w1 and b.w2 = lp.w2
+group by b.doc_id
+"""
+
+LLM_QUERIES["llm_bigram_logprob"] = (q_bigram_logprob, SQL_BIGRAM_LOGPROB)
