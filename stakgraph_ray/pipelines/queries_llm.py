@@ -1620,3 +1620,51 @@ group by b.doc_id
 """
 
 LLM_QUERIES["llm_bigram_logprob"] = (q_bigram_logprob, SQL_BIGRAM_LOGPROB)
+
+
+# ----------------------------------------- CCNet head/middle/tail buckets
+
+def q_perplexity_buckets(sf_dir: str):
+    """The CCNet bucketing step that consumes the LM score: every document
+    lands in head / middle / tail by the global terciles of its unigram
+    mean log-prob (higher = more typical = head). Composes the existing
+    distributed pieces: the llm_unigram_logprob scorer (rounded to 4 — the
+    rounded score is the bucketing KEY on both sides, so tercile
+    comparisons see identical doubles) and the exact-interpolation
+    distributed quantile kernel for the two cutoffs; the bucket map is
+    then a pure per-batch comparison."""
+    from ..ops.quantile import distributed_quantiles
+
+    scored = q_unigram_logprob(sf_dir).materialize()   # scored twice below
+    lo, hi = distributed_quantiles(scored, "mean_logprob", [1 / 3, 2 / 3])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        x = t["mean_logprob"].to_numpy(zero_copy_only=False)
+        b = np.where(x > hi, "head", np.where(x > lo, "middle", "tail"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "mean_logprob": t["mean_logprob"],
+                         "bucket": pa.array(b, pa.string())})
+
+    return scored.map_batches(bucket, batch_format="pyarrow")
+
+
+SQL_PERPLEXITY_BUCKETS = """
+with tok as (select doc_id, unnest(string_split(text, ' ')) as t
+             from documents),
+freq as (select t, count(*) as c from tok group by t),
+tot as (select cast(sum(c) as double) as n from freq),
+lp as (select t, ln(cast(c as double)) - ln((select n from tot)) as logp
+       from freq),
+sc as (select doc_id, round(sum(lp.logp) / count(*), 4) as mean_logprob
+       from tok join lp on tok.t = lp.t group by doc_id),
+q as (select quantile_cont(mean_logprob, 1.0/3.0) as lo,
+             quantile_cont(mean_logprob, 2.0/3.0) as hi from sc)
+select doc_id, mean_logprob,
+       case when mean_logprob > hi then 'head'
+            when mean_logprob > lo then 'middle'
+            else 'tail' end as bucket
+from sc, q
+"""
+
+LLM_QUERIES["llm_perplexity_buckets"] = (q_perplexity_buckets,
+                                         SQL_PERPLEXITY_BUCKETS)
