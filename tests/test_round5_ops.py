@@ -272,3 +272,45 @@ def test_late_events_detects_planted_disorder(ray_session, tmp_path):
     assert out[1]["n_events"] == 4 and out[1]["n_late"] == 1
     assert out[1]["max_lateness_us"] == 2 * 3600 * 1_000_000
     assert out[2]["n_late"] == 0 and out[2]["max_lateness_us"] == 0
+
+
+def test_bpe_token_count_fertility(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_bpe_token_count
+
+    # "the dog's 42 bones!!" -> ws tokens 4; BPE-ish: the| dog|'s| 42|
+    # bones|!! = 6 -> fertility 1.5
+    _docs(tmp_path, ["the dog's 42 bones!!"])
+    row = q_bpe_token_count(str(tmp_path)).take_all()[0]
+    assert row["n_ws_tokens"] == 4 and row["n_bpe_tokens"] == 6
+    assert row["fertility"] == 1.5
+
+
+def test_bigram_logprob_hand_computed(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_bigram_logprob
+
+    # corpus: "x y x y" (bigrams: x y, y x, x y) and "y" (no bigram).
+    # V = 2; c(x y)=2, c(y x)=1; left counts c(x.)=2, c(y.)=1
+    # p(y|x) = (2+1)/(2+2) = 0.75 ; p(x|y) = (1+1)/(1+2) = 2/3
+    _docs(tmp_path, ["x y x y", "y"])
+    out = {r["doc_id"]: r for r in q_bigram_logprob(str(tmp_path)).take_all()}
+    assert 2 not in out                       # no-bigram doc emits no row
+    exp = round((2 * math.log(0.75) + math.log(2 / 3)) / 3, 4)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_logprob"] == pytest.approx(exp, abs=2e-4)
+
+
+def test_perplexity_buckets_partition(ray_session, tmp_path):
+    from stakgraph_ray.pipelines.queries_llm import q_perplexity_buckets
+
+    # rare-token docs score lower (tail); common-token docs higher (head)
+    texts = (["common common common"] * 3
+             + ["common common middlish"] * 3
+             + ["rareone raretwo rarethree"] * 3)
+    _docs(tmp_path, texts)
+    out = q_perplexity_buckets(str(tmp_path)).take_all()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_logprob"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
