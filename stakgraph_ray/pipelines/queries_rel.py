@@ -3550,3 +3550,64 @@ from l group by user_id
 """
 
 REL_QUERIES["rel_late_events"] = (q_late_events, SQL_LATE_EVENTS)
+
+
+def q_price_histogram_equidepth(sf_dir: str, bins: int = 8):
+    """Equi-DEPTH histogram of extended price — the optimizer-statistics
+    complement of rel_price_histogram's equi-width bins: bin edges are the
+    global 1/8..7/8 quantiles (distributed exact-interpolation kernel, no
+    driver materialization), then ONE combiner pass counts rows per
+    half-open [lo, hi) band (last band closed). Edges are rounded to 2 on
+    BOTH sides before the comparisons, so band membership is decided on
+    identical doubles."""
+    from ..ops.partition import low_card_aggregate
+    from ..ops.quantile import distributed_quantiles
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qs = [i / bins for i in range(1, bins)]
+    edges = round_half_away(
+        np.asarray(distributed_quantiles(ds, "l_extendedprice", qs),
+                   np.float64), 2)
+
+    def binify(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, x, side="right").astype(np.int64)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    out = low_card_aggregate(ds.map_batches(binify, batch_format="pyarrow"),
+                             "bin", [(None, "count_all")], ["n"])
+    t = pa.Table.from_pylist(out.take_all(), schema=pa.schema(
+        [("bin", pa.int64()), ("n", pa.int64())]))
+    lo = np.concatenate(([float("-inf")], edges))
+    hi = np.concatenate((edges, [float("inf")]))
+    bs = t["bin"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bin": t["bin"],
+        "lo": pa.array(lo[bs], pa.float64()),
+        "hi": pa.array(hi[bs], pa.float64()),
+        "n": t["n"]}).sort_by([("bin", "ascending")])
+
+
+SQL_PRICE_HISTOGRAM_EQUIDEPTH = """
+with el as (select quantile_cont(l_extendedprice,
+            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) as qs
+            from lineitem),
+e as (select round(qs[i], 2) as edge, i from el,
+      lateral (select unnest(generate_series(1, 7)) as i) ii),
+b as (select (select count(*) from e
+              where e.edge <= l.l_extendedprice) as bin
+      from lineitem l),
+c as (select bin, count(*) as n from b group by bin),
+edges as (select i as bin, edge from e)
+select c.bin,
+       coalesce(lo.edge, cast('-infinity' as double)) as lo,
+       coalesce(hi.edge, cast('infinity' as double)) as hi,
+       c.n
+from c left join edges lo on lo.bin = c.bin
+       left join edges hi on hi.bin = c.bin + 1
+order by c.bin
+"""
+
+REL_QUERIES["rel_price_histogram_equidepth"] = (
+    q_price_histogram_equidepth, SQL_PRICE_HISTOGRAM_EQUIDEPTH)
