@@ -1259,3 +1259,52 @@ from d3 where d >= 3 order by node_key
 """
 
 KG_QUERIES["kg_term_kcore"] = (q_term_kcore, SQL_TERM_KCORE)
+
+
+def q_term_degree_histogram(sf_dir: str):
+    """Degree-distribution profile of the undirected FOLLOWS term graph —
+    the first chart of any graph audit (power-law check, hub census):
+    distinct-neighbor degree per node, then the (degree, n_nodes)
+    histogram. Both aggregates are vocabulary-bounded; the undirected
+    distinct edge set reuses the k-core construction."""
+    from ..ops.partition import distinct_hp, grouped_aggregate, \
+        low_card_aggregate
+
+    edges = _follows_edges_ds(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+    def undirect(t: pa.Table) -> pa.Table:
+        ne = pc.invert(pc.equal(t["a"], t["b"]))
+        ne = ne.combine_chunks() if isinstance(ne, pa.ChunkedArray) else ne
+        f = t.filter(ne)
+        return pa.table({
+            "a": pa.concat_arrays([pc.cast(f["a"], pa.string())
+                                   .combine_chunks(),
+                                   pc.cast(f["b"], pa.string())
+                                   .combine_chunks()]),
+            "b": pa.concat_arrays([pc.cast(f["b"], pa.string())
+                                   .combine_chunks(),
+                                   pc.cast(f["a"], pa.string())
+                                   .combine_chunks()])})
+
+    und = distinct_hp(edges.map_batches(undirect, batch_format="pyarrow"),
+                      ["a", "b"])
+    deg = grouped_aggregate(und, "a", [([], "count_all")], ["degree"])
+    hist = low_card_aggregate(deg, "degree", [(None, "count_all")],
+                              ["n_nodes"])
+    t = pa.Table.from_pylist(hist.take_all(), schema=pa.schema(
+        [("degree", pa.int64()), ("n_nodes", pa.int64())]))
+    return t.sort_by([("degree", "ascending")])
+
+
+SQL_TERM_DEGREE_HISTOGRAM = _FOLLOWS_CTE + """
+, und as (select a, b from p where a <> b
+          union
+          select b as a, a as b from p where a <> b),
+d as (select a, count(*) as deg from und group by a)
+select cast(deg as bigint) as degree, count(*) as n_nodes
+from d group by deg order by degree
+"""
+
+KG_QUERIES["kg_term_degree_histogram"] = (q_term_degree_histogram,
+                                          SQL_TERM_DEGREE_HISTOGRAM)
