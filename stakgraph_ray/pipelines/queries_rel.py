@@ -2904,6 +2904,11 @@ def q_returned_item_revenue(sf_dir: str, k: int = 20):
                          columns=["c_custkey", "c_name", "c_acctbal",
                                   "c_nationkey"])
     nat = _dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    # attribute lookup only for the k winners: never pylist the whole
+    # customer table on the driver (k rows, not |customer| dicts)
+    cust = cust.filter(pc.is_in(
+        pc.cast(cust["c_custkey"], pa.int64()),
+        value_set=pa.array(m["o_custkey"].to_pylist(), pa.int64())))
     attrs = {r["c_custkey"]: r for r in cust.to_pylist()}
     rows = []
     for ck, cents in zip(m["o_custkey"].to_pylist(),
