@@ -1870,9 +1870,12 @@ def q_order_priority_exists(sf_dir: str):
     win = orders.map_batches(window, batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    # per-batch unique BEFORE the exchange: an order ships one key row, not
+    # one per R lineitem (membership only needs presence)
     rkeys = li.map_batches(
-        lambda t: pa.table({"o_orderkey": t.filter(
-            pc.equal(t["l_returnflag"], "R"))["l_orderkey"]}),
+        lambda t: pa.table({"o_orderkey": pc.unique(t.filter(
+            pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+            .combine_chunks())}),
         batch_format="pyarrow")
 
     kept = membership_filter_hp(
@@ -2255,9 +2258,12 @@ def q_idle_customer_balance(sf_dir: str):
     rich = cust.map_batches(above_avg, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    # per-batch unique: a customer with many recent orders ships ONE key row
     recent = orders.map_batches(
-        lambda t: pa.table({"c_custkey": t.filter(pc.greater_equal(
-            t["o_orderdate"], pa.scalar(datetime(2000, 1, 1))))["o_custkey"]}),
+        lambda t: pa.table({"c_custkey": pc.unique(t.filter(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(datetime(2000, 1, 1))))["o_custkey"]
+            .combine_chunks())}),
         batch_format="pyarrow")
 
     idle = membership_filter_hp(
