@@ -50,8 +50,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
+    record: dict[str, dict] = {}
 
     import __ray_entry__ as e
 
@@ -69,11 +76,15 @@ def main() -> int:
             got = normalize(to_pandas(fn(sf_dir)))
         except Exception as ex:
             print(f"FAIL {name}: ray error: {type(ex).__name__}: {ex}")
+            record[name] = {"status": "FAIL",
+                            "err": f"{type(ex).__name__}: {ex}"}
             failures += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ok?  {name}: rows={len(got)} ({dt:.1f}s) [rows-only, no oracle]")
+            record[name] = {"status": "rows_only", "rows": len(got),
+                            "sec": round(dt, 2)}
             continue
         want = normalize(con.sql(sqls[name]).df())
         status = []
@@ -89,9 +100,24 @@ def main() -> int:
                 status.append("values differ: " + str(ex).split("\n")[-2][:200])
         if status:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(status))
+            record[name] = {"status": "FAIL", "err": "; ".join(status)}
             failures += 1
         else:
             print(f"PASS {name}: rows={len(got)} ({dt:.1f}s)")
+            record[name] = {"status": "PASS", "rows": len(got),
+                            "oracle_rows": len(want), "sec": round(dt, 2)}
+    if json_path:
+        import json
+        import subprocess
+
+        head = subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__)))).stdout.strip()
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "commit": head,
+                       "checked": len(record), "entries": record}, f,
+                      indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
