@@ -1858,7 +1858,9 @@ def q_order_priority_exists(sf_dir: str):
     from ..ops.partition import low_card_aggregate, membership_filter_hp
 
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   filter=_window_expr("o_orderdate", "1996-07-01",
+                                       "1996-10-01"))
 
     def window(t: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -2257,7 +2259,11 @@ def q_idle_customer_balance(sf_dir: str):
 
     rich = cust.map_batches(above_avg, batch_format="pyarrow")
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    import pyarrow.dataset as pds
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+                   filter=(pds.field("o_orderdate")
+                           >= _ts("2000-01-01").as_py()))
     # per-batch unique: a customer with many recent orders ships ONE key row
     recent = orders.map_batches(
         lambda t: pa.table({"c_custkey": pc.unique(t.filter(
