@@ -92,7 +92,10 @@ def decode_valid_html(html: pa.ChunkedArray | pa.Array,
     size = pc.binary_length(html)
     too_big = pc.greater(size, cfg.max_html_size)
     s, invalid = decode_utf8_column(html)
-    skipped = pc.or_(pc.fill_null(too_big, True), invalid)
+    # null html (corrupt WARC record) must be a DETERMINISTIC skip: both
+    # comparisons are null there and pc.or_ would propagate the null into
+    # the mask (and from there a null text/meta downstream)
+    skipped = pc.or_(pc.fill_null(too_big, True), pc.fill_null(invalid, True))
     # Blank out skipped rows before the regex chain so oversized bodies don't
     # burn regex time.
     s = pc.if_else(skipped, pa.scalar("", pa.large_string()), s)

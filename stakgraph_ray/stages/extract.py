@@ -52,12 +52,24 @@ class ExtractTextStage:
         self.with_hash = with_hash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Corrupt-input guards (Common-Crawl reality — the build must not
+        # crash on a bad WARC record): a row with a null url has no
+        # identity and is dropped here, at the single entry point both
+        # build variants share (a null string key would crash Ray's
+        # sort-exchange partition search: None < str). Null lang / warc_ts
+        # are FILLED ("und" / epoch) so keyed sorts and the first-wins
+        # dedup never compare None; null html is a deterministic skip
+        # (decode_valid_html).
+        if batch["url"].null_count:
+            batch = batch.filter(pc.is_valid(batch["url"]))
         html_s, skipped = decode_valid_html(batch["html"], self.cfg)
         text = clean_html_text(html_s)
         cols = {
             "url": batch["url"],
-            "warc_ts": batch["warc_ts"],
-            "lang": batch["lang"],
+            "warc_ts": pc.fill_null(
+                pc.cast(batch["warc_ts"], pa.timestamp("us")),
+                pa.scalar(0, pa.timestamp("us"))),
+            "lang": pc.fill_null(pc.cast(batch["lang"], pa.string()), "und"),
             "text": pc.cast(text, pa.string()),
             "title": extract_title_column(html_s),  # docs analog (null if skipped)
             "skipped": skipped,
