@@ -47,6 +47,25 @@ def test_lazy_build_survives_hostile_rows(ray_session):
     assert langs == {"en", "und"}
 
 
+def test_empty_pages_table_yields_corpus_only(ray_session):
+    import ray.data as rd
+
+    from stakgraph_ray.pipelines.kg import build_graph
+
+    t = pa.table({
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+        "html": pa.array([], pa.binary()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+    })
+    g = build_graph(rd.from_arrow(t))
+    nodes = g["nodes"].take_all()
+    assert [(r["node_type"], r["name"]) for r in nodes] == \
+        [("Corpus", "webcorpus")]
+    assert g["edges"].take_all() == []
+
+
 def test_materialized_build_survives_hostile_rows(ray_session, tmp_path):
     import duckdb
 
