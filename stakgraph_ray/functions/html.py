@@ -64,7 +64,9 @@ def decode_utf8_column(html: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.A
         html = html.combine_chunks()
     try:
         s = pc.cast(html, pa.large_string())
-        invalid = pa.array([False] * len(s))
+        # explicit bool_: pa.array([]) infers NULL type on a 0-row batch
+        # and downstream fill_null/or_ kernels reject it
+        invalid = pa.array([False] * len(s), pa.bool_())
         return s, invalid
     except pa.ArrowInvalid:
         out, bad = [], []
@@ -80,7 +82,7 @@ def decode_utf8_column(html: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.A
             except UnicodeDecodeError:
                 out.append("")
                 bad.append(True)
-        return pa.array(out, pa.large_string()), pa.array(bad)
+        return pa.array(out, pa.large_string()), pa.array(bad, pa.bool_())
 
 
 def decode_valid_html(html: pa.ChunkedArray | pa.Array,

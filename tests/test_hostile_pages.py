@@ -47,6 +47,27 @@ def test_lazy_build_survives_hostile_rows(ray_session):
     assert langs == {"en", "und"}
 
 
+def test_all_null_urls_degrade_to_empty_graph(ray_session):
+    """Every row identity-less -> batches become EMPTY after the url guard;
+    the 0-row path used to crash on a null-typed empty invalid mask
+    (pa.array([]) infers NULL type; fill_null rejects it)."""
+    import ray.data as rd
+
+    from stakgraph_ray.pipelines.kg import build_graph
+
+    t = pa.table({
+        "url": pa.array([None, None], pa.string()),
+        "warc_ts": pa.array([datetime(2020, 1, 1)] * 2, pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * 2, pa.binary()),
+        "text": pa.array([None] * 2, pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+    })
+    g = build_graph(rd.from_arrow(t))
+    assert [(r["node_type"], r["name"]) for r in g["nodes"].take_all()] == \
+        [("Corpus", "webcorpus")]
+    assert g["edges"].take_all() == []
+
+
 def test_empty_pages_table_yields_corpus_only(ray_session):
     import ray.data as rd
 
