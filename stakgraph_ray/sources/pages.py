@@ -182,17 +182,20 @@ def read_pages(sf_dir: str, include_doc_id: bool = False, override_num_blocks=No
         override_num_blocks=override_num_blocks or default_num_blocks(),
     )
     if replicate > 1:
-        # tile INSIDE each batch (concat of shifted copies) — a Dataset
-        # union of R copies would explode the block count R-fold and the
-        # tiny-block overhead dominates at high parallelism
-        def tile(t: pa.Table) -> pa.Table:
-            copies = [t]
+        # tile INSIDE each task but YIELD the copies as separate batches —
+        # a Dataset union of R copies would explode the block count R-fold
+        # (tiny-block overhead dominates at high parallelism), while a
+        # single concat of R copies held R x batch bytes in one worker
+        # heap (at x1024 that was several GB per batch and the build
+        # thrashed; the generator keeps peak memory at ~one input batch
+        # and Ray's dynamic block splitting shapes the output stream)
+        def tile(t: pa.Table):
+            yield t
             for k in range(1, replicate):
                 off = pa.scalar(k * 10_000_000, pa.int64())
-                copies.append(t.set_column(
+                yield t.set_column(
                     t.column_names.index("doc_id"), "doc_id",
-                    pc.add(t["doc_id"], off)))
-            return pa.concat_tables(copies)
+                    pc.add(t["doc_id"], off))
 
         ds = ds.map_batches(tile, batch_format="pyarrow")
     ds = ds.map_batches(build_pages_batch, batch_format="pyarrow")
